@@ -1,0 +1,61 @@
+"""Job configuration dataclasses (json-round-trippable).
+
+Mirrors the role of the reference's ``DataCfg``/``DataTaskCfg`` merge
+semantics (``/root/reference/src/chug/common/config.py:62-83``,
+``common/task_config.py:16-23``) with a fixed, declared surface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Parameters of the extraction pipeline."""
+
+    page_sampling: str = "all_valid"  # random | first | all_valid | all
+    line_break: str = "\n"
+    seed: int = 0
+    error_policy: str = "skip"  # skip (record in err channel) | raise
+    # docs whose estimated cost (total media pages + span count) exceeds
+    # this are exploded to per-unit rows and reassembled by groupby(doc_id)
+    heavy_cost_threshold: int = 32
+    # pages per work unit when exploding a heavy media span
+    pages_per_unit: int = 25
+    batch_size: int = 256
+    # actor pool size for the extract stages (min, max). Keep min=1: the
+    # pipeline runs up to three pools concurrently (light extract, explode,
+    # unit extract) and a min-floor × pools exceeding the node's CPUs can
+    # deadlock the streaming executor waiting for actors it can't place.
+    min_actors: int = 1
+    max_actors: int = 8
+    num_cpus_per_actor: float = 1.0
+    media_store_path: str | None = None
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ExtractConfig":
+        return cls(**json.loads(s))
+
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    """Parameters of the deterministic synthetic corpus (FIXTURES.md F1/F2)."""
+
+    seed: int = 42
+    n_docs: int = 200
+    skew: str = "test"  # test (64-page monsters) | bench (1000-page)
+
+    @property
+    def big_pages(self) -> int:
+        return 1000 if self.skew == "bench" else 64
+
+    @property
+    def big_every(self) -> int:
+        # one pinned skew monster roughly every N docs
+        return 499 if self.skew == "bench" else 97

@@ -1,0 +1,164 @@
+"""Table IO, media payload store, and partition lineage manifests.
+
+* **Tables**: Lance when the ``lance`` package is importable (the
+  north-rule storage format), Parquet fallback with the identical Arrow
+  schema otherwise (this sandbox runs the Parquet path — SURVEY.md
+  "Environment facts").
+* **Media store**: resolves ``media_ref → payload bytes``. In this
+  engine media payloads are a *side lookup*, not a distributed join
+  (SURVEY.md §2.5): each actor builds its lookup once in ``__init__``.
+  The sandbox backend loads the (small) media table into a dict per
+  actor; at 100 TB the same interface is backed by ranged reads into a
+  hash-partitioned payload store keyed by ``media_ref`` prefix with an
+  LRU — the pipeline code is identical either way.
+* **Manifests**: one JSON per output partition (input fragments, row /
+  span / error counts, config hash, wall time). A rerun skips
+  partitions whose manifest is complete and config-compatible — this is
+  the checkpoint-resume contract (north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+import pyarrow.parquet as pq
+
+try:  # pragma: no cover - lance absent in sandbox
+    import lance  # noqa: F401
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+def read_table_dataset(paths, columns=None):
+    """``ray.data`` read of a docs/media table: Lance if available, else Parquet."""
+    import ray.data
+
+    if HAVE_LANCE and isinstance(paths, str) and paths.endswith(".lance"):
+        return ray.data.read_lance(paths, columns=columns)  # pragma: no cover
+    return ray.data.read_parquet(paths, columns=columns)
+
+
+class MediaStore:
+    """media_ref → payload lookup, built once per actor (broadcast pattern)."""
+
+    def __init__(self, path: str | None):
+        self.path = path
+        self._table: dict[str, bytes] | None = None
+
+    def _load(self) -> dict[str, bytes]:
+        if self._table is None:
+            if self.path is None:
+                self._table = {}
+            else:
+                import pyarrow.dataset as pads
+
+                tbl = pads.dataset(self.path, format="parquet").to_table(
+                    columns=["media_ref", "payload"]
+                )
+                self._table = dict(
+                    zip(tbl["media_ref"].to_pylist(), tbl["payload"].to_pylist())
+                )
+        return self._table
+
+    def lookup(self, media_ref: str) -> bytes | None:
+        return self._load().get(media_ref)
+
+    def meta(self) -> dict[str, int]:
+        """media_ref → n_pages (small metadata, safe to broadcast)."""
+        if self.path is None:
+            return {}
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(self.path, format="parquet").to_table(
+            columns=["media_ref", "n_pages"]
+        )
+        return dict(zip(tbl["media_ref"].to_pylist(), tbl["n_pages"].to_pylist()))
+
+
+@dataclass
+class PartitionManifest:
+    partition_id: str
+    input_files: list[str]
+    config_hash: str
+    n_docs: int = 0
+    n_err_docs: int = 0
+    n_spans: int = 0
+    wall_time_sec: float = 0.0
+    completed_at: float = field(default_factory=time.time)
+    engine_version: str = "chug_ray-0.1.0"
+
+    def write(self, manifest_dir: str) -> str:
+        os.makedirs(manifest_dir, exist_ok=True)
+        path = os.path.join(manifest_dir, f"{self.partition_id}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(asdict(self), f, indent=1)
+        os.replace(tmp, path)  # atomic publish
+        return path
+
+    @classmethod
+    def load(cls, manifest_dir: str, partition_id: str) -> "PartitionManifest | None":
+        path = os.path.join(manifest_dir, f"{partition_id}.json")
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path) as f:
+                return cls(**json.load(f))
+        except (json.JSONDecodeError, TypeError):
+            return None  # half-written / stale manifest ⇒ redo the partition
+
+
+def output_stats(out_dir: str) -> tuple[int, int, int]:
+    """(n_docs, n_err_docs, n_spans) of a written partition — columnar read
+    of just the needed columns."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(out_dir, format="parquet")
+    tbl = ds.to_table(columns=["err", "spans"])
+    n_docs = tbl.num_rows
+    err_stage = pc.struct_field(tbl["err"], "stage")
+    n_err = n_docs - err_stage.null_count
+    n_spans = pc.sum(pc.list_value_length(tbl["spans"])).as_py() or 0
+    return n_docs, int(n_err), int(n_spans)
+
+
+def write_output_partition(ds, out_dir: str) -> None:
+    """Write one partition's rows atomically (temp dir → rename)."""
+    tmp = out_dir + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    ds.write_parquet(tmp)
+    if os.path.exists(out_dir):
+        import shutil
+
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+
+
+def read_output(out_root: str):
+    """All completed partitions as one pyarrow table (test-scale helper)."""
+    import pyarrow.dataset as pads
+
+    parts = sorted(
+        os.path.join(out_root, d)
+        for d in os.listdir(out_root)
+        if d.startswith("part-") and not d.endswith(".tmp")
+    )
+    tables = [pads.dataset(p, format="parquet").to_table() for p in parts]
+    import pyarrow as pa
+
+    return pa.concat_tables(tables) if tables else None
+
+
+def write_parquet_table(table, path: str) -> str:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(table, path)
+    return path

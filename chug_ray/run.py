@@ -1,0 +1,153 @@
+"""Partitioned, resumable job driver.
+
+The input document table is processed as P independent partitions (file
+groups). Each partition runs the full extraction pipeline and writes
+
+    out_root/part-<k>/           parquet rows (atomic: temp dir → rename)
+    out_root/_manifests/<k>.json lineage manifest (inputs, counts, config
+                                 hash, wall time)
+
+A rerun with the same config skips every partition whose manifest is
+present and compatible — kill the job anywhere and rerun to resume
+(north_rule's "resumable from checkpoint with per-partition lineage +
+metrics"). Because all randomness is keyed by (seed, doc_id), a resumed
+run is bit-identical to an uninterrupted one.
+
+Standalone use owns its Ray session::
+
+    python -m chug_ray.run --docs DIR --media DIR --out DIR [--resume]
+
+Library use (`run_job`) assumes Ray is already initialised by the caller
+and never calls ray.init/shutdown itself.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+from chug_ray.config import ExtractConfig
+from chug_ray.io import (
+    PartitionManifest,
+    output_stats,
+    read_table_dataset,
+    write_output_partition,
+)
+from chug_ray.pipeline import broadcast_media_meta, build_extract_pipeline
+
+
+def _config_hash(cfg: ExtractConfig) -> str:
+    return hashlib.blake2b(cfg.to_json().encode(), digest_size=8).hexdigest()
+
+
+def plan_partitions(docs_path: str, num_partitions: int | None) -> list[list[str]]:
+    """Group input files into partitions (one file group per partition)."""
+    if os.path.isfile(docs_path):
+        files = [docs_path]
+    else:
+        files = sorted(
+            os.path.join(docs_path, f)
+            for f in os.listdir(docs_path)
+            if f.endswith(".parquet")
+        )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {docs_path}")
+    p = min(num_partitions or len(files), len(files))
+    groups: list[list[str]] = [[] for _ in range(p)]
+    for i, f in enumerate(files):
+        groups[i % p].append(f)
+    return groups
+
+
+def run_job(
+    docs_path: str,
+    out_root: str,
+    cfg: ExtractConfig,
+    num_partitions: int | None = None,
+    resume: bool = True,
+) -> list[PartitionManifest]:
+    """Run the extraction job partition-by-partition; returns manifests."""
+    os.makedirs(out_root, exist_ok=True)
+    manifest_dir = os.path.join(out_root, "_manifests")
+    cfg_hash = _config_hash(cfg)
+    meta_ref = broadcast_media_meta(cfg.media_store_path)
+
+    manifests = []
+    for k, files in enumerate(plan_partitions(docs_path, num_partitions)):
+        pid = f"part-{k:05d}"
+        existing = PartitionManifest.load(manifest_dir, pid)
+        if (
+            resume
+            and existing is not None
+            and existing.config_hash == cfg_hash
+            and existing.input_files == files
+        ):
+            manifests.append(existing)  # checkpoint hit — skip
+            continue
+        t0 = time.perf_counter()
+        docs = read_table_dataset(files, columns=["doc_id", "spans"])
+        out = build_extract_pipeline(docs, cfg, media_meta_ref=meta_ref)
+        part_dir = os.path.join(out_root, pid)
+        write_output_partition(out, part_dir)
+        n_docs, n_err, n_spans = output_stats(part_dir)
+        manifest = PartitionManifest(
+            partition_id=pid,
+            input_files=files,
+            config_hash=cfg_hash,
+            n_docs=n_docs,
+            n_err_docs=n_err,
+            n_spans=n_spans,
+            wall_time_sec=time.perf_counter() - t0,
+        )
+        manifest.write(manifest_dir)
+        manifests.append(manifest)
+    return manifests
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    import ray
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--docs", required=True)
+    parser.add_argument("--media", default=None)
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--partitions", type=int, default=None)
+    parser.add_argument("--page-sampling", default="all_valid")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument("--num-cpus", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    try:
+        cfg = ExtractConfig(
+            page_sampling=args.page_sampling,
+            seed=args.seed,
+            media_store_path=args.media,
+        )
+        manifests = run_job(
+            args.docs,
+            args.out,
+            cfg,
+            num_partitions=args.partitions,
+            resume=not args.no_resume,
+        )
+        total = sum(m.n_docs for m in manifests)
+        errs = sum(m.n_err_docs for m in manifests)
+        spans = sum(m.n_spans for m in manifests)
+        print(f"done: {len(manifests)} partitions, {total} docs ({errs} errored), {spans} spans")
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

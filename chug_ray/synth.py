@@ -1,0 +1,260 @@
+"""Deterministic synthetic interleaved-document corpus (FIXTURES.md F1/F2).
+
+Every document is a pure function of ``(seed, index)`` via the stable
+hash in :mod:`chug_ray.util`, so generation is order-independent and can
+run distributed (``ray.data.range(n) → map_batches``) or inline, and the
+media table can be produced in a second independent pass.
+
+Archetypes (doc_id prefix = archetype, for debuggability):
+  txt        1–8 plain text spans
+  html       1 html span (boilerplate + known main content)
+  pdf        1 pdf span → SPDF payload, 1–16 pages
+  pdfbig     1 pdf span, ``big_pages`` pages (skew monster, pinned cadence)
+  tiff       1 image span → SIMG payload, 2–5 frames
+  mixed      2–6 interleaved text/html/pdf/image spans
+  emptypage  pdf payload with empty pages (valid-page wraparound scan)
+  missing    empty span list / empty media_ref (filter + error paths)
+  corrupt    truncated / bad-magic payload (error policy)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from chug_ray.config import CorpusConfig
+from chug_ray.kernels import simg, spdf
+from chug_ray.schema import DOC_SCHEMA, MEDIA_SCHEMA
+from chug_ray.util import rng_for
+
+VOCAB = (
+    "the a of to and in data query table row column scan join merge sort "
+    "filter group window stream batch vector hash key value order part "
+    "customer line item page text span document extract content main "
+    "model train corpus token shard block actor task node cluster fast "
+    "slow big small wide deep red blue green alpha beta gamma delta"
+).split()
+
+# (archetype, cumulative probability)
+_ARCH_CDF = [
+    ("txt", 0.28),
+    ("html", 0.48),
+    ("pdf", 0.66),
+    ("tiff", 0.74),
+    ("mixed", 0.84),
+    ("emptypage", 0.90),
+    ("missing", 0.94),
+    ("corrupt", 1.0),
+]
+
+
+def _words(rng, n: int) -> str:
+    return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+
+def _pdf_pages(rng, n_pages: int, empty_prob: float = 0.0) -> list[list[str]]:
+    pages = []
+    for _ in range(n_pages):
+        if empty_prob and rng.random() < empty_prob:
+            pages.append([])
+        else:
+            pages.append(
+                [_words(rng, rng.randint(3, 10)) for _ in range(rng.randint(1, 6))]
+            )
+    return pages
+
+
+def _html_source(rng) -> str:
+    """Synthetic page: known main content + boilerplate the kernel strips."""
+    title = _words(rng, rng.randint(2, 5))
+    nav_links = "".join(
+        f'<li><a href="/{w}">{w}</a></li>'
+        for w in (rng.choice(VOCAB) for _ in range(rng.randint(3, 6)))
+    )
+    paras = "".join(
+        f"<p>{_words(rng, rng.randint(8, 40))}</p>"
+        for _ in range(rng.randint(3, 8))
+    )
+    farm = "".join(
+        f'<a href="/{i}">{_words(rng, 2)}</a> ' for i in range(rng.randint(5, 12))
+    )
+    footer = _words(rng, rng.randint(4, 8))
+    return (
+        "<html><head><title>t</title>"
+        "<style>body{color:red}</style>"
+        "<script>var x=1;</script></head>"
+        f"<body><header><div>{_words(rng, 3)}</div></header>"
+        f"<nav><ul>{nav_links}</ul></nav>"
+        f"<main><h1>{title}</h1>{paras}</main>"
+        f'<div class="links">{farm}</div>'
+        f"<aside>{_words(rng, 10)}</aside>"
+        f"<footer>{footer}</footer></body></html>"
+    )
+
+
+def _simg_frames(rng, n_frames: int) -> list[simg.Frame]:
+    return [
+        simg.Frame(
+            width=rng.randint(16, 64),
+            height=rng.randint(16, 64),
+            pix_seed=rng.getrandbits(32),
+            lines=tuple(
+                _words(rng, rng.randint(2, 6)) for _ in range(rng.randint(0, 3))
+            ),
+        )
+        for _ in range(n_frames)
+    ]
+
+
+def archetype_for(cfg: CorpusConfig, index: int) -> str:
+    if index % cfg.big_every == cfg.big_every - 1:
+        return "pdfbig"
+    r = rng_for(cfg.seed, "arch", index).random()
+    for name, cum in _ARCH_CDF:
+        if r < cum:
+            return name
+    return "txt"
+
+
+def doc_id_for(cfg: CorpusConfig, index: int) -> str:
+    return f"{archetype_for(cfg, index)}-{index:08d}"
+
+
+def _corrupt(rng, data: bytes) -> bytes:
+    mode = rng.randint(0, 2)
+    if mode == 0:
+        return data[: max(4, len(data) // 2)]  # truncated
+    if mode == 1:
+        return b"XPDF" + data[4:]  # bad magic
+    return bytes(rng.getrandbits(8) for _ in range(32))  # garbage
+
+
+def make_doc(cfg: CorpusConfig, index: int):
+    """Build one document → (doc_row: dict, media_rows: list[dict])."""
+    arch = archetype_for(cfg, index)
+    doc_id = f"{arch}-{index:08d}"
+    rng = rng_for(cfg.seed, doc_id)
+    spans: list[dict] = []
+    media: list[dict] = []
+    offset = 0
+
+    def add(kind: str, text: str = "", media_ref: str = "") -> None:
+        nonlocal offset
+        spans.append(
+            {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+        )
+        offset += rng.randint(1, 4)  # strictly increasing, gappy
+
+    def add_media(kind: str, payload: bytes, n_pages: int) -> str:
+        ref = f"{doc_id}/m{len(media)}"
+        media.append(
+            {"media_ref": ref, "payload": payload, "kind": kind, "n_pages": n_pages}
+        )
+        return ref
+
+    if arch == "txt":
+        for _ in range(rng.randint(1, 8)):
+            add("text", _words(rng, rng.randint(4, 30)))
+    elif arch == "html":
+        add("html", _html_source(rng))
+    elif arch in ("pdf", "pdfbig", "emptypage"):
+        if arch == "pdfbig":
+            pages = _pdf_pages(rng, cfg.big_pages)
+        elif arch == "emptypage":
+            pages = _pdf_pages(rng, rng.randint(2, 20), empty_prob=0.45)
+        else:
+            pages = _pdf_pages(rng, rng.randint(1, 16))
+        ref = add_media("pdf", spdf.encode(pages), len(pages))
+        add("pdf", "", ref)
+    elif arch == "tiff":
+        frames = _simg_frames(rng, rng.randint(2, 5))
+        ref = add_media("image", simg.encode(frames), len(frames))
+        add("image", "", ref)
+    elif arch == "mixed":
+        for _ in range(rng.randint(2, 6)):
+            k = rng.choice(("text", "text", "html", "pdf", "image"))
+            if k == "text":
+                add("text", _words(rng, rng.randint(4, 20)))
+            elif k == "html":
+                add("html", _html_source(rng))
+            elif k == "pdf":
+                pages = _pdf_pages(rng, rng.randint(1, 4))
+                add("pdf", "", add_media("pdf", spdf.encode(pages), len(pages)))
+            else:
+                frames = _simg_frames(rng, rng.randint(1, 3))
+                add("image", "", add_media("image", simg.encode(frames), len(frames)))
+    elif arch == "missing":
+        variant = rng.randint(0, 2)
+        if variant == 0:
+            pass  # empty span list
+        elif variant == 1:
+            add("pdf", "", "")  # media span with no media_ref
+        else:
+            add("", "")  # unknown-kind span
+    elif arch == "corrupt":
+        pages = _pdf_pages(rng, rng.randint(1, 8))
+        payload = _corrupt(rng, spdf.encode(pages))
+        add("pdf", "", add_media("pdf", payload, len(pages)))
+    else:  # pragma: no cover
+        raise AssertionError(arch)
+
+    return {"doc_id": doc_id, "spans": spans}, media
+
+
+def docs_table(cfg: CorpusConfig, indices) -> pa.Table:
+    rows = [make_doc(cfg, i)[0] for i in indices]
+    return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+
+
+def media_table(cfg: CorpusConfig, indices) -> pa.Table:
+    rows: list[dict] = []
+    for i in indices:
+        rows.extend(make_doc(cfg, i)[1])
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def generate_corpus(cfg: CorpusConfig) -> tuple[pa.Table, pa.Table]:
+    idx = range(cfg.n_docs)
+    return docs_table(cfg, idx), media_table(cfg, idx)
+
+
+def write_corpus_inline(cfg: CorpusConfig, out_dir: str) -> tuple[str, str]:
+    """Driver-side corpus write for test scales (≤ ~10k docs)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs_path = os.path.join(out_dir, "documents.parquet")
+    media_path = os.path.join(out_dir, "media.parquet")
+    docs, media = generate_corpus(cfg)
+    pq.write_table(docs, docs_path)
+    pq.write_table(media, media_path)
+    return docs_path, media_path
+
+
+def write_corpus_ray(cfg: CorpusConfig, out_dir: str) -> tuple[str, str]:
+    """Distributed corpus write (two deterministic passes: docs, media).
+
+    Generation is a pure function of (seed, index) so the passes agree.
+    """
+    import os
+
+    import ray.data
+
+    docs_dir = os.path.join(out_dir, "documents")
+    media_dir = os.path.join(out_dir, "media")
+
+    def gen_docs(batch: pa.Table) -> pa.Table:
+        return docs_table(cfg, batch["id"].to_pylist())
+
+    def gen_media(batch: pa.Table) -> pa.Table:
+        return media_table(cfg, batch["id"].to_pylist())
+
+    base = ray.data.range(cfg.n_docs)
+    base.map_batches(gen_docs, batch_format="pyarrow", batch_size=2000).write_parquet(
+        docs_dir
+    )
+    base.map_batches(gen_media, batch_format="pyarrow", batch_size=2000).write_parquet(
+        media_dir
+    )
+    return docs_dir, media_dir

@@ -1,0 +1,41 @@
+"""Deterministic hashing / RNG utilities.
+
+All randomness in the engine is keyed by ``(job_seed, doc_id)`` through a
+*stable* (process- and machine-independent) hash, so every result is
+invariant to parallelism level, partitioning, iteration order, and resume.
+This is a deliberate redesign of the reference's shared per-worker RNG
+(``/root/reference/src/chug/doc/doc_processor.py:103-104``), whose output
+depends on the order a worker happens to see samples — unreproducible in a
+distributed setting (SURVEY.md §2.4 T3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+
+def stable_hash64(*parts: object) -> int:
+    """64-bit stable hash of a tuple of str/int parts (blake2b-based).
+
+    NOT Python's builtin ``hash`` — that is salted per process and would
+    break cross-process determinism.
+    """
+    h = hashlib.blake2b(digest_size=8)
+    for p in parts:
+        h.update(str(p).encode("utf-8"))
+        h.update(b"\x00")
+    return int.from_bytes(h.digest(), "little")
+
+
+def rng_for(seed: int | str, *parts: object) -> random.Random:
+    """A ``random.Random`` deterministically keyed by (seed, *parts)."""
+    return random.Random(stable_hash64(seed, *parts))
+
+
+def stable_hash_hex(*parts: object) -> str:
+    h = hashlib.blake2b(digest_size=16)
+    for p in parts:
+        h.update(str(p).encode("utf-8"))
+        h.update(b"\x00")
+    return h.hexdigest()

@@ -1,0 +1,124 @@
+"""End-to-end: Ray pipeline output == sequential oracle under
+span-sequence equality (kind, text, media_ref, order), across sampling
+policies, skew-path splits, partitionings, and resume (SURVEY.md §5.2.4/5)."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from chug_ray.config import ExtractConfig
+from chug_ray.io import read_output
+from chug_ray.oracle import canonical, diff, oracle_extract_table
+from chug_ray.pipeline import broadcast_media_meta, build_extract_pipeline
+from chug_ray.run import run_job
+
+
+def _load_tables(docs_path, media_path):
+    return pq.read_table(docs_path), pq.read_table(media_path)
+
+
+def _run_pipeline(ray, docs_path, media_path, cfg):
+    docs = ray.data.read_parquet(docs_path)
+    meta_ref = broadcast_media_meta(media_path)
+    out = build_extract_pipeline(docs, cfg, media_meta_ref=meta_ref)
+    return out.take_all()  # t1 scale — fine to materialize in tests
+
+
+def _assert_matches_oracle(ray, t1_corpus, cfg):
+    _, docs_path, media_path = t1_corpus
+    docs_tbl, media_tbl = _load_tables(docs_path, media_path)
+    expected = canonical(oracle_extract_table(docs_tbl, media_tbl, cfg))
+    actual = canonical(_run_pipeline(ray, docs_path, media_path, cfg))
+    problems = diff(expected, actual)
+    assert not problems, "\n".join(problems)
+    assert len(actual) == len(expected)
+
+
+@pytest.mark.parametrize("policy", ["all_valid", "first", "all", "random"])
+def test_pipeline_matches_oracle(ray_session, t1_corpus, policy):
+    _, docs_path, media_path = t1_corpus
+    cfg = ExtractConfig(
+        page_sampling=policy, seed=3, media_store_path=media_path
+    )
+    _assert_matches_oracle(ray_session, t1_corpus, cfg)
+
+
+def test_all_heavy_equals_all_light(ray_session, t1_corpus):
+    """Forcing every doc down the explode/reassemble path must reproduce
+    the light path bit-for-bit — the explode is a bijection."""
+    _, docs_path, media_path = t1_corpus
+    base = dict(page_sampling="all_valid", seed=5, media_store_path=media_path)
+    light = _run_pipeline(
+        ray_session, docs_path, media_path,
+        ExtractConfig(heavy_cost_threshold=10**9, **base),
+    )
+    heavy = _run_pipeline(
+        ray_session, docs_path, media_path,
+        ExtractConfig(heavy_cost_threshold=0, pages_per_unit=3, **base),
+    )
+    problems = diff(canonical(light), canonical(heavy))
+    assert not problems, "\n".join(problems)
+
+
+def test_partitioning_invariance(ray_session, t1_corpus):
+    _, docs_path, media_path = t1_corpus
+    cfg = ExtractConfig(page_sampling="random", seed=9, media_store_path=media_path)
+    meta_ref = broadcast_media_meta(media_path)
+    a = build_extract_pipeline(
+        ray_session.data.read_parquet(docs_path), cfg, meta_ref
+    ).take_all()
+    b = build_extract_pipeline(
+        ray_session.data.read_parquet(docs_path, override_num_blocks=7),
+        cfg,
+        meta_ref,
+    ).take_all()
+    problems = diff(canonical(a), canonical(b))
+    assert not problems, "\n".join(problems)
+
+
+def test_run_job_resume(ray_session, t1_corpus, tmp_path):
+    """Kill-and-resume: a rerun skips completed partitions and the final
+    output equals a clean full run."""
+    _, docs_path, media_path = t1_corpus
+    cfg = ExtractConfig(
+        page_sampling="all_valid", seed=1, media_store_path=media_path
+    )
+    out_root = str(tmp_path / "out")
+    m1 = run_job(docs_path, out_root, cfg)
+    assert len(m1) == 1 and m1[0].n_docs == 200
+    first_completed_at = m1[0].completed_at
+
+    # rerun: manifest hit, no recompute (completed_at unchanged)
+    m2 = run_job(docs_path, out_root, cfg)
+    assert m2[0].completed_at == first_completed_at
+
+    # config change ⇒ partition recomputed
+    cfg2 = ExtractConfig(
+        page_sampling="first", seed=1, media_store_path=media_path
+    )
+    m3 = run_job(docs_path, out_root, cfg2)
+    assert m3[0].completed_at != first_completed_at
+
+    out = read_output(out_root)
+    docs_tbl, media_tbl = _load_tables(docs_path, media_path)
+    expected = canonical(oracle_extract_table(docs_tbl, media_tbl, cfg2))
+    actual = canonical(out.to_pylist())
+    problems = diff(expected, actual)
+    assert not problems, "\n".join(problems)
+
+
+def test_error_accounting(ray_session, t1_corpus, tmp_path):
+    """No row silently lost: every input doc appears in the output, either
+    extracted or in the error side channel; manifests record both."""
+    _, docs_path, media_path = t1_corpus
+    cfg = ExtractConfig(page_sampling="all_valid", seed=2, media_store_path=media_path)
+    out_root = str(tmp_path / "out")
+    manifests = run_job(docs_path, out_root, cfg)
+    total = sum(m.n_docs for m in manifests)
+    assert total == 200
+    errs = sum(m.n_err_docs for m in manifests)
+    docs_tbl, media_tbl = _load_tables(docs_path, media_path)
+    oracle_rows = oracle_extract_table(docs_tbl, media_tbl, cfg)
+    assert errs == sum(1 for r in oracle_rows if r["err"] is not None)
+    assert errs > 0  # corpus includes corrupt/missing archetypes
