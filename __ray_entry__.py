@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in chug_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Queries cover SURVEY.md §2's operator inventory re-expressed
+Ray-Data-first plus the large-scale training-data ops (dedup families,
+similarity search, text analysis, multimodal plumbing, stream-shaped
+windows). Every SQL-expressible op has a DuckDB oracle with matching
+column names; genuinely non-SQL ops (extraction pipeline, MinHash-LSH,
+SimHash, LSH-ANN, media decode) are rows-only checked by the driver and
+golden-checked in tests/ instead.
 """
 
 from __future__ import annotations
@@ -18,27 +17,274 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
+from chug_ray.ops.textstats import LANG_PROFILES
+
+# ---------------------------------------------------------------------------
+# extraction queries (the flagship; non-SQL → rows-only + pytest goldens)
+# ---------------------------------------------------------------------------
+
+
+def _extract_summary(sf_dir: str, page_sampling: str):
+    """Run the extraction pipeline on the synthesized interleaved corpus
+    for this scale factor; summarize per doc (stable schema, compact)."""
+    import hashlib
+
+    import ray.data
+
+    from chug_ray.config import ExtractConfig
+    from chug_ray.pipeline import broadcast_media_meta, build_extract_pipeline
+    from chug_ray.synth import corpus_for_sf_dir
+
+    docs_path, media_path, _ = corpus_for_sf_dir(sf_dir)
+    cfg = ExtractConfig(
+        page_sampling=page_sampling, seed=0, media_store_path=media_path
+    )
+    out = build_extract_pipeline(
+        ray.data.read_parquet(docs_path),
+        cfg,
+        media_meta_ref=broadcast_media_meta(media_path),
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            spans = r["spans"] or []
+            h = hashlib.blake2b(digest_size=8)
+            for s in spans:
+                h.update(
+                    f"{s['kind']}\x00{s['text']}\x00{s['media_ref']}\x01".encode()
+                )
+            rows.append(
+                {
+                    "doc_id": r["doc_id"],
+                    "n_spans": len(spans),
+                    "err_stage": r["err"]["stage"] if r["err"] else "",
+                    "spans_hash": h.hexdigest(),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: interleaved-document extraction at sf0.001."""
+    return _extract_summary("/root/testdata/sf0.001", "all_valid")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from chug_ray.ops import dedup, knn, relational, textstats, window
+    from chug_ray.ops import media as media_ops
+    from chug_ray.synth import corpus_for_sf_dir
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _media_stats(sf_dir: str):
+        _, media_path, _ = corpus_for_sf_dir(sf_dir)
+        return media_ops.media_frame_stats(media_path)
+
+    def _sample_frames(sf_dir: str):
+        _, media_path, _ = corpus_for_sf_dir(sf_dir)
+        return media_ops.sample_frames(media_path)
+
+    return {
+        # --- text analysis (documents) — SQL-oracled
+        "token_count": textstats.token_count,
+        "quality_score": textstats.quality_score,
+        "lang_id": textstats.lang_id,
+        "fingerprint": textstats.fingerprint,
+        # --- dedup — SQL-oracled where expressible
+        "exact_dedup": dedup.exact_dedup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "embedding_near_dup": dedup.embedding_near_dup,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only
+        "simhash": textstats.simhash,  # rows-only
+        # --- similarity search (embeddings)
+        "knn_bruteforce": knn.knn_bruteforce,
+        "knn_lsh": knn.knn_lsh,  # rows-only (approximate)
+        # --- stream-shaped (events)
+        "tumbling_window": window.tumbling_window,
+        "event_type_stats": window.event_type_stats,
+        "sessionize": window.sessionize,
+        # --- relational / operator inventory demos
+        "filter_project": relational.filter_project,
+        "explode_tokens": relational.explode_tokens,
+        "docs_by_lang_source": relational.docs_by_lang_source,
+        "pricing_summary": relational.pricing_summary,
+        "top_revenue_orders": relational.top_revenue_orders,
+        "orders_by_segment": relational.orders_by_segment,
+        # --- extraction pipeline (rows-only; oracle = pytest goldens)
+        "extract_all_valid": lambda sf: _extract_summary(sf, "all_valid"),
+        "extract_first": lambda sf: _extract_summary(sf, "first"),
+        "extract_random": lambda sf: _extract_summary(sf, "random"),
+        # --- multimodal plumbing (rows-only)
+        "media_frame_stats": _media_stats,
+        "sample_frames": _sample_frames,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered on the same parquet tables)
+# ---------------------------------------------------------------------------
+
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, words in LANG_PROFILES.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        parts.append(
+            f"len(regexp_extract_all(lower(text), '{pat}')) AS score_{lang}"
+        )
+    return ", ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "token_count": f"""
+            SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+                       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+                       CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|a|to)\\b')) AS BIGINT) AS n_stopwords
+                FROM documents
+            )
+            SELECT doc_id, n_tokens, n_punct, n_stopwords,
+                   CAST(CASE WHEN n_tokens >= 10 AND n_stopwords > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+            FROM s
+        """,
+        "lang_id": f"""
+            WITH s AS (SELECT doc_id, {_lang_scores_sql()} FROM documents)
+            SELECT doc_id,
+                   CAST(score_en AS BIGINT) AS score_en,
+                   CAST(score_fr AS BIGINT) AS score_fr,
+                   CAST(score_de AS BIGINT) AS score_de,
+                   CAST(score_es AS BIGINT) AS score_es,
+                   CASE WHEN score_en >= score_fr AND score_en >= score_de AND score_en >= score_es THEN 'en'
+                        WHEN score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+                        WHEN score_de >= score_es THEN 'de'
+                        ELSE 'es' END AS pred_lang
+            FROM s
+        """,
+        "fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "exact_dedup": """
+            SELECT md5(text) AS fp_md5,
+                   CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH t AS (
+                SELECT doc_id, lang, source, list_distinct({_TOK}) AS toks
+                FROM documents
+            ), p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                         / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) AS jac
+                FROM t a JOIN t b
+                  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM p WHERE jac >= 0.8
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 10000, 0) AS BIGINT) AS cos_sim_e4
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+                 c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+                 s AS (SELECT q.query_id, c.vec_id,
+                              list_cosine_similarity(q.embedding, c.embedding) AS sim
+                       FROM q CROSS JOIN c),
+                 r AS (SELECT query_id, vec_id, sim,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY sim DESC, vec_id ASC) AS rank
+                       FROM s)
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+                   CAST(round(sim * 10000, 0) AS BIGINT) AS cos_sim_e4
+            FROM r WHERE rank <= 10
+        """,
+        "tumbling_window": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_value_e4
+            FROM events GROUP BY 1, 2
+        """,
+        "event_type_stats": """
+            SELECT event_type, count(*) AS n,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "sessionize": """
+            WITH o AS (
+                SELECT event_id, ts, user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM o
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
+            FROM s GROUP BY user_id, session_id
+        """,
+        "filter_project": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE n_chars >= 200 AND lang IN ('en', 'fr')
+        """,
+        "explode_tokens": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents)
+            SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
+                   unnest(toks) AS token
+            FROM t
+        """,
+        "docs_by_lang_source": """
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang, source
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            WITH r AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT l_orderkey, revenue_cents FROM r
+            ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10
+        """,
+        "orders_by_segment": """
+            SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_price_cents
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+    }

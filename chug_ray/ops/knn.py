@@ -1,0 +1,169 @@
+"""Similarity search over the embedding column.
+
+* ``knn_bruteforce`` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), every batch does one numpy matmul and
+  emits only its local top-k, a final tiny ``groupby(query)`` merges
+  partials. Scale path: the per-batch partial top-k means the shuffle
+  carries k rows per (query, batch), never the full score matrix.
+* ``knn_lsh`` — the scale variant: random-hyperplane LSH buckets
+  (signature prefix) prune candidates; same per-bucket scoring. An
+  approximate method → rows-only driver check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+DEFAULT_K = 10
+N_QUERIES = 8
+
+
+def _read_embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def _sim_e4(x: np.ndarray) -> np.ndarray:
+    """Similarity → integer 1e-4 units (hash-stable across engines)."""
+    return (np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5)).astype(np.int64)
+
+
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Queries = the embeddings with vec_id < N_QUERIES (deterministic)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl["vec_id"])
+    mask = ids < N_QUERIES
+    order = np.argsort(ids[mask])
+    qids = ids[mask][order]
+    qmat = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in tbl["embedding"].to_pylist()]
+    )[mask][order]
+    return qids, _unit_rows(qmat)
+
+
+def _topk_frame(frame: pd.DataFrame, k: int) -> pd.DataFrame:
+    frame = frame.sort_values(
+        ["query_id", "cos_sim", "vec_id"], ascending=[True, False, True]
+    )
+    return frame.groupby("query_id", group_keys=False).head(k)
+
+
+def knn_bruteforce(sf_dir: str, k: int = DEFAULT_K):
+    """Exact top-k cosine neighbors (vec_id ≥ N_QUERIES candidates only)."""
+    import ray
+
+    qids, qunit = _load_queries(sf_dir)
+    q_ref = ray.put((qids, qunit))
+
+    def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        qids_, qunit_ = ray.get(q_ref)
+        cand_mask = batch["vec_id"].to_numpy() >= N_QUERIES
+        if not cand_mask.any():
+            return pd.DataFrame(columns=["query_id", "vec_id", "cos_sim"])
+        ids = batch["vec_id"].to_numpy()[cand_mask]
+        mat = np.stack(batch["embedding"].to_numpy()[cand_mask]).astype(np.float64)
+        sims = _unit_rows(mat) @ qunit_.T  # (n_cand, n_query)
+        frames = []
+        for qi, qid in enumerate(qids_):
+            frames.append(
+                pd.DataFrame(
+                    {"query_id": qid, "vec_id": ids, "cos_sim": sims[:, qi]}
+                )
+            )
+        return _topk_frame(pd.concat(frames, ignore_index=True), k)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        top = _topk_frame(group, k).reset_index(drop=True)
+        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        top["cos_sim_e4"] = _sim_e4(top["cos_sim"].to_numpy())
+        return top[["query_id", "vec_id", "rank", "cos_sim_e4"]]
+
+    return (
+        _read_embeddings(sf_dir)
+        .map_batches(score_batch, batch_format="pandas", batch_size=4096)
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+N_PLANES = 4  # 2^4 = 16 buckets
+
+
+class _LshScorer:
+    """Actor: hyperplanes + queries built once per actor."""
+
+    def __init__(self, q_ref, k: int):
+        import ray
+
+        self.qids, self.qunit = ray.get(q_ref)
+        rng = np.random.default_rng(1234)
+        dim = self.qunit.shape[1]
+        self.planes = rng.standard_normal((dim, N_PLANES))
+        self.qbuckets = (self.qunit @ self.planes > 0) @ (1 << np.arange(N_PLANES))
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        cand_mask = batch["vec_id"].to_numpy() >= N_QUERIES
+        if not cand_mask.any():
+            return pd.DataFrame(columns=["query_id", "vec_id", "cos_sim"])
+        ids = batch["vec_id"].to_numpy()[cand_mask]
+        mat = np.stack(batch["embedding"].to_numpy()[cand_mask]).astype(np.float64)
+        unit = _unit_rows(mat)
+        buckets = (unit @ self.planes > 0) @ (1 << np.arange(N_PLANES))
+        frames = []
+        for qi, qid in enumerate(self.qids):
+            sel = buckets == self.qbuckets[qi]  # probe only the query's bucket
+            if not sel.any():
+                continue
+            sims = unit[sel] @ self.qunit[qi]
+            frames.append(
+                pd.DataFrame(
+                    {"query_id": qid, "vec_id": ids[sel], "cos_sim": sims}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(columns=["query_id", "vec_id", "cos_sim"])
+        return _topk_frame(pd.concat(frames, ignore_index=True), self.k)
+
+    @staticmethod
+    def merge(k: int):
+        def fn(group: pd.DataFrame) -> pd.DataFrame:
+            top = _topk_frame(group, k).reset_index(drop=True)
+            top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+            top["cos_sim_e4"] = _sim_e4(top["cos_sim"].to_numpy())
+            return top[["query_id", "vec_id", "rank", "cos_sim_e4"]]
+
+        return fn
+
+
+def knn_lsh(sf_dir: str, k: int = DEFAULT_K):
+    """LSH-bucketed approximate top-k (scale path for huge candidate sets)."""
+    import ray
+
+    q_ref = ray.put(_load_queries(sf_dir))
+    return (
+        _read_embeddings(sf_dir)
+        .map_batches(
+            _LshScorer,
+            fn_constructor_args=(q_ref, k),
+            batch_format="pandas",
+            batch_size=4096,
+            concurrency=(1, 4),
+        )
+        .groupby("query_id")
+        .map_groups(_LshScorer.merge(k), batch_format="pandas")
+    )

@@ -1,0 +1,144 @@
+"""Multimodal column operators (image/audio/video-shaped plumbing).
+
+Media payloads are opaque binary columns with typed metadata; the
+decode / feature-extract / resize / frame-sample stages run as
+actor-pool ``map_batches`` over the media table. Real image/audio
+codecs are not installed in this container (PIL etc.), so the *decode*
+step is a deterministic fake (:func:`chug_ray.kernels.simg.render_frame`)
+behind the same actor/batch/schema plumbing a real codec would use;
+:func:`decode_real_image` is the clearly-marked stub for wiring a real
+library in.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from chug_ray.kernels import simg, spdf
+
+
+def decode_real_image(payload: bytes) -> "np.ndarray":
+    """Stub for a real image codec (PIL/pillow-simd/libvips).
+
+    The sandbox has no image library; the pipeline uses the
+    deterministic SIMG fake instead. Swap this in per-deployment.
+    """
+    raise NotImplementedError(
+        "real image decoding requires an image library (e.g. PIL); "
+        "this environment uses the deterministic SIMG stand-in"
+    )
+
+
+class MediaFrameStats:
+    """Actor: decode each media payload, emit per-payload frame features.
+
+    Output: (media_ref, kind, n_pages, n_frames_decoded, total_lines,
+    sum_width, sum_height, mean_pixel_e4).
+    """
+
+    def __init__(self):
+        # real deployments would load codec/model state here, once per actor
+        pass
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for ref, payload, kind in zip(
+            batch["media_ref"], batch["payload"], batch["kind"]
+        ):
+            row = {
+                "media_ref": ref,
+                "kind": kind,
+                "n_frames_decoded": 0,
+                "total_lines": 0,
+                "sum_width": 0,
+                "sum_height": 0,
+                "mean_pixel_e4": 0,
+                "decode_ok": 0,
+            }
+            try:
+                if kind == "image":
+                    frames = simg.decode(bytes(payload))
+                    pix_means = []
+                    for f in frames:
+                        row["n_frames_decoded"] += 1
+                        row["total_lines"] += len(f.lines)
+                        row["sum_width"] += f.width
+                        row["sum_height"] += f.height
+                        pix_means.append(float(simg.render_frame(f).mean()))
+                    if pix_means:
+                        row["mean_pixel_e4"] = int(
+                            np.floor(np.mean(pix_means) * 1e4 + 0.5)
+                        )
+                else:  # pdf
+                    pages = spdf.read_all_pages(bytes(payload))
+                    row["n_frames_decoded"] = len(pages)
+                    row["total_lines"] = sum(len(p) for p in pages)
+                row["decode_ok"] = 1
+            except (simg.SimgError, spdf.SpdfError):
+                pass  # decode_ok stays 0 — error accounted, row kept
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+
+def media_frame_stats(media_path: str):
+    """Actor-pool decode + feature extraction over a media table."""
+    import ray.data
+
+    return ray.data.read_parquet(media_path).map_batches(
+        MediaFrameStats,
+        batch_format="pandas",
+        batch_size=64,  # payloads are large binaries — small batches
+        concurrency=(1, 4),
+    )
+
+
+class FrameSampler:
+    """Actor: sample ≤ ``n`` frames per payload (the frame-sample stage of
+    a video-ish pipeline), deterministic per media_ref."""
+
+    def __init__(self, n_frames: int, seed: int = 0):
+        self.n = n_frames
+        self.seed = seed
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.util import rng_for
+
+        out = []
+        for ref, payload, kind in zip(
+            batch["media_ref"], batch["payload"], batch["kind"]
+        ):
+            if kind != "image":
+                continue
+            try:
+                frames = simg.decode(bytes(payload))
+            except simg.SimgError:
+                continue
+            idx = list(range(len(frames)))
+            rng = rng_for(self.seed, ref)
+            if len(idx) > self.n:
+                idx = sorted(rng.sample(idx, self.n))
+            for i in idx:
+                out.append(
+                    {
+                        "media_ref": ref,
+                        "frame": i,
+                        "width": frames[i].width,
+                        "height": frames[i].height,
+                    }
+                )
+        return pd.DataFrame(
+            out, columns=["media_ref", "frame", "width", "height"]
+        )
+
+
+def sample_frames(media_path: str, n_frames: int = 2, seed: int = 0):
+    import ray.data
+
+    return ray.data.read_parquet(media_path).map_batches(
+        FrameSampler,
+        fn_constructor_args=(n_frames, seed),
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=(1, 4),
+    )

@@ -1,0 +1,231 @@
+"""Relational demonstrations over the TPC-H-ish tables: vectorized
+filter/project, partial-aggregate groupby, top-k, and a broadcast join
+(small side via ``ray.put``, no shuffle — SURVEY.md §2.5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped: filter on ship date, group by flag+status."""
+    from ray.data.aggregate import Count, Sum
+
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        # money → integer cents per row (round-half-away, matching SQL
+        # round(x*100, 0)); integer sums are exact and order-invariant, so
+        # the parallel aggregate is bit-deterministic vs the DuckDB oracle.
+        def cents(arr):
+            return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0)),
+                                    round_mode="half_towards_infinity"), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pc.cast(batch["l_quantity"], pa.int64()),
+                "base_price_cents": cents(batch["l_extendedprice"]),
+                "disc_price_cents": cents(disc_price),
+            }
+        )
+
+    agg = (
+        _read(
+            sf_dir,
+            "lineitem",
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_shipdate",
+            ],
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_price_cents", alias_name="sum_base_price_cents"),
+            Sum("disc_price_cents", alias_name="sum_disc_price_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        for col in ("sum_qty", "sum_base_price_cents", "sum_disc_price_cents",
+                    "count_order"):
+            batch[col] = batch[col].astype(np.int64)
+        return batch
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def top_revenue_orders(sf_dir: str, k: int = 10):
+    """Top-k orders by revenue: partial per-batch aggregation, small
+    groupby over partials, global sort + limit on the tiny result."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        rev_cents = pc.cast(pc.round(pc.multiply(rev, pa.scalar(100.0)),
+                                     round_mode="half_towards_infinity"), pa.int64())
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "revenue_cents": rev_cents.to_numpy(zero_copy_only=False),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("l_orderkey", as_index=False)["revenue_cents"].sum(),
+            preserve_index=False,
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["revenue_cents"] = batch["revenue_cents"].astype(np.int64)
+        return batch
+
+    return (
+        agg.map_batches(finalize, batch_format="pandas")
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def orders_by_segment(sf_dir: str):
+    """Broadcast hash join: customer (small side) is ray.put once; each
+    batch maps o_custkey → c_mktsegment with a numpy/dict lookup."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_map = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+    seg_ref = ray.put(seg_map)
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_ref)
+        cents = np.sign(batch["o_totalprice"]) * np.floor(
+            np.abs(batch["o_totalprice"].to_numpy()) * 100.0 + 0.5
+        )
+        return pd.DataFrame(
+            {
+                "c_mktsegment": batch["o_custkey"].map(seg).fillna("UNKNOWN"),
+                "total_price_cents": cents.astype(np.int64),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(join, batch_format="pandas", batch_size=65536)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("total_price_cents", alias_name="total_price_cents"),
+        )
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_orders"] = batch["n_orders"].astype(np.int64)
+        batch["total_price_cents"] = batch["total_price_cents"].astype(np.int64)
+        return batch
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def filter_project(sf_dir: str):
+    """Vectorized filter + projection (reference M6/M7 filter analog)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["n_chars"], pa.scalar(200)),
+            pc.is_in(batch["lang"], value_set=pa.array(["en", "fr"])),
+        )
+        t = batch.filter(keep)
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "n_chars": t["n_chars"]}
+        )
+
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+def explode_tokens(sf_dir: str):
+    """Row explosion (reference M2/M3 map_expand analog): one row per
+    token with its position."""
+    import re
+
+    token_re = re.compile("[a-z0-9]+")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids, positions, tokens = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for pos, tok in enumerate(token_re.findall(text.lower())):
+                doc_ids.append(doc_id)
+                positions.append(pos)
+                tokens.append(tok)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "pos": pa.array(positions, pa.int64()),
+                "token": pa.array(tokens, pa.string()),
+            }
+        )
+
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+def docs_by_lang_source(sf_dir: str):
+    """Grouped aggregate with combiner semantics over documents."""
+    from ray.data.aggregate import Count, Sum
+
+    import ray.data
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+        )
+        .groupby(["lang", "source"])
+        .aggregate(
+            Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+        )
+    )

@@ -1,0 +1,163 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data-pipeline ops: token counting, quality
+scoring, language-ID heuristic, document fingerprinting. All per-batch
+work is vectorized (``pyarrow.compute`` regex kernels — C, zero-copy);
+every op streams (no driver-side materialization) and each has an
+exact DuckDB SQL oracle in ``__ray_entry__`` using the same token
+definition ``[a-z0-9]+`` over lowercased text (RE2 on both sides).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = "[a-z0-9]+"
+PUNCT_RE = r"[.,;:!?]"
+
+# language-ID stopword profiles; scores are whole-token match counts.
+LANG_PROFILES = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "et", "les"),
+    "de": ("der", "und", "das"),
+    "es": ("el", "y", "los"),
+}
+LANG_ORDER = ("en", "fr", "de", "es")  # deterministic argmax tie-break
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=list(columns)
+    )
+
+
+def _count_re(arr: pa.ChunkedArray, pattern: str) -> pa.Array:
+    return pc.count_substring_regex(arr, pattern)
+
+
+def token_count(sf_dir: str):
+    """(doc_id, n_tokens, n_chars) per document."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(_count_re(low, TOKEN_RE), pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def quality_score(sf_dir: str):
+    """Integer quality signals: token/punct/stopword counts + a simple
+    keep/drop flag (the usual corpus-filter shape)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        n_tokens = pc.cast(_count_re(low, TOKEN_RE), pa.int64())
+        n_punct = pc.cast(_count_re(batch["text"], PUNCT_RE), pa.int64())
+        n_stop = pc.cast(_count_re(low, r"\b(the|and|of|a|to)\b"), pa.int64())
+        keep = pc.cast(
+            pc.and_(pc.greater_equal(n_tokens, 10), pc.greater(n_stop, 0)),
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tokens,
+                "n_punct": n_punct,
+                "n_stopwords": n_stop,
+                "keep": keep,
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def lang_id(sf_dir: str):
+    """Stopword-profile language ID (n-gram-free heuristic): whole-token
+    match counts per profile, deterministic argmax in LANG_ORDER."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        scores = {}
+        for lang, words in LANG_PROFILES.items():
+            pat = r"\b(" + "|".join(words) + r")\b"
+            scores[lang] = pc.cast(_count_re(low, pat), pa.int64())
+        import numpy as np
+
+        arrs = [scores[lang].to_numpy(zero_copy_only=False) for lang in LANG_ORDER]
+        mat = np.stack(arrs, axis=1)
+        pred_idx = np.argmax(mat, axis=1)  # first max wins = LANG_ORDER
+        pred = np.array(LANG_ORDER, dtype=object)[pred_idx]
+        cols = {"doc_id": batch["doc_id"]}
+        for lang in LANG_ORDER:
+            cols[f"score_{lang}"] = scores[lang]
+        cols["pred_lang"] = pa.array(pred, pa.string())
+        return pa.table(cols)
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprint(sf_dir: str):
+    """(doc_id, fp_md5) content fingerprint (md5 of raw text)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "fp_md5": pa.array(fps, pa.string())}
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def simhash(sf_dir: str):
+    """64-bit SimHash over whole-token hashes (near-dup sketch).
+
+    Not SQL-expressible → rows-only driver check; determinism is pinned
+    by unit tests instead.
+    """
+    import re
+
+    import numpy as np
+
+    token_re = re.compile(TOKEN_RE)
+    bit_weights = 1 << np.arange(64, dtype=np.uint64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch["text"].to_pylist():
+            toks = token_re.findall(text.lower())
+            if not toks:
+                out.append("0" * 16)
+                continue
+            hashes = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+                    )
+                    for t in toks
+                ],
+                dtype=np.uint64,
+            )
+            bits = (hashes[:, None] & bit_weights[None, :]) != 0
+            votes = bits.sum(axis=0) * 2 - len(toks)
+            sig = np.uint64(0)
+            sig = int((votes > 0) @ bit_weights.astype(object))
+            out.append(f"{sig:016x}")
+        return pa.table(
+            {"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.string())}
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")

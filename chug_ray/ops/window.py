@@ -1,0 +1,99 @@
+"""Stream-shaped operators over the ``events`` table.
+
+Ray Data has no event-time windows (guide: treat the input as an
+ordered, partitioned log). Tumbling windows = compute the window key in
+a vectorized ``map_batches``, pre-aggregate *within each batch*
+(combiner), then a small ``groupby`` over partials — the shuffle moves
+one row per (window, key, batch), not per event. Sessionization =
+``groupby(user_id).map_groups`` over ts-sorted groups (the partitioning
+assumption: one user's events fit one group).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from chug_ray.util import round_away
+
+
+def _events(sf_dir: str, columns):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def tumbling_window(sf_dir: str):
+    """Per-hour tumbling window per event_type: count + sum(value)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # value → integer 1e-4 units per row (matches SQL round(value*10000));
+        # integer sums are exact and order-invariant under parallelism.
+        value_e4 = (
+            np.sign(batch["value"])
+            * np.floor(np.abs(batch["value"].to_numpy()) * 1e4 + 0.5)
+        ).astype(np.int64)
+        batch = batch.assign(
+            window_start=batch["ts"].dt.floor("h"), value_e4=value_e4
+        )
+        return (
+            batch.groupby(["window_start", "event_type"], as_index=False)
+            .agg(n_events=("value_e4", "size"), sum_value_e4=("value_e4", "sum"))
+        )
+
+    partials = _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=16384
+    )
+    agg = partials.groupby(["window_start", "event_type"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value_e4", alias_name="sum_value_e4"),
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_events"] = batch["n_events"].astype(np.int64)
+        batch["sum_value_e4"] = batch["sum_value_e4"].astype(np.int64)
+        return batch
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user: a new session starts when the gap from
+    the previous event exceeds ``gap_minutes``. Output one row per
+    session (user_id, session_id, n_events, start/end ts)."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        d = g["ts"].diff()
+        new_session = d.isna() | (d > gap)  # NaT > gap is False, not NA
+        g = g.assign(session_id=new_session.cumsum().astype(np.int64))
+        out = g.groupby("session_id", as_index=False).agg(
+            n_events=("event_id", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def event_type_stats(sf_dir: str):
+    """Global per-type stats with exact (hashable) aggregates."""
+    from ray.data.aggregate import Count, Max, Min
+
+    return (
+        _events(sf_dir, ["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+    )

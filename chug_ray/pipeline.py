@@ -313,6 +313,15 @@ def _mask(keep_heavy: bool, threshold: int):
 
 def build_extract_pipeline(docs, cfg: ExtractConfig, media_meta_ref=None):
     """docs: ray.data.Dataset with DOC_SCHEMA → Dataset with OUT_SCHEMA."""
+    from chug_ray.kernels.pages import VALID_POLICIES
+
+    if cfg.page_sampling not in VALID_POLICIES:  # fail at plan time, not mid-job
+        raise ValueError(
+            f"unknown page_sampling policy {cfg.page_sampling!r}; "
+            f"expected one of {VALID_POLICIES}"
+        )
+    if cfg.error_policy not in ("skip", "raise"):
+        raise ValueError(f"unknown error_policy {cfg.error_policy!r}")
     cfg_json = cfg.to_json()
     classified = docs.map_batches(
         make_classifier(media_meta_ref, cfg.heavy_cost_threshold),

@@ -213,8 +213,15 @@ def media_table(cfg: CorpusConfig, indices) -> pa.Table:
 
 
 def generate_corpus(cfg: CorpusConfig) -> tuple[pa.Table, pa.Table]:
-    idx = range(cfg.n_docs)
-    return docs_table(cfg, idx), media_table(cfg, idx)
+    doc_rows, media_rows = [], []
+    for i in range(cfg.n_docs):
+        d, m = make_doc(cfg, i)
+        doc_rows.append(d)
+        media_rows.extend(m)
+    return (
+        pa.Table.from_pylist(doc_rows, schema=DOC_SCHEMA),
+        pa.Table.from_pylist(media_rows, schema=MEDIA_SCHEMA),
+    )
 
 
 def write_corpus_inline(cfg: CorpusConfig, out_dir: str) -> tuple[str, str]:
@@ -230,6 +237,31 @@ def write_corpus_inline(cfg: CorpusConfig, out_dir: str) -> tuple[str, str]:
     pq.write_table(docs, docs_path)
     pq.write_table(media, media_path)
     return docs_path, media_path
+
+
+def corpus_for_sf_dir(sf_dir: str, cache_root: str = "/tmp/chug_ray_corpus"):
+    """Deterministic synthetic corpus sized by the testdata scale factor.
+
+    The interleaved-document table (BASELINE.json input_hint shape) does
+    not exist under /root/testdata; extraction queries synthesize it as a
+    pure function of the sf tag, cached under /tmp.
+    Returns (docs_path, media_path, CorpusConfig).
+    """
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))  # e.g. "sf0.01"
+    n_docs = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000}.get(tag, 500)
+    skew = "bench" if tag == "sf0.1" else "test"
+    cfg = CorpusConfig(seed=42, n_docs=n_docs, skew=skew)
+    out_dir = os.path.join(cache_root, f"{tag}_s{cfg.seed}_n{n_docs}_{skew}")
+    docs_path = os.path.join(out_dir, "documents.parquet")
+    media_path = os.path.join(out_dir, "media.parquet")
+    marker = os.path.join(out_dir, "_complete")
+    if not os.path.exists(marker):
+        write_corpus_inline(cfg, out_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return docs_path, media_path, cfg
 
 
 def write_corpus_ray(cfg: CorpusConfig, out_dir: str) -> tuple[str, str]:

@@ -33,6 +33,16 @@ def rng_for(seed: int | str, *parts: object) -> random.Random:
     return random.Random(stable_hash64(seed, *parts))
 
 
+def round_away(x, digits: int = 4):
+    """Vectorized half-away-from-zero rounding (numpy), matching SQL
+    ``ROUND()`` — numpy's own ``round`` is half-to-even and would diverge
+    from the DuckDB oracle on exact .5 boundaries."""
+    import numpy as np
+
+    factor = 10.0**digits
+    return np.sign(x) * np.floor(np.abs(np.asarray(x, dtype=np.float64)) * factor + 0.5) / factor
+
+
 def stable_hash_hex(*parts: object) -> str:
     h = hashlib.blake2b(digest_size=16)
     for p in parts:

@@ -1,0 +1,81 @@
+"""Driver-style correctness harness: every SQL-oracled query in
+__ray_entry__ must match DuckDB on the same parquet tables (row count,
+schema names, exact values after canonical ordering) at sf0.001."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), ignore_index=True)
+    return df
+
+
+SQL_QUERIES = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_duckdb(ray_session, name):
+    ray_df = _canon(_to_pandas(entrymod.queries()[name](SF_DIR)))
+    duck_df = _canon(_duck(entrymod.oracle_sql()[name]))
+    assert list(ray_df.columns) == list(duck_df.columns), (
+        f"{name}: column mismatch {list(ray_df.columns)} vs {list(duck_df.columns)}"
+    )
+    assert len(ray_df) == len(duck_df), f"{name}: row count"
+    pd.testing.assert_frame_equal(
+        ray_df, duck_df, check_dtype=False, check_exact=True, obj=name
+    )
+
+
+ROWS_ONLY = [
+    "minhash_lsh_pairs",
+    "simhash",
+    "knn_lsh",
+    "extract_all_valid",
+    "media_frame_stats",
+    "sample_frames",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(ray_session, name):
+    df = _to_pandas(entrymod.queries()[name](SF_DIR))
+    assert df is not None and len(df) >= 0
+
+
+def test_entry_smoke(ray_session):
+    df = _to_pandas(entrymod.entry())
+    assert len(df) > 0
+    assert set(df.columns) == {"doc_id", "n_spans", "err_stage", "spans_hash"}
