@@ -1,0 +1,215 @@
+"""Benchmark driver (the per-round feedback loop; see BASELINE.md).
+
+Default mode: one Ray session (``address="local"``, ``num_cpus`` from
+``$RAY_GRAFT_CPUS``, default 32), runs the headline extraction pipeline
+plus every ``queries()`` entry over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) and prints ONE JSON line::
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ...}
+
+``--scaling``: runs the headline extraction job twice in FRESH child
+processes (num_cpus=8 then 32 — the sandbox stand-in for N vs 4N nodes
+via ``ray job submit``) on the identical cached corpus, prints one JSON
+line with both throughputs + efficiency, and records the table in
+BASELINE.md under "## Measured scaling results".
+
+This script OWNS its Ray session (init + shutdown); the library never
+does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _consume(result) -> int:
+    """Fully execute a query result; return row count.
+
+    Datasets are consumed with count() (executes the plan, no driver
+    transfer of the data itself); tables/frames are already materialized.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, (pa.Table, pd.DataFrame)):
+        return len(result)
+    return result.count()
+
+
+def _run_headline(sf_dir: str, seed: int = 0) -> dict:
+    """The headline job: full extraction pipeline (all_valid) over the
+    synthetic interleaved corpus for this sf, consumed to completion."""
+    import ray.data
+
+    from chug_ray.config import ExtractConfig
+    from chug_ray.pipeline import broadcast_media_meta, build_extract_pipeline
+    from chug_ray.synth import corpus_for_sf_dir
+
+    docs_path, media_path, ccfg = corpus_for_sf_dir(sf_dir)
+    cfg = ExtractConfig(page_sampling="all_valid", seed=seed, media_store_path=media_path)
+    t0 = time.perf_counter()
+    out = build_extract_pipeline(
+        ray.data.read_parquet(docs_path),
+        cfg,
+        media_meta_ref=broadcast_media_meta(media_path),
+    )
+    n = out.count()
+    secs = time.perf_counter() - t0
+    return {"n_docs": n, "secs": secs, "docs_per_sec": n / secs if secs else 0.0}
+
+
+def _bench_queries(sf_dir: str, only: set[str] | None) -> dict[str, float]:
+    import __ray_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            _consume(fn(sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep the bench line intact; flag the query
+            print(f"bench: query {name} FAILED: {e!r}", file=sys.stderr)
+            timings[name] = -1.0
+    return timings
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+
+
+def _child_main(sf_dir: str, num_cpus: int) -> None:
+    """Fresh-process scaling probe: headline job only, one JSON line."""
+    import ray
+
+    _init_ray(num_cpus)
+    try:
+        # warm-up pass amortizes actor-pool startup out of the measurement
+        # (a real 100 TB job runs hours; pool spin-up is noise there).
+        _run_headline(sf_dir)
+        res = _run_headline(sf_dir)
+        res["num_cpus"] = num_cpus
+        print(json.dumps(res))
+    finally:
+        ray.shutdown()
+
+
+def _scaling_main(sf_dir: str, lo: int, hi: int) -> None:
+    from chug_ray.synth import corpus_for_sf_dir
+
+    corpus_for_sf_dir(sf_dir)  # build the cache once so children just read
+    results = {}
+    for n in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--child", str(n),
+             "--sf-dir", sf_dir],
+            capture_output=True, text=True, cwd=REPO, timeout=3600,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr)
+            raise RuntimeError(f"scaling child (num_cpus={n}) failed")
+        results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    thr_lo, thr_hi = results[lo]["docs_per_sec"], results[hi]["docs_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo) if thr_lo else 0.0
+    line = {
+        "metric": f"scaling efficiency {lo}->{hi} cpus (headline extraction)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "docs_per_sec": {str(lo): round(thr_lo, 2), str(hi): round(thr_hi, 2)},
+        "secs": {str(lo): round(results[lo]["secs"], 2),
+                 str(hi): round(results[hi]["secs"], 2)},
+        "n_docs": results[hi]["n_docs"],
+    }
+    print(json.dumps(line))
+    _record_scaling(line, lo, hi)
+
+
+def _record_scaling(line: dict, lo: int, hi: int) -> None:
+    marker = "## Measured scaling results"
+    path = os.path.join(REPO, "BASELINE.md")
+    with open(path) as f:
+        text = f.read()
+    section = (
+        f"{marker}\n\n"
+        f"(auto-written by `bench.py --scaling`; sf={line['sf']}, "
+        f"{line['n_docs']} docs, fresh `ray.init` per level)\n\n"
+        "| metric | value |\n|---|---|\n"
+        f"| docs/sec @ {lo} cpus | {line['docs_per_sec'][str(lo)]} |\n"
+        f"| docs/sec @ {hi} cpus | {line['docs_per_sec'][str(hi)]} |\n"
+        f"| scaling efficiency (thr{hi}/thr{lo})/({hi}/{lo}) | "
+        f"{line['value']} (target ≥ 0.8) |\n"
+    )
+    if marker in text:
+        text = text[: text.index(marker)] + section
+    else:
+        text = text.rstrip() + "\n\n" + section
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    parser.add_argument("--num-cpus", type=int,
+                        default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    parser.add_argument("--scaling", action="store_true")
+    parser.add_argument("--scaling-cpus", default="8,32",
+                        help="lo,hi cpu counts for --scaling")
+    parser.add_argument("--queries", default=None,
+                        help="comma-separated subset of query names")
+    parser.add_argument("--no-queries", action="store_true",
+                        help="headline pipeline only")
+    parser.add_argument("--child", type=int, default=None, help=argparse.SUPPRESS)
+    args = parser.parse_args()
+
+    if args.child is not None:
+        _child_main(args.sf_dir, args.child)
+        return
+    if args.scaling:
+        lo, hi = (int(x) for x in args.scaling_cpus.split(","))
+        _scaling_main(args.sf_dir, lo, hi)
+        return
+
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        _run_headline(args.sf_dir)  # warm-up: actor pools + corpus cache
+        head = _run_headline(args.sf_dir)
+        only = set(args.queries.split(",")) if args.queries else None
+        timings = {} if args.no_queries else _bench_queries(args.sf_dir, only)
+        print(json.dumps({
+            "metric": "headline extraction wall time (all_valid, full corpus)",
+            "value": round(head["secs"], 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": os.path.basename(os.path.normpath(args.sf_dir)),
+            "num_cpus": args.num_cpus,
+            "docs_per_sec": round(head["docs_per_sec"], 2),
+            "n_docs": head["n_docs"],
+        }))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

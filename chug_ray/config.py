@@ -30,8 +30,10 @@ class ExtractConfig:
     # pipeline runs up to three pools concurrently (light extract, explode,
     # unit extract) and a min-floor × pools exceeding the node's CPUs can
     # deadlock the streaming executor waiting for actors it can't place.
+    # max_actors=None sizes each pool to the cluster's CPU count at plan
+    # time so one config scales from 8-cpu to multi-node unchanged.
     min_actors: int = 1
-    max_actors: int = 8
+    max_actors: int | None = None
     num_cpus_per_actor: float = 1.0
     media_store_path: str | None = None
 

@@ -323,6 +323,16 @@ def build_extract_pipeline(docs, cfg: ExtractConfig, media_meta_ref=None):
     if cfg.error_policy not in ("skip", "raise"):
         raise ValueError(f"unknown error_policy {cfg.error_policy!r}")
     cfg_json = cfg.to_json()
+    if cfg.max_actors is None:
+        import ray
+
+        # size each pool to the cluster: the streaming executor scales
+        # pools between (min, max) on demand, so a generous max lets the
+        # dominant stage absorb all CPUs while idle pools stay at min.
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        max_actors = max(4, int(cpus / max(cfg.num_cpus_per_actor, 0.25)))
+    else:
+        max_actors = cfg.max_actors
     classified = docs.map_batches(
         make_classifier(media_meta_ref, cfg.heavy_cost_threshold),
         batch_format="pyarrow",
@@ -338,7 +348,7 @@ def build_extract_pipeline(docs, cfg: ExtractConfig, media_meta_ref=None):
         fn_constructor_args=(cfg_json,),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(cfg.min_actors, cfg.max_actors),
+        concurrency=(cfg.min_actors, max_actors),
         num_cpus=cfg.num_cpus_per_actor,
     )
 
@@ -353,7 +363,7 @@ def build_extract_pipeline(docs, cfg: ExtractConfig, media_meta_ref=None):
             fn_constructor_args=(cfg_json,),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=(cfg.min_actors, cfg.max_actors),
+            concurrency=(cfg.min_actors, max_actors),
             num_cpus=cfg.num_cpus_per_actor,
         )
         .map_batches(
@@ -361,7 +371,7 @@ def build_extract_pipeline(docs, cfg: ExtractConfig, media_meta_ref=None):
             fn_constructor_args=(cfg_json,),
             batch_format="pyarrow",
             batch_size=max(8, cfg.batch_size // 8),  # units are page chunks
-            concurrency=(cfg.min_actors, cfg.max_actors),
+            concurrency=(cfg.min_actors, max_actors),
             num_cpus=cfg.num_cpus_per_actor,
         )
         .groupby("doc_id")
