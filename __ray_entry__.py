@@ -92,6 +92,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, media_path, _ = corpus_for_sf_dir(sf_dir)
         return media_ops.sample_frames(media_path)
 
+    def _imagespec_decode(sf_dir: str):
+        _, media_path, _ = corpus_for_sf_dir(sf_dir)
+        return media_ops.imagespec_decode(media_path, "rgba8")
+
     return {
         # --- text analysis (documents) — SQL-oracled
         "token_count": textstats.token_count,
@@ -125,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (rows-only)
         "media_frame_stats": _media_stats,
         "sample_frames": _sample_frames,
+        "imagespec_decode": _imagespec_decode,
     }
 
 

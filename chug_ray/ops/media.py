@@ -142,3 +142,72 @@ def sample_frames(media_path: str, n_frames: int = 2, seed: int = 0):
         batch_size=64,
         concurrency=(1, 4),
     )
+
+
+class ImagespecDecoder:
+    """Actor: decode → render → imagespec-coerce → crop-margin each image
+    payload's first frame (the reference's DecodeDoc output contract,
+    ``/root/reference/src/chug/wds/decode.py:211-292``, 1-page mode).
+
+    Emits shape/dtype/crop features instead of pixel tensors — the
+    Ray-side plumbing (actor pool, batch size, schema) is what a real
+    resize/feature-extract stage would use; pixel math is the
+    deterministic SIMG raster."""
+
+    def __init__(self, spec: str, gray_threshold: int = 200):
+        from chug_ray.kernels.imagespec import parse_imagespec
+
+        parse_imagespec(spec)  # plan-time validation, like the reference
+        self.spec = spec
+        self.gray_threshold = gray_threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.kernels.imagespec import coerce_image, crop_margin
+
+        rows = []
+        for ref, payload, kind in zip(
+            batch["media_ref"], batch["payload"], batch["kind"]
+        ):
+            if kind != "image":
+                continue
+            try:
+                frames = simg.decode(bytes(payload))
+            except simg.SimgError:
+                continue
+            if not frames:
+                continue
+            raster = simg.render_frame(frames[0])
+            out = coerce_image(raster, self.spec)
+            cropped = crop_margin(out, self.gray_threshold)
+            rows.append(
+                {
+                    "media_ref": ref,
+                    "out_h": out.shape[0],
+                    "out_w": out.shape[1],
+                    "out_c": 1 if out.ndim == 2 else out.shape[2],
+                    "out_dtype": str(out.dtype),
+                    "crop_h": cropped.shape[0],
+                    "crop_w": cropped.shape[1],
+                    "mean_e4": int(np.floor(float(np.mean(out)) * 1e4 + 0.5)),
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "media_ref", "out_h", "out_w", "out_c", "out_dtype",
+                "crop_h", "crop_w", "mean_e4",
+            ],
+        )
+
+
+def imagespec_decode(media_path: str, spec: str = "rgb8"):
+    """Actor-pool imagespec decode stage over a media table."""
+    import ray.data
+
+    return ray.data.read_parquet(media_path).map_batches(
+        ImagespecDecoder,
+        fn_constructor_args=(spec,),
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
