@@ -80,7 +80,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from chug_ray.ops import dedup, knn, relational, textstats, window
+    from chug_ray.ops import dedup, knn, relational, textstats, tokenize, window
     from chug_ray.ops import media as media_ops
     from chug_ray.synth import corpus_for_sf_dir
 
@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textstats.quality_score,
         "lang_id": textstats.lang_id,
         "fingerprint": textstats.fingerprint,
+        "tokenize_ids": tokenize.tokenize_ids,
+        "text_targets": tokenize.text_targets,
         # --- dedup — SQL-oracled where expressible
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -183,6 +185,37 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "tokenize_ids": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            v AS (SELECT token, row_number() OVER (ORDER BY token) AS id
+                  FROM (SELECT DISTINCT unnest(toks) AS token FROM t)),
+            e AS (SELECT doc_id, unnest(toks) AS token,
+                         CAST(unnest(range(len(toks))) AS BIGINT) AS pos FROM t)
+            SELECT e.doc_id, e.pos, CAST(v.id AS BIGINT) AS token_id
+            FROM e JOIN v USING (token) WHERE e.pos < 32
+        """,
+        "text_targets": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            v AS (SELECT token, row_number() OVER (ORDER BY token) AS id
+                  FROM (SELECT DISTINCT unnest(toks) AS token FROM t)),
+            e AS (SELECT doc_id, unnest(toks) AS token,
+                         CAST(unnest(range(len(toks))) AS BIGINT) AS pos FROM t),
+            tr AS (SELECT e.doc_id, e.pos, CAST(v.id AS BIGINT) AS token_id, e.token
+                   FROM e JOIN v USING (token) WHERE e.pos < 32),
+            ft AS (SELECT doc_id, token AS first_token FROM tr WHERE pos = 0),
+            pe AS (SELECT tr.doc_id, max(tr.pos) AS prompt_end
+                   FROM tr JOIN ft ON tr.doc_id = ft.doc_id AND tr.token = ft.first_token
+                   GROUP BY tr.doc_id),
+            grid AS (SELECT doc_id, CAST(unnest(range(32)) AS BIGINT) AS pos FROM documents)
+            SELECT g.doc_id, g.pos,
+                   COALESCE(tr.token_id, 0) AS input_id,
+                   CASE WHEN tr.token_id IS NULL THEN -100
+                        WHEN g.pos <= pe.prompt_end THEN -100
+                        ELSE tr.token_id END AS target_id
+            FROM grid g
+            LEFT JOIN tr ON g.doc_id = tr.doc_id AND g.pos = tr.pos
+            LEFT JOIN pe ON g.doc_id = pe.doc_id
+        """,
         "exact_dedup": """
             SELECT md5(text) AS fp_md5,
                    CAST(min(doc_id) AS BIGINT) AS doc_id,
