@@ -80,7 +80,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from chug_ray.ops import dedup, knn, relational, textstats, tokenize, window
+    from chug_ray.ops import dedup, knn, relational, sources, textstats, tokenize, window
     from chug_ray.ops import media as media_ops
     from chug_ray.synth import corpus_for_sf_dir
 
@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,
         "top_revenue_orders": relational.top_revenue_orders,
         "orders_by_segment": relational.orders_by_segment,
+        "weighted_union": sources.weighted_union,
+        "flatten_props": sources.flatten_props,
+        "vqa_prompt": sources.vqa_prompt,
         # --- extraction pipeline (rows-only; oracle = pytest goldens)
         "extract_all_valid": lambda sf: _extract_summary(sf, "all_valid"),
         "extract_first": lambda sf: _extract_summary(sf, "first"),
@@ -298,6 +301,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang, source
+        """,
+        "weighted_union": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE (source = 'web' AND doc_id % 100 < 70)
+               OR (source <> 'web' AND doc_id % 100 < 30)
+        """,
+        "flatten_props": """
+            SELECT event_id, event_type,
+                   CAST(COALESCE(json_extract(props, '$.k'),
+                                 json_extract(props, '$.key'),
+                                 json_extract(props, '$.value'), -1) AS BIGINT) AS k
+            FROM events
+        """,
+        "vqa_prompt": """
+            WITH q AS (
+                SELECT doc_id,
+                       'what is the language of doc ' || CAST(doc_id AS VARCHAR) AS question,
+                       CASE WHEN n_chars % 2 = 0 THEN lang ELSE source END AS answer
+                FROM documents
+            )
+            SELECT doc_id, question, answer,
+                   '<s_question>' || question || '</s_question><s_answer>' AS prompt_eval,
+                   '<s_question>' || question || '</s_question><s_answer>'
+                     || answer || '</s_answer>' AS prompt_train
+            FROM q
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,147 @@
+"""Source composition + projection operators (reference S2/S3, M4/M5/M9,
+D8 re-expressed Ray-Data-first).
+
+* ``shuffled_files`` — the plan-time analog of the reference's
+  deterministic shard shuffle (`/root/reference/src/chug/wds/
+  shardlists.py:10-59`): seeded permutation of the input file list
+  before ``read_parquet``; the work itself is order-independent.
+* ``weighted_union`` — the reference's weighted multi-source sampling
+  (`shardlists.py:62-119`, config ``::``-joined sources) as a
+  deterministic per-source hash-sample + ``Dataset.union``; keyed by
+  row id, so the selection is invariant to partitioning/parallelism
+  (the T3 redesign rule) and SQL-checkable.
+* ``flatten_props`` — json member decode + flatten into the row
+  (`/root/reference/src/chug/doc/doc_processor.py:184-190`,
+  ``wds/filters.py:129-142``) with first-present-key-wins fallback
+  (``doc_processor.py:48-56``).
+* ``vqa_prompt`` — the doc-VQA prompt assembly
+  (`/root/reference/src/chug/doc/doc_vqa_processor.py:66-105`):
+  ``<s_question> q </s_question><s_answer>`` (+ answer in train mode);
+  the reference's ``random.choice`` over answers becomes a
+  deterministic keyed choice so output is partition-invariant.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def shuffled_files(paths: list[str], seed: int) -> list[str]:
+    """Deterministic seeded permutation of a file/shard list (plan-time)."""
+    import random
+
+    out = list(paths)
+    random.Random(seed).shuffle(out)
+    return out
+
+
+def weighted_union(sf_dir: str, web_pct: int = 70, other_pct: int = 30):
+    """Deterministic weighted union of two sources.
+
+    Source A = web documents sampled at ``web_pct``%, source B = the
+    rest at ``other_pct``%; membership is ``doc_id % 100`` so any worker
+    layout picks the same rows. At cluster scale each side is its own
+    pruned read — no shuffle, union is streaming concat."""
+
+    def sample(keep_web: bool, pct: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            is_web = pc.equal(batch["source"], "web")
+            side = is_web if keep_web else pc.invert(is_web)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            in_pct = pa.array(ids % 100 < pct)
+            return batch.filter(pc.and_(side, in_pct))
+
+        return fn
+
+    cols = ["doc_id", "source", "lang"]
+    web = _read(sf_dir, "documents", cols).map_batches(
+        sample(True, web_pct), batch_format="pyarrow"
+    )
+    other = _read(sf_dir, "documents", cols).map_batches(
+        sample(False, other_pct), batch_format="pyarrow"
+    )
+    return web.union(other)
+
+
+def flatten_props(sf_dir: str):
+    """Decode the json ``props`` member and flatten it into the row, with
+    multi-key priority fallback ``k;key;value`` → -1 when absent."""
+    FALLBACK_KEYS = ("k", "key", "value")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ks = []
+        for raw in batch["props"].to_pylist():
+            try:
+                obj = json.loads(raw) if raw else {}
+            except json.JSONDecodeError:
+                obj = {}
+            val = next(
+                (obj[k] for k in FALLBACK_KEYS if k in obj and obj[k] is not None),
+                -1,
+            )
+            ks.append(int(val))
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "k": pa.array(ks, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id", "event_type", "props"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+# prompt template tokens — same shape as the reference defaults
+# (doc_vqa_processor.py:21-24: '<s_question>', '</s_question><s_answer>')
+Q_PRE = "<s_question>"
+Q_SUF = "</s_question>"
+A_PRE = "<s_answer>"
+A_SUF = "</s_answer>"
+
+
+def vqa_prompt(sf_dir: str):
+    """Assemble train/eval VQA prompts per document (vectorized string
+    concat). The answer pick over the candidate list [lang, source] is
+    keyed on ``n_chars % 2`` — deterministic stand-in for the
+    reference's ``random.choice(answers)`` (doc_vqa_processor.py:78)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        question = pc.binary_join_element_wise(
+            pa.array(["what is the language of doc"] * len(batch)),
+            pc.cast(batch["doc_id"], pa.string()),
+            " ",
+        )
+        pick_first = pa.array(
+            batch["n_chars"].to_numpy(zero_copy_only=False) % 2 == 0
+        )
+        answer = pc.if_else(pick_first, batch["lang"], batch["source"])
+        eval_prompt = pc.binary_join_element_wise(
+            Q_PRE, question, Q_SUF, A_PRE, ""
+        )
+        train_prompt = pc.binary_join_element_wise(
+            eval_prompt, answer, A_SUF, ""
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "question": question,
+                "answer": answer,
+                "prompt_eval": eval_prompt,
+                "prompt_train": train_prompt,
+            }
+        )
+
+    return _read(
+        sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]
+    ).map_batches(fn, batch_format="pyarrow")
