@@ -304,8 +304,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "weighted_union": """
             SELECT doc_id, source, lang FROM documents
-            WHERE (source = 'web' AND doc_id % 100 < 70)
-               OR (source <> 'web' AND doc_id % 100 < 30)
+            WHERE (source = 'src0' AND doc_id % 100 < 70)
+               OR (source <> 'src0' AND doc_id % 100 < 30)
         """,
         "flatten_props": """
             SELECT event_id, event_type,

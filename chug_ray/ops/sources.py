@@ -44,18 +44,18 @@ def shuffled_files(paths: list[str], seed: int) -> list[str]:
     return out
 
 
-def weighted_union(sf_dir: str, web_pct: int = 70, other_pct: int = 30):
+def weighted_union(sf_dir: str, a_pct: int = 70, other_pct: int = 30):
     """Deterministic weighted union of two sources.
 
-    Source A = web documents sampled at ``web_pct``%, source B = the
-    rest at ``other_pct``%; membership is ``doc_id % 100`` so any worker
+    Source A = ``src0`` documents sampled at ``a_pct``%, source B =
+    the rest at ``other_pct``%; membership is ``doc_id % 100`` so any worker
     layout picks the same rows. At cluster scale each side is its own
     pruned read — no shuffle, union is streaming concat."""
 
-    def sample(keep_web: bool, pct: int):
+    def sample(keep_a: bool, pct: int):
         def fn(batch: pa.Table) -> pa.Table:
-            is_web = pc.equal(batch["source"], "web")
-            side = is_web if keep_web else pc.invert(is_web)
+            is_a = pc.equal(batch["source"], "src0")
+            side = is_a if keep_a else pc.invert(is_a)
             ids = batch["doc_id"].to_numpy(zero_copy_only=False)
             in_pct = pa.array(ids % 100 < pct)
             return batch.filter(pc.and_(side, in_pct))
@@ -63,13 +63,13 @@ def weighted_union(sf_dir: str, web_pct: int = 70, other_pct: int = 30):
         return fn
 
     cols = ["doc_id", "source", "lang"]
-    web = _read(sf_dir, "documents", cols).map_batches(
-        sample(True, web_pct), batch_format="pyarrow"
+    a = _read(sf_dir, "documents", cols).map_batches(
+        sample(True, a_pct), batch_format="pyarrow"
     )
     other = _read(sf_dir, "documents", cols).map_batches(
         sample(False, other_pct), batch_format="pyarrow"
     )
-    return web.union(other)
+    return a.union(other)
 
 
 def flatten_props(sf_dir: str):

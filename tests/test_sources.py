@@ -19,11 +19,11 @@ def test_shuffled_files_deterministic_permutation():
 
 def test_weighted_union_membership(ray_session):
     sf = "/root/testdata/sf0.001"
-    rows = weighted_union(sf, web_pct=70, other_pct=30).take_all()
+    rows = weighted_union(sf, a_pct=70, other_pct=30).take_all()
     for r in rows:
-        if r["source"] == "web":
+        if r["source"] == "src0":
             assert r["doc_id"] % 100 < 70
         else:
             assert r["doc_id"] % 100 < 30
     # both sides contribute
-    assert {r["source"] == "web" for r in rows} == {True, False}
+    assert {r["source"] == "src0" for r in rows} == {True, False}
