@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search (embeddings)
         "knn_bruteforce": knn.knn_bruteforce,
         "knn_lsh": knn.knn_lsh,  # rows-only (approximate)
+        "knn_ivf": knn.knn_ivf,  # rows-only (approximate)
         # --- stream-shaped (events)
         "tumbling_window": window.tumbling_window,
         "event_type_stats": window.event_type_stats,

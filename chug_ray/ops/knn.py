@@ -8,6 +8,11 @@
 * ``knn_lsh`` — the scale variant: random-hyperplane LSH buckets
   (signature prefix) prune candidates; same per-bucket scoring. An
   approximate method → rows-only driver check.
+* ``knn_ivf`` — IVF coarse quantizer: centroids trained on a
+  deterministic driver-side sample (k-means is tiny next to the data),
+  broadcast once; each batch assigns its candidates to the nearest
+  centroid and scores only those in the query's ``nprobe`` closest
+  cells. The inverted-file pruning is what survives 10^9 vectors.
 """
 
 from __future__ import annotations
@@ -148,6 +153,99 @@ class _LshScorer:
             return top[["query_id", "vec_id", "rank", "cos_sim_e4"]]
 
         return fn
+
+
+N_CENTROIDS = 8
+N_PROBE = 2
+KMEANS_ITERS = 5
+
+
+def _train_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample.
+
+    The sample (every 7th candidate, capped) stands in for the usual
+    reservoir sample a 10^9-vector run would take; training cost is
+    independent of corpus size. Returns unit-norm centroids."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl["vec_id"])
+    mask = (ids >= N_QUERIES) & (ids % 7 == 0)
+    sample = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in tbl["embedding"].to_pylist()]
+    )[mask][:4096]
+    sample = _unit_rows(sample)
+    rng = np.random.default_rng(99)
+    cents = sample[rng.choice(len(sample), size=N_CENTROIDS, replace=False)]
+    for _ in range(KMEANS_ITERS):
+        assign = np.argmax(sample @ cents.T, axis=1)  # cosine on unit rows
+        for c in range(N_CENTROIDS):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _unit_rows(cents)
+    return cents
+
+
+class _IvfScorer:
+    """Actor: centroids + queries fetched once per actor; per batch one
+    assignment matmul, then scoring restricted to probed cells."""
+
+    def __init__(self, q_ref, cent_ref, k: int):
+        import ray
+
+        self.qids, self.qunit = ray.get(q_ref)
+        self.cents = ray.get(cent_ref)
+        # each query probes its N_PROBE nearest centroid cells
+        qsims = self.qunit @ self.cents.T
+        self.qprobe = np.argsort(-qsims, axis=1)[:, :N_PROBE]
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        cand_mask = batch["vec_id"].to_numpy() >= N_QUERIES
+        if not cand_mask.any():
+            return pd.DataFrame(columns=["query_id", "vec_id", "cos_sim"])
+        ids = batch["vec_id"].to_numpy()[cand_mask]
+        mat = np.stack(batch["embedding"].to_numpy()[cand_mask]).astype(np.float64)
+        unit = _unit_rows(mat)
+        assign = np.argmax(unit @ self.cents.T, axis=1)
+        frames = []
+        for qi, qid in enumerate(self.qids):
+            sel = np.isin(assign, self.qprobe[qi])
+            if not sel.any():
+                continue
+            sims = unit[sel] @ self.qunit[qi]
+            frames.append(
+                pd.DataFrame(
+                    {"query_id": qid, "vec_id": ids[sel], "cos_sim": sims}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(columns=["query_id", "vec_id", "cos_sim"])
+        return _topk_frame(pd.concat(frames, ignore_index=True), self.k)
+
+
+def knn_ivf(sf_dir: str, k: int = DEFAULT_K):
+    """IVF-pruned approximate top-k (rows-only driver check; recall and
+    determinism pinned in tests)."""
+    import ray
+
+    q_ref = ray.put(_load_queries(sf_dir))
+    cent_ref = ray.put(_train_centroids(sf_dir))
+    return (
+        _read_embeddings(sf_dir)
+        .map_batches(
+            _IvfScorer,
+            fn_constructor_args=(q_ref, cent_ref, k),
+            batch_format="pandas",
+            batch_size=4096,
+            concurrency=(1, 4),
+        )
+        .groupby("query_id")
+        .map_groups(_LshScorer.merge(k), batch_format="pandas")
+    )
 
 
 def knn_lsh(sf_dir: str, k: int = DEFAULT_K):

@@ -1,0 +1,46 @@
+"""IVF ANN: determinism, exactness of returned similarities, and recall
+against the brute-force baseline."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from chug_ray.ops.knn import knn_bruteforce, knn_ivf
+
+SF = "/root/testdata/sf0.001"
+
+
+def _frame(ds) -> pd.DataFrame:
+    return ds.to_pandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+
+
+def test_ivf_deterministic(ray_session):
+    a = _frame(knn_ivf(SF))
+    b = _frame(knn_ivf(SF))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivf_sims_exact_and_recall(ray_session):
+    exact = _frame(knn_bruteforce(SF))
+    approx = _frame(knn_ivf(SF))
+
+    # every returned (query, vec) pair's similarity equals the exact one
+    exact_sims = {
+        (r.query_id, r.vec_id): r.cos_sim_e4 for r in exact.itertuples()
+    }
+    brute_all = exact_sims  # top-k only, so check pairs present there
+    for r in approx.itertuples():
+        if (r.query_id, r.vec_id) in brute_all:
+            assert r.cos_sim_e4 == brute_all[(r.query_id, r.vec_id)]
+
+    # pruned search still finds a reasonable share of the true top-k
+    exact_pairs = set(exact_sims)
+    approx_pairs = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.4, f"IVF recall too low: {recall:.2f}"
+
+    # ranks are contiguous from 1 per query
+    for _, grp in approx.groupby("query_id"):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
