@@ -10,9 +10,54 @@ policies (SURVEY.md §2.9):
   ``_errors`` side channel that flows into partition manifests, so no
   row is silently lost.
 * ``raise`` — re-raise (tests / strict jobs).
+
+The reference's named handlers (``log_and_continue`` etc.) are accepted
+as ``error_policy`` aliases — :func:`normalize_policy` maps each to
+skip/raise with the matching logging behavior, so reference configs
+translate verbatim.
 """
 
 from __future__ import annotations
+
+import logging
+import warnings
+
+_log = logging.getLogger("chug_ray")
+
+# reference handler name → (base policy, logger) — helpers.py:41-68:
+# *_continue handlers return True (skip the sample), *_stop and
+# reraise_exception propagate.
+HANDLER_ALIASES = {
+    "skip": ("skip", None),
+    "raise": ("raise", None),
+    "log_and_continue": ("skip", "log"),
+    "ignore_and_continue": ("skip", None),
+    "warn_and_continue": ("skip", "warn"),
+    "ignore_and_stop": ("raise", None),
+    "warn_and_stop": ("raise", "warn"),
+    "reraise_exception": ("raise", None),
+}
+
+
+def normalize_policy(name: str) -> str:
+    """Resolve an error-policy name (ours or a reference handler name) to
+    the base policy, raising at plan time on unknown names."""
+    if name not in HANDLER_ALIASES:
+        raise ValueError(
+            f"unknown error_policy {name!r}; expected one of "
+            f"{sorted(HANDLER_ALIASES)}"
+        )
+    return HANDLER_ALIASES[name][0]
+
+
+def report(policy_name: str, exn: Exception) -> None:
+    """Emit the side-channel a named handler would (log/warn); the
+    row-level skip/raise decision itself is the caller's."""
+    mode = HANDLER_ALIASES.get(policy_name, (None, None))[1]
+    if mode == "log":
+        _log.warning("skipping row after error: %r", exn)
+    elif mode == "warn":
+        warnings.warn(f"row error: {exn!r}", stacklevel=2)
 
 
 class ExtractError(Exception):

@@ -320,8 +320,16 @@ def build_extract_pipeline(docs, cfg: ExtractConfig, media_meta_ref=None):
             f"unknown page_sampling policy {cfg.page_sampling!r}; "
             f"expected one of {VALID_POLICIES}"
         )
-    if cfg.error_policy not in ("skip", "raise"):
-        raise ValueError(f"unknown error_policy {cfg.error_policy!r}")
+    # accept the reference's named handlers as aliases (errors.py);
+    # resolve to the base skip/raise policy at plan time so the actors
+    # stay branch-simple, and emit the alias's log/warn side effect once.
+    from chug_ray.errors import normalize_policy
+
+    base_policy = normalize_policy(cfg.error_policy)
+    if base_policy != cfg.error_policy:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, error_policy=base_policy)
     cfg_json = cfg.to_json()
     if cfg.max_actors is None:
         import ray
