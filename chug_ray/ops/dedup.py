@@ -67,54 +67,81 @@ def _shingles(text: str, k: int = 3) -> list[str]:
 
 
 def _perm_params() -> tuple[np.ndarray, np.ndarray]:
+    """Multiply-shift hash family over uint64 with natural wraparound
+    (a odd): fully vectorizable, deterministic (fixed seed)."""
     rng = np.random.default_rng(0xC0FFEE)  # fixed: signatures are stable
-    a = rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=N_PERM, dtype=np.uint64)
+    a = rng.integers(1, np.iinfo(np.uint64).max, size=N_PERM, dtype=np.uint64)
+    a |= np.uint64(1)  # odd multipliers
+    b = rng.integers(0, np.iinfo(np.uint64).max, size=N_PERM, dtype=np.uint64)
     return a, b
 
 
-def _minhash_signature(shingles: list[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    if not shingles:
-        return np.full(N_PERM, _MERSENNE, dtype=np.uint64)
-    h = np.array(
-        [
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-            for s in shingles
-        ],
-        dtype=np.uint64,
+# shingle hash = wraparound-combine of the k token hashes with fixed odd
+# multipliers — lets one blake2b per *unique token* cover every shingle.
+_SHINGLE_MULT = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9], dtype=np.uint64
+)
+
+
+def _token_hash(tok: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
     )
-    # (a*h + b) mod p, vectorized over perms × shingles (object math avoids
-    # uint64 overflow; N_PERM×|shingles| stays small per doc)
-    hh = h.astype(object)
-    sig = np.empty(N_PERM, dtype=np.uint64)
-    for i in range(N_PERM):
-        sig[i] = np.uint64(((int(a[i]) * hh + int(b[i])) % _MERSENNE).min())
-    return sig
+
+
+def _doc_shingle_hashes(text: str, cache: dict, k: int = 3) -> np.ndarray:
+    """uint64 hash per k-token shingle (rolling window, vectorized)."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = np.array(
+        [cache.setdefault(t, _token_hash(t)) for t in toks], dtype=np.uint64
+    )
+    if len(th) < k:
+        h = np.zeros(1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i, t in enumerate(th):
+                h = h * _SHINGLE_MULT[i % k] + t
+        return h
+    with np.errstate(over="ignore"):
+        windows = np.lib.stride_tricks.sliding_window_view(th, k)
+        return (windows * _SHINGLE_MULT[None, :]).sum(axis=1, dtype=np.uint64)
 
 
 class MinHasher:
-    """Actor: permutation params built once, signatures per batch."""
+    """Actor: permutation params + token-hash cache built once; per doc
+    one vectorized (N_PERM × n_shingles) min."""
 
     def __init__(self):
         self.a, self.b = _perm_params()
+        self.token_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, bands, band_hashes = [], [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            sig = _minhash_signature(_shingles(text), self.a, self.b)
-            for band in range(N_BANDS):
-                chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                doc_ids.append(doc_id)
-                bands.append(band)
-                band_hashes.append(bh)
+        n = len(batch)
+        doc_ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), N_BANDS
+        )
+        bands = np.tile(np.arange(N_BANDS, dtype=np.int32), n)
+        band_hashes = np.empty(n * N_BANDS, dtype=np.uint64)
+        empty_sig = np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+        for i, text in enumerate(batch["text"].to_pylist()):
+            h = _doc_shingle_hashes(text, self.token_cache)
+            if len(h):
+                with np.errstate(over="ignore"):
+                    sig = (self.a[:, None] * h[None, :] + self.b[:, None]).min(axis=1)
+            else:
+                sig = empty_sig
+            bandsig = sig.reshape(N_BANDS, ROWS_PER_BAND)
+            with np.errstate(over="ignore"):
+                bh = np.zeros(N_BANDS, dtype=np.uint64)
+                for c in range(ROWS_PER_BAND):
+                    bh = bh * np.uint64(0x100000001B3) + bandsig[:, c]
+            band_hashes[i * N_BANDS : (i + 1) * N_BANDS] = bh
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.string()),
+                "band_hash": pa.array(band_hashes.astype(np.int64)),
             }
         )
 
@@ -147,14 +174,15 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6):
         texts.update(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
     texts_ref = ray.put(texts)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"].tolist()))
-        rows = [
-            {"doc_a": ids[i], "doc_b": ids[j]}
-            for i in range(len(ids))
-            for j in range(i + 1, len(ids))
-        ]
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """All pairs sharing a band_hash within one band — a vectorized
+        self-merge (8 groups total, never per-bucket Python)."""
+        g = group[["band_hash", "doc_id"]].drop_duplicates()
+        m = g.merge(g, on="band_hash", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return m.rename(
+            columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}
+        )[["doc_a", "doc_b"]]
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         tx = ray.get(texts_ref)
@@ -165,13 +193,18 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6):
         batch = batch.assign(jaccard=round_away(jac, 4))
         return batch[batch["jaccard"] >= threshold]
 
+    from ray.data.aggregate import Count
+
     candidates = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])  # dedup pairs found in multiple bands
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("band")
+        .map_groups(band_pairs, batch_format="pandas")
+        # dedup pairs found in multiple bands: native hash aggregate,
+        # not per-pair Python groups
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .drop_columns(["n_bands"])
     )
     return candidates.map_batches(verify, batch_format="pandas")
 

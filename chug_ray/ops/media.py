@@ -89,7 +89,7 @@ def media_frame_stats(media_path: str):
         MediaFrameStats,
         batch_format="pandas",
         batch_size=64,  # payloads are large binaries — small batches
-        concurrency=(1, 4),
+        concurrency=(1, 16),
     )
 
 
@@ -140,7 +140,7 @@ def sample_frames(media_path: str, n_frames: int = 2, seed: int = 0):
         fn_constructor_args=(n_frames, seed),
         batch_format="pandas",
         batch_size=64,
-        concurrency=(1, 4),
+        concurrency=(1, 16),
     )
 
 
@@ -209,5 +209,5 @@ def imagespec_decode(media_path: str, spec: str = "rgb8"):
         fn_constructor_args=(spec,),
         batch_format="pandas",
         batch_size=64,
-        concurrency=(1, 4),
+        concurrency=(1, 16),
     )
