@@ -1,0 +1,115 @@
+"""Property-based kernel tests (SURVEY.md §5.2.5): container round-trips,
+page-selection invariants, and parser totality/determinism on arbitrary
+inputs (§7.4 "deterministic and total — never hang on adversarial
+bytes")."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from chug_ray.kernels import pages, simg, spdf
+from chug_ray.kernels.html import extract_main_text
+
+lines_st = st.lists(
+    st.text(alphabet=st.characters(codec="utf-8"), max_size=40), max_size=6
+)
+pages_st = st.lists(lines_st, min_size=0, max_size=10)
+
+
+@settings(max_examples=60, deadline=None)
+@given(pages_st)
+def test_spdf_roundtrip(doc_pages):
+    payload = spdf.encode(doc_pages)
+    header = spdf.read_header(payload)
+    assert header.n_pages == len(doc_pages)
+    assert list(header.n_lines) == [len(p) for p in doc_pages]
+    for i, p in enumerate(doc_pages):
+        assert spdf.read_page(payload, header, i) == p
+    assert spdf.read_all_pages(payload) == doc_pages
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 64),
+            st.integers(1, 64),
+            st.integers(0, 2**32 - 1),
+            st.lists(st.text(max_size=20), max_size=4),
+        ),
+        max_size=5,
+    )
+)
+def test_simg_roundtrip(frame_specs):
+    frames = [
+        simg.Frame(w, h, seed, tuple(lines)) for w, h, seed, lines in frame_specs
+    ]
+    assert simg.decode(simg.encode(frames)) == frames
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=300))
+def test_containers_total_on_garbage(data):
+    """Arbitrary bytes either decode or raise the typed error — never
+    hang, never raise anything else."""
+    for decoder, err in ((spdf.read_all_pages, spdf.SpdfError),
+                         (simg.decode, simg.SimgError)):
+        try:
+            decoder(data)
+        except err:
+            pass
+        except UnicodeDecodeError:
+            pass  # line bytes that aren't valid utf-8 — typed decode error
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.booleans(), min_size=1, max_size=30),
+    st.sampled_from(pages.VALID_POLICIES),
+    st.integers(0, 2**31 - 1),
+)
+def test_select_pages_invariants(valid_mask, policy, seed):
+    rng = random.Random(seed)
+    try:
+        idx = pages.select_pages(policy, valid_mask, rng)
+    except pages.NoValidPagesError:
+        # only possible when no page is valid (or the scan gave up within
+        # its 10-retry budget on a long mostly-invalid mask)
+        assert not any(valid_mask) or len(valid_mask) > 10
+        return
+    assert idx, "selection must be non-empty when it returns"
+    assert all(0 <= i < len(valid_mask) for i in idx)
+    if policy == "all":
+        assert idx == list(range(len(valid_mask)))
+    else:
+        assert all(valid_mask[i] for i in idx)
+    if policy in ("first", "all_valid"):
+        # deterministic policies: same inputs → same output
+        assert idx == pages.select_pages(policy, valid_mask, random.Random(0))
+    if policy == "first":
+        assert len(idx) == 1 and idx[0] == valid_mask.index(True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=400))
+def test_html_extract_total_and_deterministic(source):
+    a = extract_main_text(source)
+    b = extract_main_text(source)
+    assert a == b
+    assert all(isinstance(x, str) for x in a)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["<div>", "</div>", "<p>", "</p>", "<script>", "</script>", "<a href=x>",
+     "</a>", "text one two three. ", "<nav>", "</nav>", "<b", ">", "&amp;",
+     "<!--", "-->", "<span class='x'>", "</span>"]),
+    max_size=40,
+))
+def test_html_extract_total_on_tag_soup(parts):
+    source = "".join(parts)
+    assert extract_main_text(source) == extract_main_text(source)
