@@ -45,9 +45,10 @@ def _consume(result) -> int:
     return result.count()
 
 
-def _run_headline(sf_dir: str, seed: int = 0) -> dict:
+def _run_headline(sf_dir: str, seed: int = 0, limit: int | None = None) -> dict:
     """The headline job: full extraction pipeline (all_valid) over the
-    synthetic interleaved corpus for this sf, consumed to completion."""
+    synthetic interleaved corpus for this sf, consumed to completion.
+    ``limit`` runs a prefix slice (used as a cheap warm-up on big corpora)."""
     import ray.data
 
     from chug_ray.config import ExtractConfig
@@ -57,8 +58,11 @@ def _run_headline(sf_dir: str, seed: int = 0) -> dict:
     docs_path, media_path, ccfg = corpus_for_sf_dir(sf_dir)
     cfg = ExtractConfig(page_sampling="all_valid", seed=seed, media_store_path=media_path)
     t0 = time.perf_counter()
+    docs = ray.data.read_parquet(docs_path)
+    if limit is not None:
+        docs = docs.limit(limit)
     out = build_extract_pipeline(
-        ray.data.read_parquet(docs_path),
+        docs,
         cfg,
         media_meta_ref=broadcast_media_meta(media_path),
     )
@@ -94,17 +98,39 @@ def _init_ray(num_cpus: int) -> None:
             include_dashboard=False,
             ignore_reinit_error=True,
         )
+    # actor pools default to slow ramp (upscale at 2x utilization, 4
+    # queued tasks per actor) — tuned here so short-batch pools actually
+    # reach the cluster's parallelism.
+    from ray.data.context import AutoscalingConfig, DataContext
+
+    ctx = DataContext.get_current()
+    ctx.max_tasks_in_flight_per_actor = 2
+    ctx.autoscaling_config = AutoscalingConfig(
+        actor_pool_util_upscaling_threshold=0.8,
+        actor_pool_util_downscaling_threshold=0.3,
+    )
+    # per-operator resource reservation (default 50%) caps the dominant
+    # stage at half the cluster when idle ops hold reservations; the
+    # extract topology wants the busy op to absorb all slots.
+    ctx.op_resource_reservation_enabled = False
 
 
 def _child_main(sf_dir: str, num_cpus: int) -> None:
     """Fresh-process scaling probe: headline job only, one JSON line."""
     import ray
 
+    from chug_ray.synth import corpus_for_sf_dir
+
     _init_ray(num_cpus)
     try:
-        # warm-up pass amortizes actor-pool startup out of the measurement
-        # (a real 100 TB job runs hours; pool spin-up is noise there).
-        _run_headline(sf_dir)
+        # warm-up pass amortizes one-time costs (worker imports, store
+        # broadcast put, read cache) out of the measurement — a real
+        # 100 TB job runs hours, so these are noise there. On big corpora
+        # the warm-up runs a small prefix slice: same warming, no double
+        # full pass.
+        _, _, ccfg = corpus_for_sf_dir(sf_dir)
+        _run_headline(sf_dir, limit=4000 if ccfg.n_docs >= 50_000 else None)
+        time.sleep(5)  # let warm-up actor teardown settle off the scheduler
         res = _run_headline(sf_dir)
         res["num_cpus"] = num_cpus
         print(json.dumps(res))
@@ -113,11 +139,18 @@ def _child_main(sf_dir: str, num_cpus: int) -> None:
 
 
 def _scaling_main(sf_dir: str, lo: int, hi: int) -> None:
+    import ray
+
     from chug_ray.synth import corpus_for_sf_dir
 
     corpus_for_sf_dir(sf_dir)  # build the cache once so children just read
+    if ray.is_initialized():
+        ray.shutdown()  # big-corpus build owned a session; free it for children
     results = {}
-    for n in (lo, hi):
+    # hi first, then a settle pause: a freshly-shut-down Ray cluster's
+    # teardown measurably slows the next child on this box
+    for n in (hi, lo):
+        time.sleep(15)
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--child", str(n),
              "--sf-dir", sf_dir],
@@ -172,8 +205,10 @@ def main() -> None:
     parser.add_argument("--num-cpus", type=int,
                         default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     parser.add_argument("--scaling", action="store_true")
-    parser.add_argument("--scaling-cpus", default="8,32",
+    parser.add_argument("--scaling-cpus", default="2,8",
                         help="lo,hi cpu counts for --scaling")
+    parser.add_argument("--scaling-dir", default="/tmp/chug_ray_corpus/scaling",
+                        help="corpus tag dir for --scaling (basename keys the synth)")
     parser.add_argument("--queries", default=None,
                         help="comma-separated subset of query names")
     parser.add_argument("--no-queries", action="store_true",
@@ -186,7 +221,9 @@ def main() -> None:
         return
     if args.scaling:
         lo, hi = (int(x) for x in args.scaling_cpus.split(","))
-        _scaling_main(args.sf_dir, lo, hi)
+        # the scaling probe uses its own (bigger) corpus tag so compute
+        # dominates per-run fixed costs; see synth.corpus_for_sf_dir
+        _scaling_main(args.scaling_dir, lo, hi)
         return
 
     import ray

@@ -21,8 +21,10 @@ class ExtractConfig:
     seed: int = 0
     error_policy: str = "skip"  # skip (record in err channel) | raise
     # docs whose estimated cost (total media pages + span count) exceeds
-    # this are exploded to per-unit rows and reassembled by groupby(doc_id)
-    heavy_cost_threshold: int = 32
+    # this are exploded to per-unit rows and reassembled by groupby(doc_id).
+    # Exploding pays a shuffle: reserve it for true monsters (100+-page
+    # PDFs), not merely span-rich documents.
+    heavy_cost_threshold: int = 200
     # pages per work unit when exploding a heavy media span
     pages_per_unit: int = 25
     batch_size: int = 256
@@ -36,6 +38,15 @@ class ExtractConfig:
     max_actors: int | None = None
     num_cpus_per_actor: float = 1.0
     media_store_path: str | None = None
+    # False (default): extract stages run as Ray TASK pools with state
+    # cached once per worker process — tasks schedule to full cluster
+    # width immediately. True: autoscaling actor pools (same kernels,
+    # state in __init__) for deployments that prestart pools.
+    use_actor_pools: bool = False
+    # execute read+classify once and feed both branches from the
+    # materialized blocks (lazy lineage would re-execute per branch).
+    # Memory bounded per partition by the run.py driver.
+    materialize_classified: bool = True
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)
@@ -52,6 +63,10 @@ class CorpusConfig:
     seed: int = 42
     n_docs: int = 200
     skew: str = "test"  # test (64-page monsters) | bench (1000-page)
+    # span-count multiplier for txt/html/mixed archetypes: >1 gives a
+    # heavy-document profile (ms-scale per-doc decode, like real page
+    # parses) so benchmarks measure compute, not per-row overhead
+    span_scale: int = 1
 
     @property
     def big_pages(self) -> int:

@@ -44,29 +44,57 @@ def read_table_dataset(paths, columns=None):
 
 
 class MediaStore:
-    """media_ref → payload lookup, built once per actor (broadcast pattern)."""
+    """media_ref → payload lookup, built once per actor (broadcast pattern).
 
-    def __init__(self, path: str | None):
+    ``data`` short-circuits the parquet load with a **ref-sorted Arrow
+    table** the pipeline ``ray.put``s once: plasma zero-copies Arrow
+    buffers, so every actor on a node shares one mmap of the payloads —
+    per-actor setup is O(1), lookups are a binary search + one payload
+    copy. Falling back to ``path`` builds the same sorted table from the
+    parquet (used by the sequential oracle and standalone actors)."""
+
+    def __init__(self, path: str | None, data=None):
         self.path = path
-        self._table: dict[str, bytes] | None = None
+        self._tbl = data  # pa.Table sorted by media_ref, or None
+        self._refs = None  # numpy str array (built lazily per holder)
 
-    def _load(self) -> dict[str, bytes]:
-        if self._table is None:
-            if self.path is None:
-                self._table = {}
-            else:
-                import pyarrow.dataset as pads
+    @staticmethod
+    def load_arrow(path: str):
+        """Read + ref-sort the media table (driver-side, once per job)."""
+        import pyarrow.dataset as pads
 
-                tbl = pads.dataset(self.path, format="parquet").to_table(
-                    columns=["media_ref", "payload"]
-                )
-                self._table = dict(
-                    zip(tbl["media_ref"].to_pylist(), tbl["payload"].to_pylist())
-                )
-        return self._table
+        tbl = pads.dataset(path, format="parquet").to_table(
+            columns=["media_ref", "payload"]
+        )
+        return tbl.sort_by("media_ref").combine_chunks()
+
+    def _ensure(self):
+        if self._refs is None:
+            if self._tbl is None:
+                if self.path is None:
+                    import pyarrow as pa
+
+                    self._tbl = pa.table(
+                        {"media_ref": pa.array([], pa.string()),
+                         "payload": pa.array([], pa.binary())}
+                    )
+                else:
+                    self._tbl = self.load_arrow(self.path)
+            import numpy as np
+
+            self._refs = np.asarray(self._tbl["media_ref"], dtype=str)
+            self._payloads = self._tbl["payload"]
 
     def lookup(self, media_ref: str) -> bytes | None:
-        return self._load().get(media_ref)
+        import numpy as np
+
+        self._ensure()
+        if not len(self._refs):
+            return None
+        i = int(np.searchsorted(self._refs, media_ref))
+        if i >= len(self._refs) or self._refs[i] != media_ref:
+            return None
+        return self._payloads[i].as_py()
 
     def meta(self) -> dict[str, int]:
         """media_ref → n_pages (small metadata, safe to broadcast)."""

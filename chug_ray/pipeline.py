@@ -74,23 +74,83 @@ _UNIT_SCHEMA = pa.schema(
 # --------------------------------------------------------------------------
 # classify
 # --------------------------------------------------------------------------
-def make_classifier(meta_ref, threshold: int):
-    """Vectorized cost estimator. ``meta_ref`` is a ``ray.put`` handle to the
-    (small) media_ref → n_pages dict, fetched once per task from the local
-    object store — broadcast, not re-shipped per batch."""
+# per-worker-process cache of resolved broadcast objects: task pools reuse
+# worker processes, so each process pays one object-store deserialize per
+# ref instead of one per block (the per-block ray.get of a 10^5-entry
+# dict was the single largest cost in the whole pipeline).
+_BCAST_CACHE: dict = {}
+
+
+def _resolve_bcast(ref):
     import ray
 
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
+_STORE_REF_CACHE: dict = {}
+
+
+def _store_ref_for(path: str):
+    """Driver-side cache: read + ray.put the payload store once per
+    (path, mtime) per process — repeated executions (warm-up, retries,
+    multiple pipelines over one corpus) reuse the same plasma object."""
+    import os
+
+    import ray
+
+    key = (path, os.path.getmtime(path) if os.path.exists(path) else 0)
+    ref = _STORE_REF_CACHE.get(key)
+    if ref is None:
+        ref = ray.put(MediaStore.load_arrow(path))
+        _STORE_REF_CACHE[key] = ref
+    return ref
+
+
+def make_classifier(meta_ref, threshold: int):
+    """Vectorized cost estimator. ``meta_ref`` is a ``ray.put`` handle to
+    the (small) page-count side data as a pair of *sorted numpy arrays*
+    (refs, n_pages) — broadcast once, cached per worker process.
+
+    Cost = Σ over spans (media → payload page count via searchsorted,
+    else 1), computed with flattened Arrow child arrays + a numpy
+    segment-sum — no Python loop over rows, no per-block dict decode."""
+    import numpy as np
+
+    media_kind_set = pa.array(sorted(ex.MEDIA_KINDS))
+
     def classify(batch: pa.Table) -> pa.Table:
-        meta = ray.get(meta_ref) if meta_ref is not None else {}
-        costs = []
-        for spans in batch["spans"].to_pylist():
-            cost = 0
-            for s in spans or []:
-                if s["kind"] in ex.MEDIA_KINDS:
-                    cost += meta.get(s["media_ref"], 1)
-                else:
-                    cost += 1
-            costs.append(cost)
+        spans_col = batch["spans"].combine_chunks()
+        if isinstance(spans_col, pa.ChunkedArray):  # single-chunk after combine
+            spans_col = spans_col.chunk(0)
+        n = len(batch)
+        lengths = pc.list_value_length(spans_col).to_numpy(zero_copy_only=False)
+        lengths = np.nan_to_num(lengths.astype(np.float64), nan=0).astype(np.int64)
+        flat = pc.list_flatten(spans_col)
+        if len(flat) == 0:
+            costs = np.zeros(n, dtype=np.int32)
+        else:
+            kinds = pc.struct_field(flat, "kind")
+            is_media = pc.is_in(kinds, value_set=media_kind_set).to_numpy(
+                zero_copy_only=False
+            )
+            cost_per_span = np.ones(len(flat), dtype=np.int64)
+            if is_media.any() and meta_ref is not None:
+                ref_keys, ref_pages = _resolve_bcast(meta_ref)
+                if len(ref_keys):
+                    refs = pc.struct_field(flat, "media_ref").to_numpy(
+                        zero_copy_only=False
+                    )[is_media].astype(str)
+                    idx = np.searchsorted(ref_keys, refs)
+                    idx_c = np.clip(idx, 0, len(ref_keys) - 1)
+                    hit = ref_keys[idx_c] == refs
+                    cost_per_span[is_media] = np.where(hit, ref_pages[idx_c], 1)
+            parent = np.repeat(np.arange(n), lengths)
+            costs = np.zeros(n, dtype=np.int64)
+            np.add.at(costs, parent, cost_per_span)
+            costs = costs.astype(np.int32)
         return batch.append_column("est_cost", pa.array(costs, pa.int32()))
 
     return classify
@@ -103,9 +163,14 @@ class ExtractDocActor:
     """Whole-document extraction (light docs). Media store + config are
     built once per actor (``__init__``), batches stream through ``__call__``."""
 
-    def __init__(self, cfg_json: str):
+    def __init__(self, cfg_json: str, store_ref=None):
+        import ray
+
         self.cfg = ExtractConfig.from_json(cfg_json)
-        self.store = MediaStore(self.cfg.media_store_path)
+        # fn_constructor_args ships the ObjectRef itself; one ray.get per
+        # actor pulls the payload dict from the node-local object store
+        data = ray.get(store_ref) if store_ref is not None else None
+        self.store = MediaStore(self.cfg.media_store_path, data=data)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -128,9 +193,14 @@ class ExplodeActor:
     so the reassembly reports the same first-error the sequential path
     would."""
 
-    def __init__(self, cfg_json: str):
+    def __init__(self, cfg_json: str, store_ref=None):
+        import ray
+
         self.cfg = ExtractConfig.from_json(cfg_json)
-        self.store = MediaStore(self.cfg.media_store_path)
+        # fn_constructor_args ships the ObjectRef itself; one ray.get per
+        # actor pulls the payload dict from the node-local object store
+        data = ray.get(store_ref) if store_ref is not None else None
+        self.store = MediaStore(self.cfg.media_store_path, data=data)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -215,9 +285,14 @@ class ExplodeActor:
 class ExtractUnitActor:
     """Decode one work unit (page-parallel for media spans)."""
 
-    def __init__(self, cfg_json: str):
+    def __init__(self, cfg_json: str, store_ref=None):
+        import ray
+
         self.cfg = ExtractConfig.from_json(cfg_json)
-        self.store = MediaStore(self.cfg.media_store_path)
+        # fn_constructor_args ships the ObjectRef itself; one ray.get per
+        # actor pulls the payload dict from the node-local object store
+        data = ray.get(store_ref) if store_ref is not None else None
+        self.store = MediaStore(self.cfg.media_store_path, data=data)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -311,6 +386,62 @@ def _mask(keep_heavy: bool, threshold: int):
     return fn
 
 
+# task-pool wrappers: state (config + media store view) is built once per
+# WORKER PROCESS via _resolve_bcast / module caches — the same
+# setup-once-work-many contract as the actor classes, but on Ray task
+# pools, which schedule to full cluster width instantly (measured here:
+# autoscaling actor pools add ~1 actor every few seconds, so short jobs
+# finish before the pool reaches size; cfg.use_actor_pools=True keeps the
+# actor path for deployments with prestarted pools).
+_STATE_CACHE: dict = {}
+
+
+def _worker_state(cfg_json: str, store_ref):
+    key = (cfg_json, store_ref.hex() if store_ref is not None else None)
+    state = _STATE_CACHE.get(key)
+    if state is None:
+        cfg = ExtractConfig.from_json(cfg_json)
+        data = _resolve_bcast(store_ref) if store_ref is not None else None
+        store = MediaStore(cfg.media_store_path, data=data)
+        store._ensure()
+        state = _STATE_CACHE[key] = (cfg, store)
+    return state
+
+
+def _extract_doc_fn(cfg_json: str, store_ref):
+    def fn(batch: pa.Table) -> pa.Table:
+        cfg, store = _worker_state(cfg_json, store_ref)
+        rows = [
+            ex.extract_doc(doc_id, spans or [], store.lookup, cfg)
+            for doc_id, spans in zip(
+                batch["doc_id"].to_pylist(), batch["spans"].to_pylist()
+            )
+        ]
+        return pa.Table.from_pylist(rows, schema=OUT_SCHEMA)
+
+    return fn
+
+
+def _explode_fn(cfg_json: str, store_ref):
+    def fn(batch: pa.Table) -> pa.Table:
+        cfg, store = _worker_state(cfg_json, store_ref)
+        worker = ExplodeActor.__new__(ExplodeActor)
+        worker.cfg, worker.store = cfg, store
+        return worker(batch)
+
+    return fn
+
+
+def _extract_unit_fn(cfg_json: str, store_ref):
+    def fn(batch: pa.Table) -> pa.Table:
+        cfg, store = _worker_state(cfg_json, store_ref)
+        worker = ExtractUnitActor.__new__(ExtractUnitActor)
+        worker.cfg, worker.store = cfg, store
+        return worker(batch)
+
+    return fn
+
+
 def build_extract_pipeline(docs, cfg: ExtractConfig, media_meta_ref=None):
     """docs: ray.data.Dataset with DOC_SCHEMA → Dataset with OUT_SCHEMA."""
     from chug_ray.kernels.pages import VALID_POLICIES
@@ -331,68 +462,102 @@ def build_extract_pipeline(docs, cfg: ExtractConfig, media_meta_ref=None):
 
         cfg = dataclasses.replace(cfg, error_policy=base_policy)
     cfg_json = cfg.to_json()
-    if cfg.max_actors is None:
-        import ray
-
-        # size each pool to the cluster: the streaming executor scales
-        # pools between (min, max) on demand, so a generous max lets the
-        # dominant stage absorb all CPUs while idle pools stay at min.
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        max_actors = max(4, int(cpus / max(cfg.num_cpus_per_actor, 0.25)))
-    else:
-        max_actors = cfg.max_actors
+    # payload store: loaded + ray.put ONCE driver-side (cached across
+    # executions); workers get a zero-copy plasma view, resolved once per
+    # actor (actor path) or per worker process (task path).
+    store_ref = (
+        _store_ref_for(cfg.media_store_path)
+        if cfg.media_store_path is not None
+        else None
+    )
     classified = docs.map_batches(
         make_classifier(media_meta_ref, cfg.heavy_cost_threshold),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )
+    if cfg.materialize_classified:
+        # one read+classify execution feeding both branches; without this
+        # the lazy lineage re-executes per branch. Memory is bounded by
+        # the partition driver (run.py) at cluster scale.
+        classified = classified.materialize()
 
-    light = classified.map_batches(
+    light_in = classified.map_batches(
         _mask(False, cfg.heavy_cost_threshold),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-    ).map_batches(
-        ExtractDocActor,
-        fn_constructor_args=(cfg_json,),
+    )
+    heavy_in = classified.map_batches(
+        _mask(True, cfg.heavy_cost_threshold),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(cfg.min_actors, max_actors),
-        num_cpus=cfg.num_cpus_per_actor,
     )
 
-    heavy = (
-        classified.map_batches(
-            _mask(True, cfg.heavy_cost_threshold),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-        )
-        .map_batches(
-            ExplodeActor,
-            fn_constructor_args=(cfg_json,),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
+    if cfg.use_actor_pools:
+        import ray
+
+        ctor_args = (cfg_json, store_ref) if store_ref is not None else (cfg_json,)
+        if cfg.max_actors is None:
+            cpus = (
+                int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized()
+                else 8
+            )
+            max_actors = max(4, int(cpus / max(cfg.num_cpus_per_actor, 0.25)))
+        else:
+            max_actors = cfg.max_actors
+        pool = dict(
+            fn_constructor_args=ctor_args,
             concurrency=(cfg.min_actors, max_actors),
             num_cpus=cfg.num_cpus_per_actor,
         )
-        .map_batches(
+        light = light_in.map_batches(
+            ExtractDocActor, batch_format="pyarrow", batch_size=cfg.batch_size, **pool
+        )
+        units = heavy_in.map_batches(
+            ExplodeActor, batch_format="pyarrow", batch_size=cfg.batch_size, **pool
+        ).map_batches(
             ExtractUnitActor,
-            fn_constructor_args=(cfg_json,),
             batch_format="pyarrow",
             batch_size=max(8, cfg.batch_size // 8),  # units are page chunks
-            concurrency=(cfg.min_actors, max_actors),
+            **pool,
+        )
+    else:
+        light = light_in.map_batches(
+            _extract_doc_fn(cfg_json, store_ref),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
             num_cpus=cfg.num_cpus_per_actor,
         )
-        .groupby("doc_id")
-        .map_groups(reassemble_group, batch_format="pyarrow")
-    )
+        units = heavy_in.map_batches(
+            _explode_fn(cfg_json, store_ref),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            num_cpus=cfg.num_cpus_per_actor,
+        ).map_batches(
+            _extract_unit_fn(cfg_json, store_ref),
+            batch_format="pyarrow",
+            batch_size=max(8, cfg.batch_size // 8),
+            num_cpus=cfg.num_cpus_per_actor,
+        )
 
+    heavy = units.groupby("doc_id").map_groups(
+        reassemble_group, batch_format="pyarrow"
+    )
     return light.union(heavy)
 
 
 def broadcast_media_meta(media_path: str | None):
-    """ray.put the media page-count meta once (small side broadcast)."""
+    """ray.put the media page-count meta once (small side broadcast).
+
+    Stored as sorted numpy arrays (refs, n_pages): worker-side lookups
+    are vectorized searchsorted, and deserialization is an O(1) buffer
+    view rather than rebuilding a Python dict."""
+    import numpy as np
     import ray
 
     if media_path is None:
         return None
-    return ray.put(MediaStore(media_path).meta())
+    meta = MediaStore(media_path).meta()
+    refs = np.array(sorted(meta), dtype=str)
+    pages = np.array([meta[r] for r in refs], dtype=np.int64)
+    return ray.put((refs, pages))

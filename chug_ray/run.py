@@ -128,6 +128,21 @@ def main(argv: list[str] | None = None) -> None:
             include_dashboard=False,
             ignore_reinit_error=True,
         )
+    # faster actor-pool ramp: the default policy (upscale at 2x util,
+    # 4 queued tasks/actor) leaves most of the cluster idle on short
+    # batch streams.
+    from ray.data.context import AutoscalingConfig, DataContext
+
+    ctx = DataContext.get_current()
+    ctx.max_tasks_in_flight_per_actor = 2
+    ctx.autoscaling_config = AutoscalingConfig(
+        actor_pool_util_upscaling_threshold=0.8,
+        actor_pool_util_downscaling_threshold=0.3,
+    )
+    # per-operator resource reservation (default 50%) caps the dominant
+    # stage at half the cluster when idle ops hold reservations; the
+    # extract topology wants the busy op to absorb all slots.
+    ctx.op_resource_reservation_enabled = False
     try:
         cfg = ExtractConfig(
             page_sampling=args.page_sampling,

@@ -152,10 +152,11 @@ def make_doc(cfg: CorpusConfig, index: int):
         return ref
 
     if arch == "txt":
-        for _ in range(rng.randint(1, 8)):
+        for _ in range(rng.randint(1, 8) * cfg.span_scale):
             add("text", _words(rng, rng.randint(4, 30)))
     elif arch == "html":
-        add("html", _html_source(rng))
+        for _ in range(cfg.span_scale):
+            add("html", _html_source(rng))
     elif arch in ("pdf", "pdfbig", "emptypage"):
         if arch == "pdfbig":
             pages = _pdf_pages(rng, cfg.big_pages)
@@ -170,7 +171,7 @@ def make_doc(cfg: CorpusConfig, index: int):
         ref = add_media("image", simg.encode(frames), len(frames))
         add("image", "", ref)
     elif arch == "mixed":
-        for _ in range(rng.randint(2, 6)):
+        for _ in range(rng.randint(2, 6) * cfg.span_scale):
             k = rng.choice(("text", "text", "html", "pdf", "image"))
             if k == "text":
                 add("text", _words(rng, rng.randint(4, 20)))
@@ -250,15 +251,39 @@ def corpus_for_sf_dir(sf_dir: str, cache_root: str = "/tmp/chug_ray_corpus"):
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir))  # e.g. "sf0.01"
-    n_docs = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000}.get(tag, 500)
-    skew = "bench" if tag == "sf0.1" else "test"
-    cfg = CorpusConfig(seed=42, n_docs=n_docs, skew=skew)
-    out_dir = os.path.join(cache_root, f"{tag}_s{cfg.seed}_n{n_docs}_{skew}")
-    docs_path = os.path.join(out_dir, "documents.parquet")
-    media_path = os.path.join(out_dir, "media.parquet")
+    # "scaling" is the two-parallelism-probe corpus: large enough that
+    # per-run fixed costs (executor + actor-pool spin-up) are noise
+    # against compute, which is what the N-vs-4N criterion measures.
+    n_docs = {
+        "sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000, "scaling": 250_000
+    }.get(tag, 500)
+    skew = "bench" if tag in ("sf0.1", "scaling") else "test"
+    # the scaling corpus uses a heavy-document profile (~ms-scale per-doc
+    # extraction, like real 150-DPI page parses) so the two-parallelism
+    # probe measures compute scaling rather than per-row overhead
+    span_scale = 16 if tag == "scaling" else 1
+    cfg = CorpusConfig(seed=42, n_docs=n_docs, skew=skew, span_scale=span_scale)
+    scale_sfx = f"_x{cfg.span_scale}" if cfg.span_scale != 1 else ""
+    out_dir = os.path.join(cache_root, f"{tag}_s{cfg.seed}_n{n_docs}_{skew}{scale_sfx}")
     marker = os.path.join(out_dir, "_complete")
+    # big corpora generate distributed (generation is a pure function of
+    # (seed, index)); small ones inline. Both land in the same cache.
+    use_ray = n_docs >= 50_000
+    if use_ray:
+        docs_path = os.path.join(out_dir, "documents")
+        media_path = os.path.join(out_dir, "media")
+    else:
+        docs_path = os.path.join(out_dir, "documents.parquet")
+        media_path = os.path.join(out_dir, "media.parquet")
     if not os.path.exists(marker):
-        write_corpus_inline(cfg, out_dir)
+        if use_ray:
+            import ray
+
+            if not ray.is_initialized():  # standalone builds own the session
+                ray.init(address="local", include_dashboard=False)
+            write_corpus_ray(cfg, out_dir)
+        else:
+            write_corpus_inline(cfg, out_dir)
         with open(marker, "w") as f:
             f.write("ok")
     return docs_path, media_path, cfg
