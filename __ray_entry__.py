@@ -48,23 +48,28 @@ def _extract_summary(sf_dir: str, page_sampling: str):
     )
 
     def summarize(batch: pa.Table) -> pa.Table:
-        rows = []
-        for r in batch.to_pylist():
-            spans = r["spans"] or []
+        import pyarrow.compute as pc
+
+        n_spans = pc.cast(
+            pc.fill_null(pc.list_value_length(batch["spans"]), 0), pa.int64()
+        )
+        err_stage = pc.fill_null(pc.struct_field(batch["err"], "stage"), "")
+        hashes = []
+        for spans in batch["spans"].to_pylist():
             h = hashlib.blake2b(digest_size=8)
-            for s in spans:
+            for s in spans or []:
                 h.update(
                     f"{s['kind']}\x00{s['text']}\x00{s['media_ref']}\x01".encode()
                 )
-            rows.append(
-                {
-                    "doc_id": r["doc_id"],
-                    "n_spans": len(spans),
-                    "err_stage": r["err"]["stage"] if r["err"] else "",
-                    "spans_hash": h.hexdigest(),
-                }
-            )
-        return pa.Table.from_pylist(rows)
+            hashes.append(h.hexdigest())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_spans": n_spans,
+                "err_stage": err_stage,
+                "spans_hash": pa.array(hashes, pa.string()),
+            }
+        )
 
     return out.map_batches(summarize, batch_format="pyarrow")
 

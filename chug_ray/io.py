@@ -157,13 +157,19 @@ def output_stats(out_dir: str) -> tuple[int, int, int]:
 
 
 def write_output_partition(ds, out_dir: str) -> None:
-    """Write one partition's rows atomically (temp dir → rename)."""
+    """Write one partition's rows atomically (temp dir → rename).
+
+    Lance when available (the north-rule storage format), Parquet
+    otherwise — identical Arrow schema either way."""
     tmp = out_dir + ".tmp"
     if os.path.exists(tmp):
         import shutil
 
         shutil.rmtree(tmp)
-    ds.write_parquet(tmp)
+    if HAVE_LANCE:  # pragma: no cover - lance absent in sandbox
+        ds.write_lance(tmp)
+    else:
+        ds.write_parquet(tmp)
     if os.path.exists(out_dir):
         import shutil
 
