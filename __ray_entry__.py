@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_targets": tokenize.text_targets,
         # --- dedup — SQL-oracled where expressible
         "exact_dedup": dedup.exact_dedup,
+        "dedup_survivors": dedup.dedup_survivors,
+        "top_k_tokens": textstats.top_k_tokens,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_near_dup": dedup.embedding_near_dup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only
@@ -230,6 +232,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS doc_id,
                    count(*) AS n_dups
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_survivors": """
+            WITH s AS (
+                SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+                FROM documents GROUP BY md5(text)
+            )
+            SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+            FROM documents d JOIN s USING (doc_id)
+        """,
+        "top_k_tokens": f"""
+            WITH t AS (SELECT unnest({_TOK}) AS token FROM documents),
+            c AS (SELECT token, count(*) AS n FROM t GROUP BY token)
+            SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 20
         """,
         "ngram_jaccard_pairs": f"""
             WITH t AS (

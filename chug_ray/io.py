@@ -119,6 +119,8 @@ class PartitionManifest:
     wall_time_sec: float = 0.0
     completed_at: float = field(default_factory=time.time)
     engine_version: str = "chug_ray-0.1.0"
+    # per-operator wall time / task / block counts from Dataset.stats()
+    stage_metrics: list = field(default_factory=list)
 
     def write(self, manifest_dir: str) -> str:
         os.makedirs(manifest_dir, exist_ok=True)

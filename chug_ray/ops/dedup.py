@@ -59,6 +59,52 @@ def exact_dedup(sf_dir: str):
     )
 
 
+def dedup_survivors(sf_dir: str, num_partitions: int = 16):
+    """The deduplicated document set: one surviving row (min doc_id) per
+    distinct text, joined back to the full rows with Ray Data's native
+    hash join — the shuffle-join path for when neither side is small
+    enough to broadcast (SURVEY.md §2.5's scale escape hatch)."""
+    from ray.data.aggregate import Min
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"fp_md5": pa.array(fps, pa.string()), "doc_id": batch["doc_id"]}
+        )
+
+    survivors = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(add_fp, batch_format="pyarrow")
+        .groupby("fp_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .drop_columns(["fp_md5"])
+    )
+    full = _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+    joined = full.join(
+        survivors,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+    import pyarrow.compute as pc
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
 def _shingles(text: str, k: int = 3) -> list[str]:
     toks = _TOKEN_RE.findall(text.lower())
     if len(toks) < k:

@@ -122,6 +122,49 @@ def fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+def top_k_tokens(sf_dir: str, k: int = 20):
+    """Global top-k tokens by occurrence: per-batch Counter (combiner)
+    → tiny ``groupby(token)`` over partials → sort+limit on the small
+    result. The shuffle carries one row per (token, batch), never per
+    occurrence."""
+    from collections import Counter
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(TOKEN_RE)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            c.update(token_re.findall(text.lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n"] = batch["n"].astype(np.int64)
+        return batch
+
+    return (
+        agg.map_batches(finalize, batch_format="pandas")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def simhash(sf_dir: str):
     """64-bit SimHash over whole-token hashes (near-dup sketch).
 

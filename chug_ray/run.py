@@ -91,6 +91,8 @@ def run_job(
         part_dir = os.path.join(out_root, pid)
         write_output_partition(out, part_dir)
         n_docs, n_err, n_spans = output_stats(part_dir)
+        from chug_ray.metrics import stage_summaries
+
         manifest = PartitionManifest(
             partition_id=pid,
             input_files=files,
@@ -99,6 +101,7 @@ def run_job(
             n_err_docs=n_err,
             n_spans=n_spans,
             wall_time_sec=time.perf_counter() - t0,
+            stage_metrics=stage_summaries(out),
         )
         manifest.write(manifest_dir)
         manifests.append(manifest)
