@@ -75,14 +75,16 @@ def pricing_summary(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pandas")
 
 
-def top_revenue_orders(sf_dir: str, k: int = 10):
-    """Top-k orders by revenue: partial per-batch aggregation, small
-    groupby over partials, global sort + limit on the tiny result."""
-    from ray.data.aggregate import Sum
+def top_revenue_orders(sf_dir: str, k: int = 10, num_buckets: int = 32):
+    """Exact top-k orders by revenue via hash bucketing.
+
+    A ``groupby(l_orderkey)`` would sort-shuffle one row per distinct
+    order; instead partials carry a ``key % num_buckets`` bucket, the
+    shuffle groups ``num_buckets`` coarse buckets (each key wholly in
+    one bucket → exact per-key sums), every bucket emits its local
+    top-k, and the global sort runs over ``num_buckets × k`` rows."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd  # noqa: F811
-
         rev = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
@@ -94,24 +96,22 @@ def top_revenue_orders(sf_dir: str, k: int = 10):
                 "revenue_cents": rev_cents.to_numpy(zero_copy_only=False),
             }
         )
-        return pa.Table.from_pandas(
-            df.groupby("l_orderkey", as_index=False)["revenue_cents"].sum(),
-            preserve_index=False,
-        )
+        g = df.groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
+        g["bucket"] = (g["l_orderkey"] % num_buckets).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
-    )
-
-    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["revenue_cents"] = batch["revenue_cents"].astype(np.int64)
-        return batch
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
+        g["revenue_cents"] = g["revenue_cents"].astype(np.int64)
+        return g.sort_values(
+            ["revenue_cents", "l_orderkey"], ascending=[False, True]
+        ).head(k)[["l_orderkey", "revenue_cents"]]
 
     return (
-        agg.map_batches(finalize, batch_format="pandas")
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
         .limit(k)
     )
