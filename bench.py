@@ -78,6 +78,7 @@ def _bench_queries(sf_dir: str, only: set[str] | None) -> dict[str, float]:
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
+        time.sleep(2)  # let the previous query's worker teardown settle
         t0 = time.perf_counter()
         try:
             _consume(fn(sf_dir))

@@ -44,13 +44,20 @@ def _docs(sf_dir: str):
     )
 
 
+_VOCAB_CACHE: dict = {}
+
+
 def build_vocab_ref(sf_dir: str):
     """Distributed vocab build → broadcast handle.
 
     Per-batch local dedup (the combiner) keeps the global ``unique``
-    exchange small; the sorted vocab is ``ray.put`` once so every
-    downstream task reads it from the local object store."""
+    exchange small; the sorted vocab is ``ray.put`` once and cached per
+    corpus dir, so every tokenization op over the same corpus reuses one
+    broadcast object."""
     import ray
+
+    if sf_dir in _VOCAB_CACHE:
+        return _VOCAB_CACHE[sf_dir]
 
     compiled = re.compile(TOKEN_RE)
 
@@ -62,7 +69,9 @@ def build_vocab_ref(sf_dir: str):
 
     tokens = _docs(sf_dir).map_batches(local_unique, batch_format="pyarrow")
     vocab = {t: i + 1 for i, t in enumerate(sorted(tokens.unique("token")))}
-    return ray.put(vocab)
+    ref = ray.put(vocab)
+    _VOCAB_CACHE[sf_dir] = ref
+    return ref
 
 
 class TokenizerActor:
