@@ -15,15 +15,33 @@ Input data model (authoritative, from BASELINE.json input_hint):
                         media_ref: string, offset: int32>>
 """
 
-from chug_ray.config import ExtractConfig
+from chug_ray.config import CorpusConfig, ExtractConfig
 from chug_ray.schema import DOC_SCHEMA, MEDIA_SCHEMA, OUT_SCHEMA
 
 __version__ = "0.1.0"
 
+
+def build_extract_pipeline(docs, cfg, media_meta_ref=None):
+    """Lazy import of the pipeline builder (keeps package import light)."""
+    from chug_ray.pipeline import build_extract_pipeline as _build
+
+    return _build(docs, cfg, media_meta_ref=media_meta_ref)
+
+
+def run_job(docs_path, out_root, cfg, num_partitions=None, resume=True):
+    """Lazy import of the partitioned resumable job driver."""
+    from chug_ray.run import run_job as _run
+
+    return _run(docs_path, out_root, cfg, num_partitions=num_partitions, resume=resume)
+
+
 __all__ = [
+    "CorpusConfig",
     "ExtractConfig",
     "DOC_SCHEMA",
     "MEDIA_SCHEMA",
     "OUT_SCHEMA",
+    "build_extract_pipeline",
+    "run_job",
     "__version__",
 ]
