@@ -59,11 +59,59 @@ def exact_dedup(sf_dir: str):
     )
 
 
-def dedup_survivors(sf_dir: str, num_partitions: int = 16):
+def dedup_survivors(sf_dir: str):
     """The deduplicated document set: one surviving row (min doc_id) per
-    distinct text, joined back to the full rows with Ray Data's native
-    hash join — the shuffle-join path for when neither side is small
-    enough to broadcast (SURVEY.md §2.5's scale escape hatch)."""
+    distinct text. The payload columns ride *through* the
+    ``groupby(fp_md5)`` packed into one sortable string (doc_id
+    zero-padded so lexicographic Min == numeric min), so the whole op is
+    a single hash-aggregate shuffle carrying one short row per input doc
+    — no join, no second pass over the table."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    def add_packed(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        ids = pc.utf8_lpad(pc.cast(batch["doc_id"], pa.string()), 19, "0")
+        packed = pc.binary_join_element_wise(
+            ids,
+            batch["lang"],
+            batch["source"],
+            pc.cast(batch["n_chars"], pa.string()),
+            "\x00",
+        )
+        return pa.table(
+            {"fp_md5": pa.array(fps, pa.string()), "packed": packed}
+        )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["packed"], "\x00")
+        return pa.table(
+            {
+                "doc_id": pc.cast(pc.list_element(parts, 0), pa.int64()),
+                "lang": pc.list_element(parts, 1),
+                "source": pc.list_element(parts, 2),
+                "n_chars": pc.cast(pc.list_element(parts, 3), pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
+        .map_batches(add_packed, batch_format="pyarrow")
+        .groupby("fp_md5")
+        .aggregate(Min("packed", alias_name="packed"))
+        .map_batches(unpack, batch_format="pyarrow")
+    )
+
+
+def dedup_survivors_join(sf_dir: str, num_partitions: int = 32):
+    """Join-based variant of :func:`dedup_survivors`, kept as the demo of
+    Ray Data's native hash join (SURVEY.md §2.5's scale escape hatch for
+    when the carried payload is too wide to pack). ``num_partitions``
+    should be ≈ cluster CPUs; the packed-Min groupby above is the
+    production path."""
     from ray.data.aggregate import Min
 
     def add_fp(batch: pa.Table) -> pa.Table:
