@@ -186,11 +186,16 @@ def _token_hash(tok: str) -> int:
 def _doc_shingle_hashes(text: str, cache: dict, k: int = 3) -> np.ndarray:
     """uint64 hash per k-token shingle (rolling window, vectorized)."""
     toks = _TOKEN_RE.findall(text.lower())
-    if not toks:
-        return np.empty(0, dtype=np.uint64)
     th = np.array(
         [cache.setdefault(t, _token_hash(t)) for t in toks], dtype=np.uint64
     )
+    return _shingle_hashes_from_tokens(th, k)
+
+
+def _shingle_hashes_from_tokens(th: np.ndarray, k: int = 3) -> np.ndarray:
+    """Shingle hashes from the per-token hash array."""
+    if not len(th):
+        return np.empty(0, dtype=np.uint64)
     if len(th) < k:
         h = np.zeros(1, dtype=np.uint64)
         with np.errstate(over="ignore"):
@@ -204,11 +209,18 @@ def _doc_shingle_hashes(text: str, cache: dict, k: int = 3) -> np.ndarray:
 
 class MinHasher:
     """Actor: permutation params + token-hash cache built once; per doc
-    one vectorized (N_PERM × n_shingles) min."""
+    one vectorized (N_PERM × n_shingles) min.
 
-    def __init__(self):
+    Each band row also carries the doc's sorted-unique *token-hash set*
+    (uint64 sketch, much smaller than the text). That is what lets the
+    downstream verify run inside the band-bucket groups — no second
+    lookup of the texts anywhere (the scale requirement: nothing ever
+    materializes the corpus outside the streaming pipeline)."""
+
+    def __init__(self, num_buckets: int = 1):
         self.a, self.b = _perm_params()
         self.token_cache: dict[str, int] = {}
+        self.num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -218,8 +230,15 @@ class MinHasher:
         bands = np.tile(np.arange(N_BANDS, dtype=np.int32), n)
         band_hashes = np.empty(n * N_BANDS, dtype=np.uint64)
         empty_sig = np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+        tok_sets: list[np.ndarray] = []
         for i, text in enumerate(batch["text"].to_pylist()):
-            h = _doc_shingle_hashes(text, self.token_cache)
+            toks = _TOKEN_RE.findall(text.lower())
+            th = np.array(
+                [self.token_cache.setdefault(t, _token_hash(t)) for t in toks],
+                dtype=np.uint64,
+            )
+            tok_sets.append(np.unique(th))
+            h = _shingle_hashes_from_tokens(th)
             if len(h):
                 with np.errstate(over="ignore"):
                     sig = (self.a[:, None] * h[None, :] + self.b[:, None]).min(axis=1)
@@ -231,11 +250,18 @@ class MinHasher:
                 for c in range(ROWS_PER_BAND):
                     bh = bh * np.uint64(0x100000001B3) + bandsig[:, c]
             band_hashes[i * N_BANDS : (i + 1) * N_BANDS] = bh
+        tok_list = pa.array(
+            [t.tolist() for t in tok_sets], pa.list_(pa.uint64())
+        ).take(pa.array(np.repeat(np.arange(n), N_BANDS)))
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "band": pa.array(bands, pa.int32()),
                 "band_hash": pa.array(band_hashes.astype(np.int64)),
+                "bucket": pa.array(
+                    (band_hashes % np.uint64(self.num_buckets)).astype(np.int32)
+                ),
+                "tok_hashes": tok_list,
             }
         )
 
@@ -251,56 +277,59 @@ def _jaccard(a: set, b: set) -> float:
     return len(a & b) / u if u else 0.0
 
 
-def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6):
-    """Near-dup candidate pairs via MinHash banding, Jaccard-verified.
+def minhash_lsh_pairs(
+    sf_dir: str, threshold: float = 0.6, num_buckets: int = 32
+):
+    """Near-dup pairs via MinHash banding, Jaccard-verified in-group.
 
-    Verification joins texts back by broadcast (documents is the small
-    side here; at scale this is a hash join of pairs × docs on doc_id).
+    Fully streaming: the band rows carry each doc's uint64 token-hash
+    set, so verification happens inside the ``(band, bucket)`` groups —
+    exact Jaccard from the carried sketches, never a second lookup of
+    the texts and never a driver-side materialization. ``bucket =
+    band_hash % num_buckets`` keeps every group bounded (shuffle
+    parallelism = N_BANDS × num_buckets, and a group only holds rows
+    whose band_hash collides mod num_buckets). The final
+    ``groupby(doc_a, doc_b)`` dedups pairs surfaced by multiple bands;
+    all copies carry the same exact score, so ``Min`` is the identity.
     """
-    import ray
-
-    docs_tbl = (
-        _docs(sf_dir, ["doc_id", "text"]).to_arrow_refs()
-    )
-    texts: dict[int, str] = {}
-    for ref in docs_tbl:
-        t = ray.get(ref)
-        texts.update(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    texts_ref = ray.put(texts)
+    from ray.data.aggregate import Min
 
     def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        """All pairs sharing a band_hash within one band — a vectorized
-        self-merge (8 groups total, never per-bucket Python)."""
-        g = group[["band_hash", "doc_id"]].drop_duplicates()
+        """All pairs sharing a band_hash within one band-bucket — a
+        vectorized self-merge, then exact Jaccard from the carried
+        token-hash sets."""
+        g = group.loc[
+            ~group.duplicated(["band_hash", "doc_id"]),
+            ["band_hash", "doc_id", "tok_hashes"],
+        ]
         m = g.merge(g, on="band_hash", suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
-        return m.rename(
-            columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}
-        )[["doc_a", "doc_b"]]
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        tx = ray.get(texts_ref)
-        jac = [
-            _jaccard(_token_set(tx[a]), _token_set(tx[b]))
-            for a, b in zip(batch["doc_a"], batch["doc_b"])
+        jac = []
+        for ta, tb in zip(m["tok_hashes_a"], m["tok_hashes_b"]):
+            ta = np.asarray(ta, dtype=np.uint64)
+            tb = np.asarray(tb, dtype=np.uint64)
+            inter = np.intersect1d(ta, tb, assume_unique=True).size
+            union = ta.size + tb.size - inter
+            jac.append(1.0 if union == 0 else inter / union)
+        m = m.assign(jaccard=round_away(jac, 4) if jac else [])
+        m = m[m["jaccard"] >= threshold]
+        return m.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})[
+            ["doc_a", "doc_b", "jaccard"]
         ]
-        batch = batch.assign(jaccard=round_away(jac, 4))
-        return batch[batch["jaccard"] >= threshold]
 
-    from ray.data.aggregate import Count
-
-    candidates = (
+    return (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
-        .groupby("band")
+        .map_batches(
+            MinHasher,
+            fn_constructor_args=(num_buckets,),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        .groupby(["band", "bucket"])
         .map_groups(band_pairs, batch_format="pandas")
-        # dedup pairs found in multiple bands: native hash aggregate,
-        # not per-pair Python groups
         .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .drop_columns(["n_bands"])
+        .aggregate(Min("jaccard", alias_name="jaccard"))
     )
-    return candidates.map_batches(verify, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
