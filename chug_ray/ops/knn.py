@@ -44,19 +44,24 @@ def _unit_rows(mat: np.ndarray) -> np.ndarray:
 
 
 def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """Queries = the embeddings with vec_id < N_QUERIES (deterministic)."""
+    """Queries = the embeddings with vec_id < N_QUERIES (deterministic).
+
+    The predicate is pushed into the parquet read (``filters=``), so
+    only the row groups containing the 8 query rows leave storage —
+    never the full table."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
     )
     ids = np.asarray(tbl["vec_id"])
-    mask = ids < N_QUERIES
-    order = np.argsort(ids[mask])
-    qids = ids[mask][order]
+    order = np.argsort(ids)
+    qids = ids[order]
     qmat = np.stack(
         [np.asarray(e, dtype=np.float64) for e in tbl["embedding"].to_pylist()]
-    )[mask][order]
+    )[order]
     return qids, _unit_rows(qmat)
 
 
@@ -161,27 +166,46 @@ KMEANS_ITERS = 5
 
 
 def _train_centroids(sf_dir: str) -> np.ndarray:
-    """Deterministic mini k-means on a driver-side sample.
+    """Deterministic mini k-means on a *distributed* sample.
 
-    The sample (every 7th candidate, capped) stands in for the usual
-    reservoir sample a 10^9-vector run would take; training cost is
-    independent of corpus size. Returns unit-norm centroids."""
-    import pyarrow.parquet as pq
+    The sample (every 7th candidate, capped at 4096 rows) is filtered
+    inside ``map_batches`` and truncated with ``limit`` — only the ≤4096
+    sampled rows ever reach the driver, so training cost is independent
+    of corpus size. Returns unit-norm centroids; degenerates gracefully
+    on tiny corpora (centroids clamped to the sample size, which at 1
+    centroid is brute force)."""
+    import pyarrow as pa
+    import ray.data
 
-    tbl = pq.read_table(
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mask = (ids >= N_QUERIES) & (ids % 7 == 0)
+        return batch.filter(pa.array(mask))
+
+    emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    ids = np.asarray(tbl["vec_id"])
-    mask = (ids >= N_QUERIES) & (ids % 7 == 0)
-    sample = np.stack(
-        [np.asarray(e, dtype=np.float64) for e in tbl["embedding"].to_pylist()]
-    )[mask][:4096]
-    sample = _unit_rows(sample)
+    rows = emb.map_batches(pick, batch_format="pyarrow").limit(4096).take_all()
+    if not rows:
+        # tiny corpus where the stride sampled nothing: fall back to the
+        # first candidates in row order
+        def cands(batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids >= N_QUERIES))
+
+        rows = emb.map_batches(cands, batch_format="pyarrow").limit(4096).take_all()
+    if not rows:
+        return np.zeros((1, 1), dtype=np.float64)
+    rows.sort(key=lambda r: r["vec_id"])  # block arrival order isn't stable
+    sample = _unit_rows(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    )
+    n_cents = min(N_CENTROIDS, len(sample))
     rng = np.random.default_rng(99)
-    cents = sample[rng.choice(len(sample), size=N_CENTROIDS, replace=False)]
+    cents = sample[rng.choice(len(sample), size=n_cents, replace=False)]
     for _ in range(KMEANS_ITERS):
         assign = np.argmax(sample @ cents.T, axis=1)  # cosine on unit rows
-        for c in range(N_CENTROIDS):
+        for c in range(n_cents):
             members = sample[assign == c]
             if len(members):
                 cents[c] = members.mean(axis=0)
@@ -198,6 +222,10 @@ class _IvfScorer:
 
         self.qids, self.qunit = ray.get(q_ref)
         self.cents = ray.get(cent_ref)
+        if self.cents.shape[1] != self.qunit.shape[1]:
+            # degenerate training (no candidates): one zero centroid ⇒
+            # every candidate lands in cell 0 ⇒ brute force
+            self.cents = np.zeros((1, self.qunit.shape[1]))
         # each query probes its N_PROBE nearest centroid cells
         qsims = self.qunit @ self.cents.T
         self.qprobe = np.argsort(-qsims, axis=1)[:, :N_PROBE]

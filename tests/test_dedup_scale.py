@@ -1,0 +1,149 @@
+"""Scale guards for the pairwise dedup family: skewed blocks must
+complete without materializing a quadratic frame, and the guarded paths
+must agree with the exact paths where both apply."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _skewed_corpus(tmp_path) -> str:
+    """1,000 docs, 90% in one (lang, source) block, with planted
+    near-duplicate pairs inside the dominant block."""
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(200)]
+    texts, langs, sources = [], [], []
+    for i in range(1000):
+        toks = list(rng.choice(vocab, size=30))
+        texts.append(" ".join(toks))
+        if i < 900:
+            langs.append("en")
+            sources.append("web")
+        else:
+            langs.append("fr")
+            sources.append("books")
+    # planted duplicates: doc 10 == doc 11, doc 20 ~ doc 21 (1-token edit)
+    texts[11] = texts[10]
+    t20 = texts[20].split()
+    t20[0] = "w0" if t20[0] != "w0" else "w1"
+    texts[21] = " ".join(t20)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(1000), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+        }
+    )
+    d = tmp_path / "skewed"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_ngram_skewed_block_banded_path(ray_session, tmp_path):
+    """A block over the group cap routes through in-group MinHash
+    banding: it completes, every emitted score is exact, the planted
+    dups surface, and the result is a subset of the exact answer."""
+    from chug_ray.ops.dedup import ngram_jaccard_pairs
+
+    sf = _skewed_corpus(tmp_path)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(sf, threshold=0.8).take_all()
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            sf, threshold=0.8, max_group_rows=100
+        ).take_all()
+    }
+    assert (10, 11) in banded  # identical pair always survives banding
+    assert banded[(10, 11)] == 1.0
+    assert set(banded) <= set(exact)  # candidates only pruned, never added
+    for pair, jac in banded.items():
+        assert jac == exact[pair]  # scores stay exact on the banded path
+    # near-identical planted pair is found by the exact path
+    assert (20, 21) in exact
+
+
+def test_ngram_exact_path_unchanged_at_sf(ray_session):
+    """Default cap ⇒ exact path at test scales: same answer as a direct
+    in-memory all-pairs computation."""
+    from chug_ray.ops.dedup import (
+        _jaccard,
+        _token_set,
+        ngram_jaccard_pairs,
+    )
+    from chug_ray.util import round_away
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    by_block: dict[tuple, list[tuple]] = {}
+    for did, text, lang, src in zip(
+        docs["doc_id"].to_pylist(),
+        docs["text"].to_pylist(),
+        docs["lang"].to_pylist(),
+        docs["source"].to_pylist(),
+    ):
+        by_block.setdefault((lang, src), []).append((did, _token_set(text)))
+    want = set()
+    for members in by_block.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                jac = _jaccard(members[i][1], members[j][1])
+                if jac >= 0.8:
+                    want.add(
+                        (members[i][0], members[j][0], float(round_away(jac, 4)))
+                    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(SF).take_all()
+    }
+    assert got == want
+
+
+def test_embedding_tiled_equals_untiled(ray_session):
+    from chug_ray.ops.dedup import embedding_near_dup
+
+    big = {
+        (r["vec_a"], r["vec_b"], r["cos_sim_e4"])
+        for r in embedding_near_dup(SF, tile=4096).take_all()
+    }
+    small = {
+        (r["vec_a"], r["vec_b"], r["cos_sim_e4"])
+        for r in embedding_near_dup(SF, tile=7).take_all()
+    }
+    assert big == small
+    assert big  # corpus contains same-label near-dups
+
+
+def test_ivf_centroids_clamp_on_tiny_corpus(ray_session, tmp_path):
+    """12 vectors: the stride sample is empty, the fallback samples the
+    4 candidates, centroid count clamps — knn_ivf still answers."""
+    from chug_ray.ops.knn import knn_ivf
+
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((12, 16))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(12), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, e)) for e in emb], pa.list_(pa.float64())
+            ),
+        }
+    )
+    d = tmp_path / "tiny"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    rows = knn_ivf(str(d)).take_all()
+    assert rows
+    assert {r["query_id"] for r in rows} <= set(range(8))
+    assert all(r["vec_id"] >= 8 for r in rows)
