@@ -34,13 +34,40 @@ except ImportError:
     HAVE_LANCE = False
 
 
+def is_lance_dir(path) -> bool:
+    """A Lance dataset directory carries a ``_versions`` manifest dir;
+    that (or a ``.lance`` suffix) is how the read side detects format —
+    the write side never has to leave breadcrumbs."""
+    return isinstance(path, str) and (
+        path.endswith(".lance")
+        or os.path.isdir(os.path.join(path, "_versions"))
+    )
+
+
 def read_table_dataset(paths, columns=None):
     """``ray.data`` read of a docs/media table: Lance if available, else Parquet."""
     import ray.data
 
-    if HAVE_LANCE and isinstance(paths, str) and paths.endswith(".lance"):
+    if HAVE_LANCE and is_lance_dir(paths):
         return ray.data.read_lance(paths, columns=columns)  # pragma: no cover
     return ray.data.read_parquet(paths, columns=columns)
+
+
+def read_partition_table(part_dir: str, columns=None):
+    """One written partition as a pyarrow table, whatever format it was
+    written in (a Lance partition read without ``lance`` importable is an
+    explicit error, not a parquet mis-read)."""
+    if is_lance_dir(part_dir):  # pragma: no cover - lance absent in sandbox
+        if not HAVE_LANCE:
+            raise RuntimeError(
+                f"{part_dir} is a Lance dataset but lance is not importable"
+            )
+        import lance as _lance
+
+        return _lance.dataset(part_dir).to_table(columns=columns)
+    import pyarrow.dataset as pads
+
+    return pads.dataset(part_dir, format="parquet").to_table(columns=columns)
 
 
 class MediaStore:
@@ -147,10 +174,8 @@ def output_stats(out_dir: str) -> tuple[int, int, int]:
     """(n_docs, n_err_docs, n_spans) of a written partition — columnar read
     of just the needed columns."""
     import pyarrow.compute as pc
-    import pyarrow.dataset as pads
 
-    ds = pads.dataset(out_dir, format="parquet")
-    tbl = ds.to_table(columns=["err", "spans"])
+    tbl = read_partition_table(out_dir, columns=["err", "spans"])
     n_docs = tbl.num_rows
     err_stage = pc.struct_field(tbl["err"], "stage")
     n_err = n_docs - err_stage.null_count
@@ -181,14 +206,12 @@ def write_output_partition(ds, out_dir: str) -> None:
 
 def read_output(out_root: str):
     """All completed partitions as one pyarrow table (test-scale helper)."""
-    import pyarrow.dataset as pads
-
     parts = sorted(
         os.path.join(out_root, d)
         for d in os.listdir(out_root)
         if d.startswith("part-") and not d.endswith(".tmp")
     )
-    tables = [pads.dataset(p, format="parquet").to_table() for p in parts]
+    tables = [read_partition_table(p) for p in parts]
     import pyarrow as pa
 
     return pa.concat_tables(tables) if tables else None

@@ -56,8 +56,11 @@ def build_vocab_ref(sf_dir: str):
     broadcast object."""
     import ray
 
-    if sf_dir in _VOCAB_CACHE:
-        return _VOCAB_CACHE[sf_dir]
+    from chug_ray.util import ray_session_key
+
+    cache_key = (ray_session_key(), sf_dir)
+    if cache_key in _VOCAB_CACHE:
+        return _VOCAB_CACHE[cache_key]
 
     compiled = re.compile(TOKEN_RE)
 
@@ -70,7 +73,7 @@ def build_vocab_ref(sf_dir: str):
     tokens = _docs(sf_dir).map_batches(local_unique, batch_format="pyarrow")
     vocab = {t: i + 1 for i, t in enumerate(sorted(tokens.unique("token")))}
     ref = ray.put(vocab)
-    _VOCAB_CACHE[sf_dir] = ref
+    _VOCAB_CACHE[cache_key] = ref
     return ref
 
 

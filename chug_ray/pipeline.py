@@ -95,13 +95,21 @@ _STORE_REF_CACHE: dict = {}
 
 def _store_ref_for(path: str):
     """Driver-side cache: read + ray.put the payload store once per
-    (path, mtime) per process — repeated executions (warm-up, retries,
-    multiple pipelines over one corpus) reuse the same plasma object."""
+    (session, path, mtime) per process — repeated executions (warm-up,
+    retries, multiple pipelines over one corpus) reuse the same plasma
+    object, and a new Ray session never sees the old session's
+    now-dangling refs."""
     import os
 
     import ray
 
-    key = (path, os.path.getmtime(path) if os.path.exists(path) else 0)
+    from chug_ray.util import ray_session_key
+
+    key = (
+        ray_session_key(),
+        path,
+        os.path.getmtime(path) if os.path.exists(path) else 0,
+    )
     ref = _STORE_REF_CACHE.get(key)
     if ref is None:
         ref = ray.put(MediaStore.load_arrow(path))

@@ -49,3 +49,17 @@ def stable_hash_hex(*parts: object) -> str:
         h.update(str(p).encode("utf-8"))
         h.update(b"\x00")
     return h.hexdigest()
+
+
+def ray_session_key() -> str:
+    """Identifier of the *current* Ray session, for keying driver-side
+    caches of ``ray.put`` ObjectRefs: after a ``ray.shutdown()`` +
+    ``ray.init()`` in the same process the old refs dangle, and a cache
+    keyed only by path would hand them back. The anonymous namespace is
+    a fresh UUID per driver session (job ids restart from 01000000 and
+    would collide)."""
+    import ray
+
+    if not ray.is_initialized():
+        return "uninitialized"
+    return ray.get_runtime_context().namespace
