@@ -77,14 +77,45 @@ def build_vocab_ref(sf_dir: str):
     return ref
 
 
+def save_vocab(sf_dir: str, path: str) -> str:
+    """Materialize the corpus vocab as a JSON artifact (token → id).
+
+    The production seam: a run over a huge corpus ships a pre-built
+    vocab file exactly like the reference ships a tokenizer name to
+    ``AutoTokenizer.from_pretrained`` per worker
+    (`/root/reference/src/chug/text/tokenization.py:99-130`)."""
+    import json
+
+    import ray
+
+    vocab = ray.get(build_vocab_ref(sf_dir))
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(vocab, f)
+    return path
+
+
 class TokenizerActor:
-    """Stateful stage: vocab fetched + regex compiled once per actor
-    (the reference's once-per-worker tokenizer load, T1)."""
+    """Stateful stage: vocab loaded + regex compiled once per actor
+    (the reference's once-per-worker tokenizer load, T1).
 
-    def __init__(self, vocab_ref, max_len: int):
-        import ray
+    ``vocab_src`` is either a ``ray.put`` handle to the broadcast
+    corpus-built vocab, or a *path* to a pre-built vocab JSON which each
+    actor loads in ``__init__`` — the file seam removes the driver-side
+    vocab build entirely at scale."""
 
-        self.vocab = ray.get(vocab_ref)
+    def __init__(self, vocab_src, max_len: int):
+        if isinstance(vocab_src, str):
+            import json
+
+            with open(vocab_src) as f:
+                self.vocab = json.load(f)
+        else:
+            import ray
+
+            self.vocab = ray.get(vocab_src)
         self.max_len = max_len
         self.token_re = re.compile(TOKEN_RE)
 
@@ -145,24 +176,27 @@ class TextTargets(TokenizerActor):
         )
 
 
-def tokenize_ids(sf_dir: str, max_len: int = 32):
-    """(doc_id, pos, token_id) — truncated tokenization to vocab ids."""
-    ref = build_vocab_ref(sf_dir)
+def tokenize_ids(sf_dir: str, max_len: int = 32, vocab_path: str | None = None):
+    """(doc_id, pos, token_id) — truncated tokenization to vocab ids.
+
+    ``vocab_path`` points at a pre-built vocab JSON loaded per actor
+    (the scale path); default builds + broadcasts the corpus vocab."""
+    src = vocab_path if vocab_path else build_vocab_ref(sf_dir)
     return _docs(sf_dir).map_batches(
         TokenizeIds,
-        fn_constructor_args=(ref, max_len),
+        fn_constructor_args=(src, max_len),
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
 
 
-def text_targets(sf_dir: str, max_len: int = 32):
+def text_targets(sf_dir: str, max_len: int = 32, vocab_path: str | None = None):
     """Fixed-length (doc_id, pos, input_id, target_id) grid with pad +
     prompt-prefix target masking."""
-    ref = build_vocab_ref(sf_dir)
+    src = vocab_path if vocab_path else build_vocab_ref(sf_dir)
     return _docs(sf_dir).map_batches(
         TextTargets,
-        fn_constructor_args=(ref, max_len),
+        fn_constructor_args=(src, max_len),
         batch_format="pyarrow",
         concurrency=(1, 8),
     )

@@ -42,15 +42,21 @@ def _config_hash(cfg: ExtractConfig) -> str:
 
 
 def plan_partitions(docs_path: str, num_partitions: int | None) -> list[list[str]]:
-    """Group input files into partitions (one file group per partition)."""
-    if os.path.isfile(docs_path):
-        files = [docs_path]
-    else:
-        files = sorted(
-            os.path.join(docs_path, f)
-            for f in os.listdir(docs_path)
-            if f.endswith(".parquet")
-        )
+    """Group input files into partitions (one file group per partition).
+
+    ``docs_path`` may be a file, a directory, or a url *pattern*:
+    ``::``-joined multi-source strings, ``${VAR}`` env substitution and
+    bash-style ``{000..099}`` / ``{a,b}`` brace expansion are resolved
+    by :mod:`chug_ray.urls` (the reference's M10 machinery)."""
+    from chug_ray.urls import expand_urls, plan_files
+
+    sources, _ = expand_urls(docs_path)
+    files = []
+    for src in sources:
+        files.extend(plan_files(src))
+    missing = [f for f in files if not os.path.isfile(f)]
+    if missing:
+        raise FileNotFoundError(f"input files not found: {missing[:5]}")
     if not files:
         raise FileNotFoundError(f"no parquet files under {docs_path}")
     p = min(num_partitions or len(files), len(files))
