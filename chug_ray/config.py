@@ -38,6 +38,14 @@ class ExtractConfig:
     max_actors: int | None = None
     num_cpus_per_actor: float = 1.0
     media_store_path: str | None = None
+    # payload store backend: "broadcast" ray.puts the ref-sorted payload
+    # table once (small stores); "ranged" prepares a ref-sorted small-
+    # row-group copy and actors do ranged row-group reads + LRU — the
+    # backend for payload corpora that exceed the object store.
+    media_store_mode: str = "broadcast"
+    # plan-time internal: the prepared ranged-store dir (set by
+    # build_extract_pipeline, shipped to workers inside cfg_json)
+    media_store_ranged_path: str | None = None
     # False (default): extract stages run as Ray TASK pools with state
     # cached once per worker process — tasks schedule to full cluster
     # width immediately. True: autoscaling actor pools (same kernels,

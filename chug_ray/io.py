@@ -135,6 +135,177 @@ class MediaStore:
         return dict(zip(tbl["media_ref"].to_pylist(), tbl["n_pages"].to_pylist()))
 
 
+def prepare_ranged_store(
+    media_parquet: str,
+    dst_dir: str | None = None,
+    rows_per_group: int = 256,
+) -> str:
+    """One-time ingest step for the ranged backend: rewrite the payload
+    table **ref-sorted with small row groups**, so per-actor lookups can
+    read just the row group whose [min, max] ref range covers the key.
+
+    Distributed (``ray.data`` sort → parquet) when a Ray session exists —
+    at scale this is the usual sort-partitioned ingest write; falls back
+    to a driver-side pyarrow sort for tiny/offline use. Output cached by
+    (path, mtime, rows_per_group)."""
+    import pyarrow as pa
+
+    from chug_ray.util import stable_hash_hex
+
+    mtime = os.path.getmtime(media_parquet)
+    if dst_dir is None:
+        key = stable_hash_hex(media_parquet, mtime, rows_per_group)
+        dst_dir = os.path.join("/tmp/chug_ray_ranged", key)
+    if os.path.isdir(dst_dir):
+        if os.listdir(dst_dir):
+            return dst_dir
+        import shutil
+
+        shutil.rmtree(dst_dir)  # empty stub: redo the prepare
+    tmp = dst_dir + ".tmp"
+    if os.path.isdir(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        import ray
+
+        have_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        have_ray = False
+    if have_ray:
+        import pyarrow as _pa
+        import ray.data
+
+        from chug_ray.util import stable_hash_hex as _hx
+
+        def write_group(batch: _pa.Table) -> _pa.Table:
+            # one small ref-sorted file per batch: a distributed
+            # sort-partitioned write with no driver involvement
+            p = os.path.join(
+                tmp, f"g-{_hx(batch['media_ref'][0].as_py())}.parquet"
+            )
+            pq.write_table(batch, p, row_group_size=rows_per_group)
+            return _pa.table({"path": _pa.array([p])})
+
+        (
+            ray.data.read_parquet(
+                media_parquet, columns=["media_ref", "payload"]
+            )
+            .sort("media_ref")
+            .map_batches(
+                write_group, batch_format="pyarrow", batch_size=rows_per_group
+            )
+            .count()
+        )
+    else:
+        import pyarrow.dataset as pads
+
+        tbl = (
+            pads.dataset(media_parquet, format="parquet")
+            .to_table(columns=["media_ref", "payload"])
+            .sort_by("media_ref")
+        )
+        pq.write_table(
+            tbl, os.path.join(tmp, "part-0.parquet"), row_group_size=rows_per_group
+        )
+    os.replace(tmp, dst_dir)
+    return dst_dir
+
+
+class RangedMediaStore:
+    """media_ref → payload via **ranged row-group reads + LRU**: the
+    100 TB backend behind the same ``lookup()`` interface as the
+    broadcast :class:`MediaStore`.
+
+    Per actor, ``_ensure`` reads only the parquet *footers* of the
+    prepared (ref-sorted, small-row-group) store and builds a sorted
+    index of per-row-group [min, max] ref ranges. A lookup binary-
+    searches the index, reads the one covering row group (a ranged read
+    of ~``rows_per_group`` payloads), and keeps the last
+    ``cache_groups`` decoded groups in an LRU — so an actor touches only
+    the slice of the payload corpus its batches reference, never the
+    whole table."""
+
+    def __init__(self, store_dir: str, cache_groups: int = 8):
+        self.store_dir = store_dir
+        self.cache_groups = cache_groups
+        self._index = None  # (mins, maxs, file_idx, rg_idx) sorted by min
+        self._files = None
+        self._lru: "dict[tuple, tuple]" = {}
+
+    def _ensure(self):
+        if self._index is not None:
+            return
+        import numpy as np
+
+        if os.path.isdir(self.store_dir):
+            paths = sorted(
+                os.path.join(self.store_dir, f)
+                for f in os.listdir(self.store_dir)
+                if f.endswith(".parquet")
+            )
+        else:
+            paths = [self.store_dir]
+        self._files = [pq.ParquetFile(p) for p in paths]
+        mins, maxs, fidx, gidx = [], [], [], []
+        for fi, pf in enumerate(self._files):
+            md = pf.metadata
+            col = {c: i for i, c in enumerate(md.schema.names)}["media_ref"]
+            for gi in range(md.num_row_groups):
+                st = md.row_group(gi).column(col).statistics
+                if st is None or st.min is None:  # pragma: no cover
+                    raise RuntimeError(
+                        f"{paths[fi]} row group {gi} lacks media_ref stats"
+                    )
+                mins.append(st.min)
+                maxs.append(st.max)
+                fidx.append(fi)
+                gidx.append(gi)
+        order = np.argsort(np.array(mins, dtype=str), kind="stable")
+        self._index = (
+            np.array(mins, dtype=str)[order],
+            np.array(maxs, dtype=str)[order],
+            np.array(fidx, dtype=np.int64)[order],
+            np.array(gidx, dtype=np.int64)[order],
+        )
+
+    def _group(self, fi: int, gi: int):
+        key = (fi, gi)
+        hit = self._lru.pop(key, None)
+        if hit is None:
+            import numpy as np
+
+            tbl = self._files[fi].read_row_group(
+                gi, columns=["media_ref", "payload"]
+            )
+            hit = (np.asarray(tbl["media_ref"], dtype=str), tbl["payload"])
+            if len(self._lru) >= self.cache_groups:
+                self._lru.pop(next(iter(self._lru)))  # evict oldest
+        self._lru[key] = hit  # (re)insert as most recent
+        return hit
+
+    def lookup(self, media_ref: str) -> bytes | None:
+        import numpy as np
+
+        self._ensure()
+        mins, maxs, fidx, gidx = self._index
+        if not len(mins):
+            return None
+        # rightmost group whose min ≤ ref; ranges are disjoint after the
+        # sorted write, but check a neighbor in case of equal-min groups
+        i = int(np.searchsorted(mins, media_ref, side="right")) - 1
+        for j in (i, i - 1):
+            if j < 0 or media_ref < mins[j] or media_ref > maxs[j]:
+                continue
+            refs, payloads = self._group(int(fidx[j]), int(gidx[j]))
+            k = int(np.searchsorted(refs, media_ref))
+            if k < len(refs) and refs[k] == media_ref:
+                return payloads[k].as_py()
+        return None
+
+
 @dataclass
 class PartitionManifest:
     partition_id: str

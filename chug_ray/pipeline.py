@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 
 from chug_ray.config import ExtractConfig
 from chug_ray.errors import ExtractError
-from chug_ray.io import MediaStore
+from chug_ray.io import MediaStore, RangedMediaStore, prepare_ranged_store
 from chug_ray.kernels import extract as ex
 from chug_ray.schema import OUT_SCHEMA, PARSE_STRUCT, SPANS_TYPE, ERR_STRUCT
 
@@ -117,6 +117,14 @@ def _store_ref_for(path: str):
     return ref
 
 
+def _build_store(cfg: ExtractConfig, data=None):
+    """The payload store behind one ``lookup()`` interface: ranged
+    row-group reads (scale backend) or the broadcast table view."""
+    if cfg.media_store_mode == "ranged" and cfg.media_store_ranged_path:
+        return RangedMediaStore(cfg.media_store_ranged_path)
+    return MediaStore(cfg.media_store_path, data=data)
+
+
 def make_classifier(meta_ref, threshold: int):
     """Vectorized cost estimator. ``meta_ref`` is a ``ray.put`` handle to
     the (small) page-count side data as a pair of *sorted numpy arrays*
@@ -178,7 +186,7 @@ class ExtractDocActor:
         # fn_constructor_args ships the ObjectRef itself; one ray.get per
         # actor pulls the payload dict from the node-local object store
         data = ray.get(store_ref) if store_ref is not None else None
-        self.store = MediaStore(self.cfg.media_store_path, data=data)
+        self.store = _build_store(self.cfg, data=data)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -208,7 +216,7 @@ class ExplodeActor:
         # fn_constructor_args ships the ObjectRef itself; one ray.get per
         # actor pulls the payload dict from the node-local object store
         data = ray.get(store_ref) if store_ref is not None else None
-        self.store = MediaStore(self.cfg.media_store_path, data=data)
+        self.store = _build_store(self.cfg, data=data)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -300,7 +308,7 @@ class ExtractUnitActor:
         # fn_constructor_args ships the ObjectRef itself; one ray.get per
         # actor pulls the payload dict from the node-local object store
         data = ray.get(store_ref) if store_ref is not None else None
-        self.store = MediaStore(self.cfg.media_store_path, data=data)
+        self.store = _build_store(self.cfg, data=data)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -410,7 +418,7 @@ def _worker_state(cfg_json: str, store_ref):
     if state is None:
         cfg = ExtractConfig.from_json(cfg_json)
         data = _resolve_bcast(store_ref) if store_ref is not None else None
-        store = MediaStore(cfg.media_store_path, data=data)
+        store = _build_store(cfg, data=data)
         store._ensure()
         state = _STATE_CACHE[key] = (cfg, store)
     return state
@@ -469,15 +477,32 @@ def build_extract_pipeline(docs, cfg: ExtractConfig, media_meta_ref=None):
         import dataclasses
 
         cfg = dataclasses.replace(cfg, error_policy=base_policy)
-    cfg_json = cfg.to_json()
-    # payload store: loaded + ray.put ONCE driver-side (cached across
-    # executions); workers get a zero-copy plasma view, resolved once per
-    # actor (actor path) or per worker process (task path).
-    store_ref = (
-        _store_ref_for(cfg.media_store_path)
-        if cfg.media_store_path is not None
-        else None
-    )
+    if cfg.media_store_mode not in ("broadcast", "ranged"):
+        raise ValueError(
+            f"unknown media_store_mode {cfg.media_store_mode!r}; "
+            "expected 'broadcast' or 'ranged'"
+        )
+    if cfg.media_store_mode == "ranged" and cfg.media_store_path is not None:
+        # prepare the ref-sorted ranged store once (cached by mtime);
+        # workers open it lazily — nothing is broadcast.
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            media_store_ranged_path=prepare_ranged_store(cfg.media_store_path),
+        )
+        store_ref = None
+        cfg_json = cfg.to_json()
+    else:
+        cfg_json = cfg.to_json()
+        # payload store: loaded + ray.put ONCE driver-side (cached across
+        # executions); workers get a zero-copy plasma view, resolved once
+        # per actor (actor path) or per worker process (task path).
+        store_ref = (
+            _store_ref_for(cfg.media_store_path)
+            if cfg.media_store_path is not None
+            else None
+        )
     classified = docs.map_batches(
         make_classifier(media_meta_ref, cfg.heavy_cost_threshold),
         batch_format="pyarrow",

@@ -125,6 +125,13 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--out", required=True)
     parser.add_argument("--partitions", type=int, default=None)
     parser.add_argument("--page-sampling", default="all_valid")
+    parser.add_argument(
+        "--media-mode",
+        default="broadcast",
+        choices=["broadcast", "ranged"],
+        help="payload store backend: broadcast (ray.put once) or ranged "
+        "(per-actor row-group reads + LRU over a ref-sorted store)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument("--num-cpus", type=int, default=None)
@@ -157,6 +164,7 @@ def main(argv: list[str] | None = None) -> None:
             page_sampling=args.page_sampling,
             seed=args.seed,
             media_store_path=args.media,
+            media_store_mode=args.media_mode,
         )
         manifests = run_job(
             args.docs,

@@ -44,6 +44,42 @@ def test_pipeline_matches_oracle(ray_session, t1_corpus, policy):
     _assert_matches_oracle(ray_session, t1_corpus, cfg)
 
 
+@pytest.mark.parametrize("mode", ["broadcast", "ranged"])
+def test_store_backends_bit_identical(ray_session, t1_corpus, mode):
+    """The ranged row-group backend must produce the same spans as the
+    broadcast backend, and both must match the sequential oracle."""
+    _, docs_path, media_path = t1_corpus
+    cfg = ExtractConfig(
+        page_sampling="all_valid",
+        seed=3,
+        media_store_path=media_path,
+        media_store_mode=mode,
+        # drive some docs down the heavy path so every store-consuming
+        # stage (light extract, explode planning, unit decode) runs
+        heavy_cost_threshold=40,
+    )
+    _assert_matches_oracle(ray_session, t1_corpus, cfg)
+
+
+def test_ranged_store_lookup_with_tiny_lru(ray_session, t1_corpus):
+    """Cache capacity 1 still answers every ref correctly (evict+reload)."""
+    import pyarrow.parquet as pq2
+
+    from chug_ray.io import MediaStore, RangedMediaStore, prepare_ranged_store
+
+    _, _, media_path = t1_corpus
+    store_dir = prepare_ranged_store(media_path, rows_per_group=4)
+    ranged = RangedMediaStore(store_dir, cache_groups=1)
+    broadcast = MediaStore(media_path)
+    refs = pq2.read_table(media_path, columns=["media_ref"])[
+        "media_ref"
+    ].to_pylist()
+    assert refs
+    for ref in refs:
+        assert ranged.lookup(ref) == broadcast.lookup(ref)
+    assert ranged.lookup("zzz-no-such-ref") is None
+
+
 def test_all_heavy_equals_all_light(ray_session, t1_corpus):
     """Forcing every doc down the explode/reassemble path must reproduce
     the light path bit-for-bit — the explode is a bijection."""
