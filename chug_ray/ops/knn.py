@@ -110,11 +110,19 @@ def knn_bruteforce(sf_dir: str, k: int = DEFAULT_K):
     )
 
 
-N_PLANES = 4  # 2^4 = 16 buckets
+N_PLANES = 4  # 2^4 = 16 buckets per table
+N_TABLES = 8  # candidate ⇔ bucket match in ANY table (standard multi-table LSH)
 
 
 class _LshScorer:
-    """Actor: hyperplanes + queries built once per actor."""
+    """Actor: hyperplane tables + queries built once per actor.
+
+    Multi-table random-hyperplane LSH: ``N_TABLES`` independent
+    4-plane tables; a vector is a candidate for a query when their
+    16-way bucket ids match in *any* table. One table's miss rate for a
+    true neighbor is high on weakly-structured data, but the tables are
+    independent, so recall ≈ 1 − miss^L while the candidate fraction
+    stays ≪ 1."""
 
     def __init__(self, q_ref, k: int):
         import ray
@@ -122,8 +130,13 @@ class _LshScorer:
         self.qids, self.qunit = ray.get(q_ref)
         rng = np.random.default_rng(1234)
         dim = self.qunit.shape[1]
-        self.planes = rng.standard_normal((dim, N_PLANES))
-        self.qbuckets = (self.qunit @ self.planes > 0) @ (1 << np.arange(N_PLANES))
+        self.planes = rng.standard_normal((N_TABLES, dim, N_PLANES))
+        self.pows = 1 << np.arange(N_PLANES)
+        # (n_query, N_TABLES) bucket ids
+        self.qbuckets = np.stack(
+            [(self.qunit @ self.planes[t] > 0) @ self.pows for t in range(N_TABLES)],
+            axis=1,
+        )
         self.k = k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -133,10 +146,13 @@ class _LshScorer:
         ids = batch["vec_id"].to_numpy()[cand_mask]
         mat = np.stack(batch["embedding"].to_numpy()[cand_mask]).astype(np.float64)
         unit = _unit_rows(mat)
-        buckets = (unit @ self.planes > 0) @ (1 << np.arange(N_PLANES))
+        buckets = np.stack(
+            [(unit @ self.planes[t] > 0) @ self.pows for t in range(N_TABLES)],
+            axis=1,
+        )  # (n_cand, N_TABLES)
         frames = []
         for qi, qid in enumerate(self.qids):
-            sel = buckets == self.qbuckets[qi]  # probe only the query's bucket
+            sel = (buckets == self.qbuckets[qi][None, :]).any(axis=1)
             if not sel.any():
                 continue
             sims = unit[sel] @ self.qunit[qi]
@@ -161,7 +177,7 @@ class _LshScorer:
 
 
 N_CENTROIDS = 8
-N_PROBE = 2
+N_PROBE = 3
 KMEANS_ITERS = 5
 
 

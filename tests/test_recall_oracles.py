@@ -1,0 +1,101 @@
+"""Recall oracles for the approximate family (VERDICT round-1 item 8):
+knn_lsh / knn_ivf recall@10 vs the DuckDB-oracled brute force, and
+deterministic candidate properties for MinHash banding vs the exact
+pairwise ops."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+# measured: lsh .713/.762, ivf .625/.600 at sf0.001/sf0.01 — pinned with
+# margin; a param or hash-family regression trips these
+LSH_MIN_RECALL = 0.6
+IVF_MIN_RECALL = 0.45
+
+
+def _pairs(ds):
+    return {(r["query_id"], r["vec_id"]) for r in ds.take_all()}
+
+
+@pytest.mark.parametrize("sf", [SF, SF01])
+def test_ann_recall_vs_bruteforce(ray_session, sf):
+    from chug_ray.ops.knn import knn_bruteforce, knn_ivf, knn_lsh
+
+    exact = _pairs(knn_bruteforce(sf))
+    assert exact
+    lsh_recall = len(exact & _pairs(knn_lsh(sf))) / len(exact)
+    ivf_recall = len(exact & _pairs(knn_ivf(sf))) / len(exact)
+    assert lsh_recall >= LSH_MIN_RECALL, f"LSH recall {lsh_recall:.3f}"
+    assert ivf_recall >= IVF_MIN_RECALL, f"IVF recall {ivf_recall:.3f}"
+
+
+def test_lsh_deterministic(ray_session):
+    from chug_ray.ops.knn import knn_lsh
+
+    a = sorted(map(tuple, (r.values() for r in knn_lsh(SF).take_all())))
+    b = sorted(map(tuple, (r.values() for r in knn_lsh(SF).take_all())))
+    assert a == b
+
+
+def test_minhash_surfaces_every_exact_duplicate(ray_session):
+    """Identical texts have identical signatures in every band, so every
+    md5-duplicate pair MUST appear as a MinHash pair with jaccard 1.0 —
+    a deterministic lower bound on banding recall. (sf0.1 is the only
+    test scale whose corpus plants exact duplicates.)"""
+    from chug_ray.ops.dedup import minhash_lsh_pairs
+
+    sf = "/root/testdata/sf0.1"
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    by_md5: dict[str, list[int]] = {}
+    for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        by_md5.setdefault(hashlib.md5(text.encode()).hexdigest(), []).append(did)
+    dup_pairs = set()
+    for ids in by_md5.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                dup_pairs.add((ids[i], ids[j]))
+    assert dup_pairs, "corpus contains exact duplicates"
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(sf).take_all()
+    }
+    for pair in dup_pairs:
+        assert pair in got and got[pair] == 1.0, pair
+
+
+def test_minhash_high_pairs_subset_of_ngram(ray_session):
+    """MinHash pairs scoring ≥ the ngram threshold within one
+    (lang, source) block must appear in the exact blocked op with the
+    same score (banding only prunes candidates; scores are exact)."""
+    from chug_ray.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    block = {
+        d: (l, s)
+        for d, l, s in zip(
+            docs["doc_id"].to_pylist(),
+            docs["lang"].to_pylist(),
+            docs["source"].to_pylist(),
+        )
+    }
+    ngram = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(SF, threshold=0.8).take_all()
+    }
+    checked = 0
+    for r in minhash_lsh_pairs(SF).take_all():
+        a, b, jac = r["doc_a"], r["doc_b"], r["jaccard"]
+        if jac >= 0.8 and block[a] == block[b]:
+            assert ngram.get((a, b)) == jac, (a, b, jac)
+            checked += 1
+    assert checked, "no same-block high-similarity pairs to cross-check"
