@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_union": sources.weighted_union,
         "flatten_props": sources.flatten_props,
         "vqa_prompt": sources.vqa_prompt,
+        "hfds_docs": sources.hfds_docs,
         # --- extraction pipeline (rows-only; oracle = pytest goldens)
         "extract_all_valid": lambda sf: _extract_summary(sf, "all_valid"),
         "extract_first": lambda sf: _extract_summary(sf, "first"),
@@ -327,6 +328,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, lang FROM documents
             WHERE (source = 'src0' AND doc_id % 100 < 70)
                OR (source <> 'src0' AND doc_id % 100 < 30)
+        """,
+        "hfds_docs": """
+            SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
         """,
         "flatten_props": """
             SELECT event_id, event_type,

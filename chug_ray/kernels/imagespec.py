@@ -105,6 +105,107 @@ def coerce_image(result: np.ndarray, spec: str) -> np.ndarray:
     return result
 
 
+def align_long_axis(image: np.ndarray, input_size: tuple[int, int]) -> np.ndarray:
+    """Rotate −90° (clockwise, expand) when the image's long axis
+    disagrees with the target ``input_size=(h, w)`` — the reference's
+    AlignLongAxis (`transforms_torch.py:10-26`). Exact 90° rotation, so
+    the interpolation mode is irrelevant."""
+    h, w = image.shape[:2]
+    th, tw = input_size
+    if (th > tw and w > h) or (th < tw and w < h):
+        return np.rot90(image, k=-1).copy()
+    return image
+
+
+def bitmap(image: np.ndarray, threshold: int = 200) -> np.ndarray:
+    """Point LUT: values below ``threshold`` → 0, others unchanged — the
+    reference's Bitmap (`transforms_torch.py:29-38`), identical per
+    channel."""
+    return np.where(image < threshold, 0, image).astype(image.dtype)
+
+
+def _pool2d(image: np.ndarray, kernel_size: int, minimum: bool) -> np.ndarray:
+    if kernel_size % 2 != 1 or kernel_size < 1:
+        raise ValueError(f"kernel_size must be odd and ≥1, got {kernel_size}")
+    p = kernel_size // 2
+    pad_value = (
+        np.iinfo(image.dtype).max
+        if minimum
+        else np.iinfo(image.dtype).min
+    ) if np.issubdtype(image.dtype, np.integer) else (np.inf if minimum else -np.inf)
+    pad_width = [(p, p), (p, p)] + [(0, 0)] * (image.ndim - 2)
+    padded = np.pad(image, pad_width, constant_values=pad_value)
+    win = np.lib.stride_tricks.sliding_window_view(
+        padded, (kernel_size, kernel_size), axis=(0, 1)
+    )
+    out = win.min(axis=(-2, -1)) if minimum else win.max(axis=(-2, -1))
+    return out.astype(image.dtype)
+
+
+def erosion(image: np.ndarray, kernel_size: int = 3) -> np.ndarray:
+    """Min-pool (stride 1, same size) — the reference's Erosion
+    (`transforms_torch.py:41-64`, the min-pool branch). Border windows
+    ignore out-of-image pixels, like −maxpool(−x) with padding. The
+    reference's random kernel choice over a (lo, hi) pair is
+    training-time augmentation; this deterministic port takes the kernel
+    explicitly."""
+    return _pool2d(image, kernel_size, minimum=True)
+
+
+def dilation(image: np.ndarray, kernel_size: int = 3) -> np.ndarray:
+    """Max-pool (stride 1, same size) — the reference's Dilation
+    (`transforms_torch.py:67-86`)."""
+    return _pool2d(image, kernel_size, minimum=False)
+
+
+# name → deterministic post-decode transform builder; the doc-transform
+# subset of the reference's §2.11 stacks that is pure array math (the
+# random aug stacks are training-time and stay out of scope).
+DOC_TRANSFORMS = {
+    "crop_margin": lambda arg=None: (
+        lambda img: crop_margin(img, int(arg) if arg else 200)
+    ),
+    "bitmap": lambda arg=None: (
+        lambda img: bitmap(img, int(arg) if arg else 200)
+    ),
+    "erosion": lambda arg=None: (
+        lambda img: erosion(img, int(arg) if arg else 3)
+    ),
+    "dilation": lambda arg=None: (
+        lambda img: dilation(img, int(arg) if arg else 3)
+    ),
+    "align_long_axis": lambda arg=None: (
+        lambda img: align_long_axis(
+            img, tuple(int(x) for x in (arg or "1024,768").split(","))
+        )
+    ),
+}
+
+
+def build_doc_transform(specs: list[str] | None):
+    """Compile ``["bitmap:180", "erosion:3", ...]`` into one callable
+    (the factory shape of the reference's transform builders,
+    `build_transforms_doc.py`)."""
+    if not specs:
+        return None
+    fns = []
+    for spec in specs:
+        name, _, arg = spec.partition(":")
+        if name not in DOC_TRANSFORMS:
+            raise ValueError(
+                f"unknown doc transform {name!r}; expected one of "
+                f"{sorted(DOC_TRANSFORMS)}"
+            )
+        fns.append(DOC_TRANSFORMS[name](arg or None))
+
+    def apply(img: np.ndarray) -> np.ndarray:
+        for fn in fns:
+            img = fn(img)
+        return img
+
+    return apply
+
+
 def find_dark_bounding_rect(
     gray: np.ndarray, threshold: int = 200
 ) -> tuple[int, int, int, int] | None:

@@ -154,12 +154,20 @@ class ImagespecDecoder:
     resize/feature-extract stage would use; pixel math is the
     deterministic SIMG raster."""
 
-    def __init__(self, spec: str, gray_threshold: int = 200):
-        from chug_ray.kernels.imagespec import parse_imagespec
+    def __init__(
+        self,
+        spec: str,
+        gray_threshold: int = 200,
+        transforms: list[str] | None = None,
+    ):
+        from chug_ray.kernels.imagespec import build_doc_transform, parse_imagespec
 
         parse_imagespec(spec)  # plan-time validation, like the reference
         self.spec = spec
         self.gray_threshold = gray_threshold
+        # optional deterministic doc-transform stack (bitmap/erosion/
+        # dilation/align_long_axis/crop_margin), compiled once per actor
+        self.transform = build_doc_transform(transforms)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         from chug_ray.kernels.imagespec import coerce_image, crop_margin
@@ -178,6 +186,8 @@ class ImagespecDecoder:
                 continue
             raster = simg.render_frame(frames[0])
             out = coerce_image(raster, self.spec)
+            if self.transform is not None:
+                out = self.transform(out)
             cropped = crop_margin(out, self.gray_threshold)
             rows.append(
                 {
@@ -200,13 +210,18 @@ class ImagespecDecoder:
         )
 
 
-def imagespec_decode(media_path: str, spec: str = "rgb8"):
-    """Actor-pool imagespec decode stage over a media table."""
+def imagespec_decode(
+    media_path: str, spec: str = "rgb8", transforms: list[str] | None = None
+):
+    """Actor-pool imagespec decode stage over a media table.
+
+    ``transforms`` is an optional deterministic doc-transform stack
+    (``["bitmap:180", "erosion:3", ...]``) applied after coercion."""
     import ray.data
 
     return ray.data.read_parquet(media_path).map_batches(
         ImagespecDecoder,
-        fn_constructor_args=(spec,),
+        fn_constructor_args=(spec, 200, transforms),
         batch_format="pandas",
         batch_size=64,
         concurrency=(1, 16),

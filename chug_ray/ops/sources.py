@@ -102,6 +102,124 @@ def flatten_props(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# hfds-shaped source (reference S6: hf-datasets loader re-expressed)
+# --------------------------------------------------------------------------
+# The reference's HF path (`/root/reference/src/chug/hfds/loader.py:32-189`)
+# loads a dataset snapshot (parquet-backed), disables eager image/audio
+# decode via cast_column, and wraps map-style access in SafeDataset
+# (`hfds/wrappers.py:5-27`) which skips forward past corrupt rows.
+# Ray-native equivalents: snapshots ARE parquet → read the split's shard
+# files directly (decode-disable is inherent — binary columns stay opaque
+# bytes in Arrow); SafeDataset's skip-forward becomes the engine's row
+# error policy (failing rows are masked out of the batch and the pipeline
+# continues — same observable stream as "retry with the next index").
+
+
+def hfds_snapshot_files(snapshot_dir: str, split: str = "train") -> list[str]:
+    """The parquet shards of one split in an HF-datasets-style snapshot
+    (``data/{split}-NNNNN-of-NNNNN.parquet``, or flat in the root)."""
+    import os
+
+    for base in (os.path.join(snapshot_dir, "data"), snapshot_dir):
+        if not os.path.isdir(base):
+            continue
+        files = sorted(
+            os.path.join(base, f)
+            for f in os.listdir(base)
+            if f.startswith(f"{split}-") and f.endswith(".parquet")
+        )
+        if files:
+            return files
+    raise FileNotFoundError(
+        f"no parquet shards for split {split!r} under {snapshot_dir}"
+    )
+
+
+def make_hfds_snapshot(
+    src_parquet: str, dst_dir: str, split: str = "train", shards: int = 2
+) -> str:
+    """Materialize a parquet table as an HF-style snapshot dir (demo /
+    test helper; a real snapshot comes from ``huggingface_hub``)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(dst_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    tbl = pq.read_table(src_parquet)
+    n = tbl.num_rows
+    per = (n + shards - 1) // shards
+    for s in range(shards):
+        pq.write_table(
+            tbl.slice(s * per, per),
+            os.path.join(data_dir, f"{split}-{s:05d}-of-{shards:05d}.parquet"),
+        )
+    return dst_dir
+
+
+def hfds_source(
+    snapshot_dir: str,
+    split: str = "train",
+    columns=None,
+    decode_fn=None,
+    error_policy: str = "skip",
+):
+    """Read an HF-datasets-style parquet snapshot as a Dataset.
+
+    ``decode_fn`` (row dict → row dict, schema-preserving) runs per row
+    with SafeDataset semantics: under ``error_policy="skip"`` a raising
+    row is dropped and the stream continues; ``"raise"`` propagates
+    (test mode)."""
+    from chug_ray.io import read_table_dataset
+
+    ds = read_table_dataset(hfds_snapshot_files(snapshot_dir, split), columns=columns)
+    if decode_fn is None:
+        return ds
+
+    def apply(batch: pa.Table) -> pa.Table:
+        out_rows = []
+        for row in batch.to_pylist():
+            try:
+                out_rows.append(decode_fn(row))
+            except Exception:
+                if error_policy == "raise":
+                    raise
+        return pa.Table.from_pylist(out_rows, schema=batch.schema)
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def hfds_docs(sf_dir: str):
+    """Documents round-tripped through a synthetic HF snapshot (cached
+    per corpus) and read back via ``hfds_source`` — SQL-oracle-able
+    because the snapshot holds exactly the documents rows."""
+    import os
+
+    from chug_ray.util import stable_hash_hex
+
+    src = f"{sf_dir}/documents.parquet"
+    snap = os.path.join(
+        "/tmp/chug_ray_hfds", stable_hash_hex(src, os.path.getmtime(src))
+    )
+    if not os.path.isdir(os.path.join(snap, "data")):
+        make_hfds_snapshot(src, snap)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+            }
+        )
+
+    return hfds_source(
+        snap, columns=["doc_id", "lang", "source", "n_chars"]
+    ).map_batches(project, batch_format="pyarrow")
+
+
 # prompt template tokens — same shape as the reference defaults
 # (doc_vqa_processor.py:21-24: '<s_question>', '</s_question><s_answer>')
 Q_PRE = "<s_question>"
