@@ -104,41 +104,62 @@ class TokenizerActor:
     ``vocab_src`` is either a ``ray.put`` handle to the broadcast
     corpus-built vocab, or a *path* to a pre-built vocab JSON which each
     actor loads in ``__init__`` — the file seam removes the driver-side
-    vocab build entirely at scale."""
+    vocab build entirely at scale.
+
+    Ids are the 1-based alphabetical ranks, so the vocab is held as one
+    sorted numpy string array and id lookup is a vectorized
+    ``searchsorted`` over the whole batch — no per-token Python."""
 
     def __init__(self, vocab_src, max_len: int):
         if isinstance(vocab_src, str):
             import json
 
             with open(vocab_src) as f:
-                self.vocab = json.load(f)
+                vocab = json.load(f)
         else:
             import ray
 
-            self.vocab = ray.get(vocab_src)
+            vocab = ray.get(vocab_src)
+        self.vocab_arr = np.array(sorted(vocab), dtype=str)
         self.max_len = max_len
         self.token_re = re.compile(TOKEN_RE)
 
-    def _ids(self, text: str) -> list[int]:
-        toks = self.token_re.findall(text.lower())[: self.max_len]
-        return [self.vocab[t] for t in toks]
+    def _ids_batch(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """(tokens-per-doc counts, flat 1-based ids), truncated at
+        ``max_len`` per doc; unknown tokens raise (dict-lookup parity)."""
+        toks = [self.token_re.findall(t.lower())[: self.max_len] for t in texts]
+        counts = np.fromiter(
+            (len(t) for t in toks), dtype=np.int64, count=len(toks)
+        )
+        if not counts.sum():
+            return counts, np.empty(0, dtype=np.int64)
+        flat_toks = np.array(
+            [tok for doc in toks for tok in doc], dtype=str
+        )
+        idx = np.searchsorted(self.vocab_arr, flat_toks)
+        idx_c = np.clip(idx, 0, len(self.vocab_arr) - 1)
+        bad = self.vocab_arr[idx_c] != flat_toks
+        if bad.any():
+            raise KeyError(f"token not in vocab: {flat_toks[bad][0]!r}")
+        return counts, idx_c + 1
 
 
 class TokenizeIds(TokenizerActor):
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, positions, ids = [], [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            for pos, tid in enumerate(self._ids(text)):
-                doc_ids.append(doc_id)
-                positions.append(pos)
-                ids.append(tid)
+        counts, flat_ids = self._ids_batch(batch["text"].to_pylist())
+        doc_ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), counts
+        )
+        # per-doc position index: 0..count-1 for each doc, flat
+        ends = np.cumsum(counts)
+        positions = np.arange(ends[-1] if len(ends) else 0) - np.repeat(
+            ends - counts, counts
+        )
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "pos": pa.array(positions, pa.int64()),
-                "token_id": pa.array(ids, pa.int64()),
+                "token_id": pa.array(flat_ids, pa.int64()),
             }
         )
 
@@ -149,19 +170,28 @@ class TextTargets(TokenizerActor):
         max_len = self.max_len
         input_ids = np.full((n, max_len), PAD_ID, dtype=np.int64)
         targets = np.full((n, max_len), MASK_ID, dtype=np.int64)
-        for r, text in enumerate(batch["text"].to_pylist()):
-            ids = self._ids(text)
-            if not ids:
-                continue
-            k = len(ids)
-            arr = np.asarray(ids, dtype=np.int64)
-            input_ids[r, :k] = arr
-            targets[r, :k] = arr
+        counts, flat = self._ids_batch(batch["text"].to_pylist())
+        if counts.sum():
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            rows = np.repeat(np.arange(n), counts)
+            cols = np.arange(ends[-1]) - np.repeat(starts, counts)
+            input_ids[rows, cols] = flat
+            targets[rows, cols] = flat
             # prompt prefix mask: everything up to (incl.) the LAST
-            # occurrence of the first token — reference masks through the
-            # last prompt_end token (tokenization.py:7-9, 30-35)
-            prompt_end = int(np.nonzero(arr == arr[0])[0].max())
-            targets[r, : prompt_end + 1] = MASK_ID
+            # occurrence of the doc's first token — reference masks
+            # through the last prompt_end token (tokenization.py:7-9,
+            # 30-35). Vectorized: per-token match vs the doc's first id,
+            # per-row max matched col, then one broadcast mask.
+            first_ids = np.zeros(n, dtype=np.int64)
+            nz = counts > 0
+            first_ids[nz] = flat[starts[nz]]
+            match = flat == np.repeat(first_ids, counts)
+            prompt_end = np.full(n, -1, dtype=np.int64)
+            np.maximum.at(prompt_end, rows[match], cols[match])
+            targets[
+                np.arange(max_len)[None, :] <= prompt_end[:, None]
+            ] = MASK_ID
         doc = np.repeat(
             batch["doc_id"].to_numpy(zero_copy_only=False), max_len
         )
