@@ -35,6 +35,13 @@ def run_job(docs_path, out_root, cfg, num_partitions=None, resume=True):
     return _run(docs_path, out_root, cfg, num_partitions=num_partitions, resume=resume)
 
 
+def ingest_ocr_dataset(ds, line_break="\n"):
+    """Lazy import of the OCR-annotation ingest adapter."""
+    from chug_ray.ingest import ingest_ocr_dataset as _ing
+
+    return _ing(ds, line_break=line_break)
+
+
 __all__ = [
     "CorpusConfig",
     "ExtractConfig",
@@ -43,5 +50,6 @@ __all__ = [
     "OUT_SCHEMA",
     "build_extract_pipeline",
     "run_job",
+    "ingest_ocr_dataset",
     "__version__",
 ]
