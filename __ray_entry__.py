@@ -123,8 +123,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": knn.knn_ivf,  # rows-only (approximate)
         # --- stream-shaped (events)
         "tumbling_window": window.tumbling_window,
+        "hopping_window": window.hopping_window,
         "event_type_stats": window.event_type_stats,
         "sessionize": window.sessionize,
+        "asof_last_order": relational.asof_last_order,
         # --- relational / operator inventory demos
         "filter_project": relational.filter_project,
         "explode_tokens": relational.explode_tokens,
@@ -132,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,
         "top_revenue_orders": relational.top_revenue_orders,
         "orders_by_segment": relational.orders_by_segment,
+        "region_customer_stats": relational.region_customer_stats,
         "weighted_union": sources.weighted_union,
         "flatten_props": sources.flatten_props,
         "vqa_prompt": sources.vqa_prompt,
@@ -286,6 +289,44 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_value_e4
             FROM events GROUP BY 1, 2
+        """,
+        "hopping_window": """
+            WITH h AS (
+                SELECT unnest([
+                         CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP),
+                         CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP)
+                       ]) AS window_start,
+                       event_type,
+                       CAST(round(value * 10000, 0) AS BIGINT) AS value_e4
+                FROM events
+            )
+            SELECT window_start, event_type, count(*) AS n_events,
+                   CAST(sum(value_e4) AS BIGINT) AS sum_value_e4
+            FROM h GROUP BY 1, 2
+        """,
+        "asof_last_order": """
+            WITH cand AS (
+                SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e
+                JOIN orders o ON o.o_custkey = e.user_id
+                             AND o.o_orderdate <= e.ts
+            )
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(o_orderkey AS BIGINT) AS last_orderkey,
+                   o_orderdate AS last_orderdate
+            FROM cand WHERE rn = 1
+        """,
+        "region_customer_stats": """
+            SELECT r.r_name, c.c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
         """,
         "event_type_stats": """
             SELECT event_type, count(*) AS n,

@@ -240,3 +240,139 @@ def docs_by_lang_source(sf_dir: str):
             Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
         )
     )
+
+
+def asof_last_order(sf_dir: str):
+    """As-of join (a §2.5 custom operator Ray Data lacks natively): for
+    each event, the customer's most recent order at-or-before the event
+    time (ties on date broken by max orderkey).
+
+    Shape: both sides carry a ``side`` tag, union, ONE hash shuffle on
+    the key (``groupby(user_id).map_groups``), then an in-group sort +
+    vectorized ``searchsorted`` matches every event against the order
+    timeline. The partitioning assumption it relies on: one key's rows
+    fit one group — keys here are customers, never corpus-scale. Events
+    whose customer has no prior order are dropped (inner as-of)."""
+
+    def prep_events(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(batch["user_id"], pa.int64()),
+                "side": pa.array(["e"] * len(batch)),
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "ts": batch["ts"],
+                "o_orderkey": pa.array([0] * len(batch), pa.int64()),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(batch["o_custkey"], pa.int64()),
+                "side": pa.array(["o"] * len(batch)),
+                "event_id": pa.array([0] * len(batch), pa.int64()),
+                "ts": batch["o_orderdate"],
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            }
+        )
+
+    def match(group: pd.DataFrame) -> pd.DataFrame:
+        ev = group[group["side"] == "e"]
+        od = group[group["side"] == "o"].sort_values(["ts", "o_orderkey"])
+        if not len(ev) or not len(od):
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "last_orderkey", "last_orderdate"]
+            ).astype(
+                {
+                    "event_id": np.int64,
+                    "user_id": np.int64,
+                    "last_orderkey": np.int64,
+                    "last_orderdate": "datetime64[us]",
+                }
+            )
+        idx = np.searchsorted(
+            od["ts"].to_numpy(), ev["ts"].to_numpy(), side="right"
+        ) - 1
+        hit = idx >= 0
+        ev = ev[hit]
+        picked = od.iloc[idx[hit]]
+        return pd.DataFrame(
+            {
+                "event_id": ev["event_id"].to_numpy(),
+                "user_id": ev["key"].to_numpy(),
+                "last_orderkey": picked["o_orderkey"].to_numpy(),
+                "last_orderdate": picked["ts"].to_numpy(),
+            }
+        )
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"]).map_batches(
+        prep_events, batch_format="pyarrow"
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    return (
+        events.union(orders)
+        .groupby("key")
+        .map_groups(match, batch_format="pandas")
+    )
+
+
+def region_customer_stats(sf_dir: str):
+    """Multi-hop broadcast join: customer → nation → region, grouped.
+
+    nation × region are tiny dimension tables: composed driver-side into
+    one nationkey → region-name array, ``ray.put`` once, resolved per
+    worker — the fact table streams through a vectorized take with NO
+    shuffle until the final small groupby (SURVEY.md §2.5's broadcast
+    pattern, two hops deep)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rnames = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    nk = np.asarray(nation["n_nationkey"])
+    dense = np.empty(int(nk.max()) + 1, dtype=object)
+    for k, rk in zip(nk, np.asarray(nation["n_regionkey"])):
+        dense[k] = rnames[rk]
+    lookup_ref = ray.put(dense)
+
+    def add_region(batch: pa.Table) -> pa.Table:
+        lut = _bcast(lookup_ref)
+        keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "r_name": pa.array(lut[keys], pa.string()),
+                "c_mktsegment": batch["c_mktsegment"],
+            }
+        )
+
+    return (
+        _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+        .map_batches(add_region, batch_format="pyarrow")
+        .groupby(["r_name", "c_mktsegment"])
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+# per-worker-process broadcast cache (same pattern as pipeline._resolve_bcast)
+_BCAST: dict = {}
+
+
+def _bcast(ref):
+    import ray
+
+    key = ref.hex()
+    if key not in _BCAST:
+        _BCAST[key] = ray.get(ref)
+    return _BCAST[key]

@@ -58,6 +58,59 @@ def tumbling_window(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pandas")
 
 
+def hopping_window(sf_dir: str, size_minutes: int = 60, hop_minutes: int = 30):
+    """Hopping (sliding) window per event_type: 1-hour windows every 30
+    minutes, so each event lands in ``size/hop`` overlapping windows.
+
+    Same combiner shape as the tumbling window — the window keys are
+    *computed* per event inside ``map_batches`` (explode to one row per
+    covering window, pre-aggregate within the batch), so the shuffle
+    carries one row per (window, type, batch), never per event-copy."""
+    from ray.data.aggregate import Sum
+
+    copies = size_minutes // hop_minutes
+    hop = np.timedelta64(hop_minutes, "m")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        value_e4 = (
+            np.sign(batch["value"])
+            * np.floor(np.abs(batch["value"].to_numpy()) * 1e4 + 0.5)
+        ).astype(np.int64)
+        base = batch["ts"].dt.floor(f"{hop_minutes}min").to_numpy()
+        frames = []
+        for c in range(copies):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "window_start": base - c * hop,
+                        "event_type": batch["event_type"].to_numpy(),
+                        "value_e4": value_e4,
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return out.groupby(["window_start", "event_type"], as_index=False).agg(
+            n_events=("value_e4", "size"), sum_value_e4=("value_e4", "sum")
+        )
+
+    agg = (
+        _events(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pandas", batch_size=16384)
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_e4", alias_name="sum_value_e4"),
+        )
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_events"] = batch["n_events"].astype(np.int64)
+        batch["sum_value_e4"] = batch["sum_value_e4"].astype(np.int64)
+        return batch
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user: a new session starts when the gap from
     the previous event exceeds ``gap_minutes``. Output one row per
