@@ -39,23 +39,36 @@ def _docs(sf_dir: str, columns):
 
 
 def exact_dedup(sf_dir: str):
-    """One surviving doc_id (the minimum) per distinct text."""
-    from ray.data.aggregate import Count, Min
+    """One surviving doc_id (the minimum) per distinct text.
 
-    def add_fp(batch: pa.Table) -> pa.Table:
-        fps = [
-            hashlib.md5(t.encode("utf-8")).hexdigest()
-            for t in batch["text"].to_pylist()
-        ]
-        return pa.table(
-            {"fp_md5": pa.array(fps, pa.string()), "doc_id": batch["doc_id"]}
+    Batch combiner (per-batch min/count per fingerprint, emitted as an
+    Arrow table — Ray's sort-aggregate is ~10× slower on pandas blocks)
+    → native Min/Sum aggregate: the shuffle carries one row per
+    (fingerprint, batch)."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "fp_md5": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in batch["text"].to_pylist()
+                ],
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            }
         )
+        out = df.groupby("fp_md5", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(add_fp, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
         .groupby("fp_md5")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"), Sum("n_dups", alias_name="n_dups")
+        )
     )
 
 
@@ -64,8 +77,8 @@ def dedup_survivors(sf_dir: str):
     distinct text. The payload columns ride *through* the
     ``groupby(fp_md5)`` packed into one sortable string (doc_id
     zero-padded so lexicographic Min == numeric min), so the whole op is
-    a single hash-aggregate shuffle carrying one short row per input doc
-    — no join, no second pass over the table."""
+    a single Min-aggregate shuffle carrying one short row per
+    (fingerprint, batch) — no join, no second pass over the table."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
@@ -82,9 +95,13 @@ def dedup_survivors(sf_dir: str):
             pc.cast(batch["n_chars"], pa.string()),
             "\x00",
         )
-        return pa.table(
-            {"fp_md5": pa.array(fps, pa.string()), "packed": packed}
+        df = pd.DataFrame(
+            {"fp_md5": fps, "packed": packed.to_numpy(zero_copy_only=False)}
         )
+        # batch combiner: one candidate row per fingerprint per batch;
+        # emitted as Arrow (pandas blocks cripple the downstream sort agg)
+        out = df.groupby("fp_md5", as_index=False).agg(packed=("packed", "min"))
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def unpack(batch: pa.Table) -> pa.Table:
         parts = pc.split_pattern(batch["packed"], "\x00")

@@ -242,22 +242,30 @@ def docs_by_lang_source(sf_dir: str):
     )
 
 
-def asof_last_order(sf_dir: str):
+def asof_last_order(sf_dir: str, num_buckets: int = 64):
     """As-of join (a §2.5 custom operator Ray Data lacks natively): for
     each event, the customer's most recent order at-or-before the event
     time (ties on date broken by max orderkey).
 
-    Shape: both sides carry a ``side`` tag, union, ONE hash shuffle on
-    the key (``groupby(user_id).map_groups``), then an in-group sort +
-    vectorized ``searchsorted`` matches every event against the order
-    timeline. The partitioning assumption it relies on: one key's rows
-    fit one group — keys here are customers, never corpus-scale. Events
-    whose customer has no prior order are dropped (inner as-of)."""
+    Shape: both sides carry a ``side`` tag and a ``bucket = key %
+    num_buckets`` column, union, ONE hash shuffle on the bucket, then
+    ``pandas.merge_asof(by=key)`` (vectorized C path) matches every
+    event against its customer's order timeline inside the bucket.
+    Bucketing keeps group count fixed and per-group work fat — the
+    per-group pandas overhead of key-per-group map_groups dominated at
+    thousands of keys. The partitioning assumption: one bucket's rows
+    fit one group; num_buckets scales with the cluster, not the data.
+    Events whose customer has no prior order are dropped (inner)."""
 
     def prep_events(batch: pa.Table) -> pa.Table:
+        key = pc.cast(batch["user_id"], pa.int64())
         return pa.table(
             {
-                "key": pc.cast(batch["user_id"], pa.int64()),
+                "bucket": pc.cast(
+                    pa.array(key.to_numpy(zero_copy_only=False) % num_buckets),
+                    pa.int32(),
+                ),
+                "key": key,
                 "side": pa.array(["e"] * len(batch)),
                 "event_id": pc.cast(batch["event_id"], pa.int64()),
                 "ts": batch["ts"],
@@ -266,9 +274,14 @@ def asof_last_order(sf_dir: str):
         )
 
     def prep_orders(batch: pa.Table) -> pa.Table:
+        key = pc.cast(batch["o_custkey"], pa.int64())
         return pa.table(
             {
-                "key": pc.cast(batch["o_custkey"], pa.int64()),
+                "bucket": pc.cast(
+                    pa.array(key.to_numpy(zero_copy_only=False) % num_buckets),
+                    pa.int32(),
+                ),
+                "key": key,
                 "side": pa.array(["o"] * len(batch)),
                 "event_id": pa.array([0] * len(batch), pa.int64()),
                 "ts": batch["o_orderdate"],
@@ -277,31 +290,37 @@ def asof_last_order(sf_dir: str):
         )
 
     def match(group: pd.DataFrame) -> pd.DataFrame:
-        ev = group[group["side"] == "e"]
-        od = group[group["side"] == "o"].sort_values(["ts", "o_orderkey"])
+        ev = group[group["side"] == "e"].sort_values("ts", kind="stable")
+        # secondary sort: among equal (key, ts) orders merge_asof picks
+        # the LAST row, so ascending o_orderkey ⇒ max orderkey wins
+        od = group[group["side"] == "o"].sort_values(
+            ["ts", "o_orderkey"], kind="stable"
+        )
         if not len(ev) or not len(od):
             return pd.DataFrame(
-                columns=["event_id", "user_id", "last_orderkey", "last_orderdate"]
-            ).astype(
                 {
-                    "event_id": np.int64,
-                    "user_id": np.int64,
-                    "last_orderkey": np.int64,
-                    "last_orderdate": "datetime64[us]",
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "last_orderkey": pd.Series([], dtype=np.int64),
+                    "last_orderdate": pd.Series([], dtype="datetime64[us]"),
                 }
             )
-        idx = np.searchsorted(
-            od["ts"].to_numpy(), ev["ts"].to_numpy(), side="right"
-        ) - 1
-        hit = idx >= 0
-        ev = ev[hit]
-        picked = od.iloc[idx[hit]]
+        od = od.assign(od_date=od["ts"])  # keep the matched date (merge_asof
+        # returns the LEFT frame's on-column, the right's is dropped)
+        m = pd.merge_asof(
+            ev[["event_id", "key", "ts"]],
+            od[["key", "ts", "o_orderkey", "od_date"]],
+            on="ts",
+            by="key",
+            direction="backward",
+        )
+        m = m[m["o_orderkey"].notna()]
         return pd.DataFrame(
             {
-                "event_id": ev["event_id"].to_numpy(),
-                "user_id": ev["key"].to_numpy(),
-                "last_orderkey": picked["o_orderkey"].to_numpy(),
-                "last_orderdate": picked["ts"].to_numpy(),
+                "event_id": m["event_id"].to_numpy(),
+                "user_id": m["key"].to_numpy(),
+                "last_orderkey": m["o_orderkey"].to_numpy(np.int64),
+                "last_orderdate": m["od_date"].to_numpy(),
             }
         )
 
@@ -313,7 +332,7 @@ def asof_last_order(sf_dir: str):
     ).map_batches(prep_orders, batch_format="pyarrow")
     return (
         events.union(orders)
-        .groupby("key")
+        .groupby("bucket")
         .map_groups(match, batch_format="pandas")
     )
 

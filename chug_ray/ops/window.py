@@ -23,34 +23,49 @@ def _events(sf_dir: str, columns):
     return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
+# NOTE (measured): Ray's sort-based Aggregate runs ~10× slower on
+# pandas-format blocks than on Arrow blocks (18.6 s vs 1.8 s for a 20k-row
+# partial table with ~17k groups). Every partial/combiner stage in this
+# package therefore emits **Arrow tables**, even when the combining math
+# itself runs in pandas.
+
+
 def tumbling_window(sf_dir: str):
     """Per-hour tumbling window per event_type: count + sum(value)."""
+
+    import pyarrow as pa
     from ray.data.aggregate import Sum
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> pa.Table:
         # value → integer 1e-4 units per row (matches SQL round(value*10000));
         # integer sums are exact and order-invariant under parallelism.
         value_e4 = (
             np.sign(batch["value"])
             * np.floor(np.abs(batch["value"].to_numpy()) * 1e4 + 0.5)
         ).astype(np.int64)
-        batch = batch.assign(
-            window_start=batch["ts"].dt.floor("h"), value_e4=value_e4
+        # shuffle key = epoch seconds (int64; cheaper sort key than a
+        # timestamp column)
+        ws = (
+            batch["ts"].dt.floor("h").astype("datetime64[s]").astype(np.int64)
         )
-        return (
-            batch.groupby(["window_start", "event_type"], as_index=False)
-            .agg(n_events=("value_e4", "size"), sum_value_e4=("value_e4", "sum"))
+        batch = batch.assign(ws=ws, value_e4=value_e4)
+        out = batch.groupby(["ws", "event_type"], as_index=False).agg(
+            n_events=("value_e4", "size"), sum_value_e4=("value_e4", "sum")
         )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     partials = _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
         partial, batch_format="pandas", batch_size=16384
     )
-    agg = partials.groupby(["window_start", "event_type"]).aggregate(
+    agg = partials.groupby(["ws", "event_type"]).aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("sum_value_e4", alias_name="sum_value_e4"),
     )
 
     def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch.insert(
+            0, "window_start", batch.pop("ws").astype("datetime64[s]")
+        )
         batch["n_events"] = batch["n_events"].astype(np.int64)
         batch["sum_value_e4"] = batch["sum_value_e4"].astype(np.int64)
         return batch
@@ -66,37 +81,44 @@ def hopping_window(sf_dir: str, size_minutes: int = 60, hop_minutes: int = 30):
     *computed* per event inside ``map_batches`` (explode to one row per
     covering window, pre-aggregate within the batch), so the shuffle
     carries one row per (window, type, batch), never per event-copy."""
+    import pyarrow as pa
     from ray.data.aggregate import Sum
 
     copies = size_minutes // hop_minutes
-    hop = np.timedelta64(hop_minutes, "m")
+    hop_s = hop_minutes * 60
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> pa.Table:
         value_e4 = (
             np.sign(batch["value"])
             * np.floor(np.abs(batch["value"].to_numpy()) * 1e4 + 0.5)
         ).astype(np.int64)
-        base = batch["ts"].dt.floor(f"{hop_minutes}min").to_numpy()
+        base = (
+            batch["ts"]
+            .dt.floor(f"{hop_minutes}min")
+            .astype("datetime64[s]")
+            .astype(np.int64)
+        )
         frames = []
         for c in range(copies):
             frames.append(
                 pd.DataFrame(
                     {
-                        "window_start": base - c * hop,
+                        "ws": base - c * hop_s,
                         "event_type": batch["event_type"].to_numpy(),
                         "value_e4": value_e4,
                     }
                 )
             )
         out = pd.concat(frames, ignore_index=True)
-        return out.groupby(["window_start", "event_type"], as_index=False).agg(
+        out = out.groupby(["ws", "event_type"], as_index=False).agg(
             n_events=("value_e4", "size"), sum_value_e4=("value_e4", "sum")
         )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     agg = (
         _events(sf_dir, ["ts", "event_type", "value"])
         .map_batches(partial, batch_format="pandas", batch_size=16384)
-        .groupby(["window_start", "event_type"])
+        .groupby(["ws", "event_type"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),
             Sum("sum_value_e4", alias_name="sum_value_e4"),
@@ -104,6 +126,9 @@ def hopping_window(sf_dir: str, size_minutes: int = 60, hop_minutes: int = 30):
     )
 
     def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch.insert(
+            0, "window_start", batch.pop("ws").astype("datetime64[s]")
+        )
         batch["n_events"] = batch["n_events"].astype(np.int64)
         batch["sum_value_e4"] = batch["sum_value_e4"].astype(np.int64)
         return batch
