@@ -241,32 +241,43 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
-        doc_ids = np.repeat(
-            batch["doc_id"].to_numpy(zero_copy_only=False), N_BANDS
-        )
-        bands = np.tile(np.arange(N_BANDS, dtype=np.int32), n)
-        band_hashes = np.empty(n * N_BANDS, dtype=np.uint64)
-        empty_sig = np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # tokenize + hash per doc (cache amortizes blake2b per unique token)
+        tok_arrays: list[np.ndarray] = []
         tok_sets: list[np.ndarray] = []
-        for i, text in enumerate(batch["text"].to_pylist()):
+        for text in batch["text"].to_pylist():
             toks = _TOKEN_RE.findall(text.lower())
             th = np.array(
                 [self.token_cache.setdefault(t, _token_hash(t)) for t in toks],
                 dtype=np.uint64,
             )
+            tok_arrays.append(th)
             tok_sets.append(np.unique(th))
-            h = _shingle_hashes_from_tokens(th)
-            if len(h):
-                with np.errstate(over="ignore"):
-                    sig = (self.a[:, None] * h[None, :] + self.b[:, None]).min(axis=1)
-            else:
-                sig = empty_sig
-            bandsig = sig.reshape(N_BANDS, ROWS_PER_BAND)
+        shingles = [_shingle_hashes_from_tokens(th) for th in tok_arrays]
+        counts = np.fromiter(
+            (len(s) for s in shingles), dtype=np.int64, count=n
+        )
+        sigs = np.full((n, N_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
+        nz = np.nonzero(counts)[0]
+        if len(nz):
+            # one (N_PERM × total_shingles) multiply for the whole batch,
+            # then a per-doc segment-min (minimum.reduceat) — replaces the
+            # per-doc python loop of small matmuls
+            flat = np.concatenate([shingles[i] for i in nz])
+            offsets = np.zeros(len(nz), dtype=np.int64)
+            np.cumsum(counts[nz][:-1], out=offsets[1:])
             with np.errstate(over="ignore"):
-                bh = np.zeros(N_BANDS, dtype=np.uint64)
-                for c in range(ROWS_PER_BAND):
-                    bh = bh * np.uint64(0x100000001B3) + bandsig[:, c]
-            band_hashes[i * N_BANDS : (i + 1) * N_BANDS] = bh
+                prod = self.a[:, None] * flat[None, :] + self.b[:, None]
+                sigs[nz] = np.minimum.reduceat(prod, offsets, axis=1).T
+        bandsig = sigs.reshape(n, N_BANDS, ROWS_PER_BAND)
+        with np.errstate(over="ignore"):
+            bh = np.zeros((n, N_BANDS), dtype=np.uint64)
+            for c in range(ROWS_PER_BAND):
+                bh = bh * np.uint64(0x100000001B3) + bandsig[:, :, c]
+        band_hashes = bh.ravel()
+        doc_ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), N_BANDS
+        )
+        bands = np.tile(np.arange(N_BANDS, dtype=np.int32), n)
         tok_list = pa.array(
             [t.tolist() for t in tok_sets], pa.list_(pa.uint64())
         ).take(pa.array(np.repeat(np.arange(n), N_BANDS)))
@@ -311,10 +322,11 @@ def minhash_lsh_pairs(
     """
     from ray.data.aggregate import Min
 
-    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def band_pairs(group: pd.DataFrame) -> pa.Table:
         """All pairs sharing a band_hash within one band-bucket — a
         vectorized self-merge, then exact Jaccard from the carried
-        token-hash sets."""
+        token-hash sets. Emitted as Arrow (pandas blocks cripple the
+        downstream sort aggregate)."""
         g = group.loc[
             ~group.duplicated(["band_hash", "doc_id"]),
             ["band_hash", "doc_id", "tok_hashes"],
@@ -330,9 +342,13 @@ def minhash_lsh_pairs(
             jac.append(1.0 if union == 0 else inter / union)
         m = m.assign(jaccard=round_away(jac, 4) if jac else [])
         m = m[m["jaccard"] >= threshold]
-        return m.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})[
-            ["doc_a", "doc_b", "jaccard"]
-        ]
+        return pa.table(
+            {
+                "doc_a": pa.array(m["doc_id_a"].to_numpy(np.int64)),
+                "doc_b": pa.array(m["doc_id_b"].to_numpy(np.int64)),
+                "jaccard": pa.array(m["jaccard"].to_numpy(np.float64)),
+            }
+        )
 
     return (
         _docs(sf_dir, ["doc_id", "text"])
