@@ -78,7 +78,9 @@ def _bench_queries(sf_dir: str, only: set[str] | None) -> dict[str, float]:
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
-        time.sleep(2)  # let the previous query's worker teardown settle
+        time.sleep(5)  # let the previous query's worker teardown settle
+        # (measured: the same query runs 1.8s after a 10s settle vs 3-4s
+        # right after a heavy query's actor pools wind down)
         t0 = time.perf_counter()
         try:
             _consume(fn(sf_dir))
