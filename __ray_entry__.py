@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "dedup_survivors": dedup.dedup_survivors,
         "top_k_tokens": textstats.top_k_tokens,
+        "chars_quantiles": textstats.chars_quantiles,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_near_dup": dedup.embedding_near_dup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only
@@ -249,6 +250,19 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT unnest({_TOK}) AS token FROM documents),
             c AS (SELECT token, count(*) AS n FROM t GROUP BY token)
             SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "chars_quantiles": """
+            SELECT lang, CAST(25 AS BIGINT) AS p_pct,
+                   CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS value
+            FROM documents GROUP BY lang
+            UNION ALL SELECT lang, 50, CAST(quantile_disc(n_chars, 0.50) AS BIGINT)
+            FROM documents GROUP BY lang
+            UNION ALL SELECT lang, 75, CAST(quantile_disc(n_chars, 0.75) AS BIGINT)
+            FROM documents GROUP BY lang
+            UNION ALL SELECT lang, 95, CAST(quantile_disc(n_chars, 0.95) AS BIGINT)
+            FROM documents GROUP BY lang
+            UNION ALL SELECT lang, 99, CAST(quantile_disc(n_chars, 0.99) AS BIGINT)
+            FROM documents GROUP BY lang
         """,
         "ngram_jaccard_pairs": f"""
             WITH t AS (

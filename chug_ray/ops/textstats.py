@@ -204,3 +204,59 @@ def simhash(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def chars_quantiles(sf_dir: str, ps=(25, 50, 75, 95, 99)):
+    """Exact distributed quantiles of ``n_chars`` per lang.
+
+    The full-sort a naive percentile needs is replaced by **value
+    counting**: a per-batch (lang, n_chars) count combiner, a native
+    Arrow-block Sum aggregate over the counts (cardinality = distinct
+    values per lang, tiny next to row count), then one in-group cumsum
+    walk picks each quantile. Matches DuckDB ``quantile_disc`` exactly
+    (discrete quantile = sorted value at index ``ceil(p·n) − 1``)."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def value_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby(["lang", "n_chars"], as_index=False).agg(
+            n=("n_chars", "size")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = (
+        _docs(sf_dir, ("lang", "n_chars"))
+        .map_batches(value_counts, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def quantiles(group: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = group.sort_values("n_chars")
+        values = g["n_chars"].to_numpy()
+        cum = g["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+        rows = []
+        for p in ps:
+            idx = max(0, math.ceil(p / 100.0 * total) - 1)
+            v = values[int(np.searchsorted(cum, idx + 1))]
+            rows.append(
+                {
+                    "lang": g["lang"].iloc[0],
+                    "p_pct": int(p),
+                    "value": int(v),
+                }
+            )
+        return pd.DataFrame(rows, columns=["lang", "p_pct", "value"])
+
+    return counts.groupby("lang").map_groups(quantiles, batch_format="pandas")
