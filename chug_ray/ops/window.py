@@ -136,29 +136,102 @@ def hopping_window(sf_dir: str, size_minutes: int = 60, hop_minutes: int = 30):
     return agg.map_batches(finalize, batch_format="pandas")
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30):
+def sessionize(sf_dir: str, gap_minutes: int = 30, chunk_hours: int = 24):
     """Session windows per user: a new session starts when the gap from
     the previous event exceeds ``gap_minutes``. Output one row per
-    session (user_id, session_id, n_events, start/end ts)."""
-    gap = pd.Timedelta(minutes=gap_minutes)
+    session (user_id, session_id, n_events, start/end ts).
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        d = g["ts"].diff()
-        new_session = d.isna() | (d > gap)  # NaT > gap is False, not NA
-        g = g.assign(session_id=new_session.cumsum().astype(np.int64))
-        out = g.groupby("session_id", as_index=False).agg(
+    Two-level design so no group ever holds a whole user's raw events:
+
+    1. **local**: ``groupby((user, time-chunk))`` computes sessions
+       within each chunk — the heavy phase is bounded by events per
+       (user, chunk), not per user.
+    2. **stitch**: ``groupby(user)`` over the per-session *summaries*
+       (n_events, start, end — a compressed stream, one row per local
+       session) merges boundary-adjacent sessions with the same gap
+       rule and renumbers. Exact, because chunk-internal sessions
+       already satisfy the gap rule and only consecutive summaries can
+       merge (``chunk_hours·60 ≥ gap_minutes`` guarantees an empty
+       chunk implies the gap is exceeded).
+
+    Both phases shuffle on a *bucket* of their key (hash % num_buckets),
+    not the key itself: per-key ``map_groups`` overhead dominates at
+    thousands of (user, chunk) pairs, while a bucket call handles all
+    its keys in one vectorized pandas pass. Group count is fixed by
+    ``num_buckets`` — scale-wise the partitioning unit stays (user,
+    chunk)."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+    if chunk_hours * 60 < gap_minutes:
+        raise ValueError("chunk must be at least as long as the gap")
+    import pyarrow as pa
+
+    num_buckets = 64
+
+    def add_chunk(batch: pd.DataFrame) -> pa.Table:
+        chunk = (
+            batch["ts"]
+            .dt.floor(f"{chunk_hours}h")
+            .astype("datetime64[s]")
+            .astype(np.int64)
+        )
+        uid = batch["user_id"].to_numpy()
+        with np.errstate(over="ignore"):
+            bucket = (
+                (uid.astype(np.uint64) * np.uint64(1000003))
+                ^ chunk.to_numpy().astype(np.uint64)
+            ) % num_buckets
+        return pa.Table.from_pandas(
+            batch.assign(chunk=chunk, bucket=bucket.astype(np.int64)),
+            preserve_index=False,
+        )
+
+    def local_sessions(group: pd.DataFrame) -> pa.Table:
+        """All (user, chunk) pairs of one bucket, one vectorized pass."""
+        g = group.sort_values(["user_id", "chunk", "ts", "event_id"])
+        boundary = (
+            g["user_id"].ne(g["user_id"].shift())
+            | g["chunk"].ne(g["chunk"].shift())
+        )
+        new_session = boundary | (g["ts"].diff() > gap)
+        g = g.assign(sid=new_session.cumsum().astype(np.int64))
+        out = g.groupby("sid", as_index=False).agg(
+            user_id=("user_id", "first"),
             n_events=("event_id", "size"),
             start_ts=("ts", "min"),
             end_ts=("ts", "max"),
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+        out = out.assign(ubucket=out["user_id"].to_numpy() % num_buckets)
+        return pa.Table.from_pandas(
+            out[["ubucket", "user_id", "n_events", "start_ts", "end_ts"]],
+            preserve_index=False,
+        )
+
+    def stitch(group: pd.DataFrame) -> pd.DataFrame:
+        """All users of one bucket: merge boundary-adjacent summaries."""
+        g = group.sort_values(["user_id", "start_ts", "end_ts"])
+        boundary = g["user_id"].ne(g["user_id"].shift())
+        new_session = boundary | ((g["start_ts"] - g["end_ts"].shift()) > gap)
+        g = g.assign(sid=new_session.cumsum().astype(np.int64))
+        out = g.groupby("sid", as_index=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("n_events", "sum"),
+            start_ts=("start_ts", "min"),
+            end_ts=("end_ts", "max"),
+        )
+        # per-user 1-based renumbering in time order (sid is time-ordered
+        # within user after the sort)
+        out = out.sort_values("sid")
+        out["session_id"] = out.groupby("user_id").cumcount() + 1
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[["user_id", "session_id", "n_events", "start_ts", "end_ts"]]
 
     return (
         _events(sf_dir, ["event_id", "ts", "user_id"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(add_chunk, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(local_sessions, batch_format="pandas")
+        .groupby("ubucket")
+        .map_groups(stitch, batch_format="pandas")
     )
 
 

@@ -147,3 +147,22 @@ def test_ivf_centroids_clamp_on_tiny_corpus(ray_session, tmp_path):
     assert rows
     assert {r["query_id"] for r in rows} <= set(range(8))
     assert all(r["vec_id"] >= 8 for r in rows)
+
+
+def test_sessionize_chunk_invariance(ray_session):
+    """The two-level sessionize must give identical sessions for any
+    chunk size (1-hour chunks force heavy boundary stitching; a 1-year
+    chunk is effectively the single-pass answer)."""
+    from chug_ray.ops.window import sessionize
+
+    def rows(chunk_hours):
+        return sorted(
+            tuple(r.values())
+            for r in sessionize(SF, chunk_hours=chunk_hours).take_all()
+        )
+
+    assert rows(1) == rows(24 * 365)
+    import pytest
+
+    with pytest.raises(ValueError):
+        sessionize(SF, gap_minutes=120, chunk_hours=1)
