@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": relational.top_revenue_orders,
         "orders_by_segment": relational.orders_by_segment,
         "region_customer_stats": relational.region_customer_stats,
+        "customers_without_events": relational.customers_without_events,
         "weighted_union": sources.weighted_union,
         "flatten_props": sources.flatten_props,
         "vqa_prompt": sources.vqa_prompt,
@@ -341,6 +342,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY 1, 2
+        """,
+        "customers_without_events": """
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events)
         """,
         "event_type_stats": """
             SELECT event_type, count(*) AS n,

@@ -395,3 +395,46 @@ def _bcast(ref):
     if key not in _BCAST:
         _BCAST[key] = ray.get(ref)
     return _BCAST[key]
+
+
+def customers_without_events(sf_dir: str):
+    """Broadcast anti-join (§2.5 beyond-reference): customers that never
+    produced an event.
+
+    The distinct event-user key set is computed distributed (groupby →
+    one row per user), pulled once (bounded by distinct-user count, not
+    event count), sorted, and broadcast; the customer table then streams
+    through a vectorized ``searchsorted`` membership filter — no
+    shuffle touches the fact side. For key sets too big to broadcast,
+    the same semantics fall back to the native hash join + null filter
+    (the dedup_survivors_join pattern)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    users = (
+        _read(sf_dir, "events", ["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["user_id"])
+        .take_all()
+    )
+    keys = np.sort(np.array([r["user_id"] for r in users], dtype=np.int64))
+    keys_ref = ray.put(keys)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ks = _bcast(keys_ref)
+        cust = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, cust)
+        idx_c = np.clip(idx, 0, max(0, len(ks) - 1))
+        hit = (len(ks) > 0) & (ks[idx_c] == cust)
+        out = batch.filter(pa.array(~hit))
+        return pa.table(
+            {
+                "c_custkey": pc.cast(out["c_custkey"], pa.int64()),
+                "c_mktsegment": out["c_mktsegment"],
+            }
+        )
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        anti, batch_format="pyarrow"
+    )
