@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flatten_props": sources.flatten_props,
         "vqa_prompt": sources.vqa_prompt,
         "hfds_docs": sources.hfds_docs,
+        "stratified_sample": sources.stratified_sample,
         # --- extraction pipeline (rows-only; oracle = pytest goldens)
         "extract_all_valid": lambda sf: _extract_summary(sf, "all_valid"),
         "extract_first": lambda sf: _extract_summary(sf, "first"),
@@ -393,6 +394,12 @@ def oracle_sql() -> dict[str, str]:
         "hfds_docs": """
             SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
             FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 10 < CASE lang WHEN 'en' THEN 5
+                                          WHEN 'fr' THEN 3
+                                          ELSE 1 END
         """,
         "flatten_props": """
             SELECT event_id, event_type,

@@ -263,3 +263,25 @@ def vqa_prompt(sf_dir: str):
     return _read(
         sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]
     ).map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample(sf_dir: str, rates: dict[str, int] | None = None):
+    """Deterministic stratified sample: per-lang sampling rates applied
+    via hash membership (``doc_id % 10 < rate_decile``), so the selection
+    is invariant to partitioning/parallelism (the T3 determinism rule)
+    and needs no shuffle — each batch filters itself. The per-stratum
+    keep-rate table is the tiny side: a plan-time constant here, a
+    broadcast dict when strata are dynamic."""
+    rates = rates or {"en": 5, "fr": 3}  # deciles kept; others default 1
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        langs = batch["lang"].to_pylist()
+        keep_rate = np.array([rates.get(l, 1) for l in langs], dtype=np.int64)
+        return batch.filter(pa.array(ids % 10 < keep_rate))
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
