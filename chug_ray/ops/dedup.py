@@ -236,7 +236,6 @@ class MinHasher:
 
     def __init__(self, num_buckets: int = 1):
         self.a, self.b = _perm_params()
-        self.token_cache: dict[str, int] = {}
         self.num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -247,7 +246,7 @@ class MinHasher:
         for text in batch["text"].to_pylist():
             toks = _TOKEN_RE.findall(text.lower())
             th = np.array(
-                [self.token_cache.setdefault(t, _token_hash(t)) for t in toks],
+                [_SKETCH_CACHE.setdefault(t, _token_hash(t)) for t in toks],
                 dtype=np.uint64,
             )
             tok_arrays.append(th)
@@ -350,14 +349,12 @@ def minhash_lsh_pairs(
             }
         )
 
+    # task pool: the hasher's token cache is the per-worker-process
+    # module dict (not pickled state), and the driver-built instance
+    # ships only the tiny permutation params — no actor ramp
     return (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(
-            MinHasher,
-            fn_constructor_args=(num_buckets,),
-            batch_format="pyarrow",
-            concurrency=(1, 8),
-        )
+        .map_batches(MinHasher(num_buckets), batch_format="pyarrow")
         .groupby(["band", "bucket"])
         .map_groups(band_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])

@@ -278,14 +278,15 @@ def knn_ivf(sf_dir: str, k: int = DEFAULT_K):
 
     q_ref = ray.put(_load_queries(sf_dir))
     cent_ref = ray.put(_train_centroids(sf_dir))
+    # task pool: the scorer state (queries + centroids, a few KB) is
+    # built once driver-side and ships inside the task closure — no
+    # actor-pool ramp (the round-1 execution finding)
     return (
         _read_embeddings(sf_dir)
         .map_batches(
-            _IvfScorer,
-            fn_constructor_args=(q_ref, cent_ref, k),
+            _IvfScorer(q_ref, cent_ref, k),
             batch_format="pandas",
             batch_size=4096,
-            concurrency=(1, 4),
         )
         .groupby("query_id")
         .map_groups(_LshScorer.merge(k), batch_format="pandas")
@@ -300,11 +301,9 @@ def knn_lsh(sf_dir: str, k: int = DEFAULT_K):
     return (
         _read_embeddings(sf_dir)
         .map_batches(
-            _LshScorer,
-            fn_constructor_args=(q_ref, k),
+            _LshScorer(q_ref, k),
             batch_format="pandas",
             batch_size=4096,
-            concurrency=(1, 4),
         )
         .groupby("query_id")
         .map_groups(_LshScorer.merge(k), batch_format="pandas")

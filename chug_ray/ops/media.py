@@ -82,14 +82,18 @@ class MediaFrameStats:
 
 
 def media_frame_stats(media_path: str):
-    """Actor-pool decode + feature extraction over a media table."""
+    """Decode + feature extraction over a media table.
+
+    Runs as a TASK pool (the stage object is tiny, so shipping it per
+    task beats waiting out actor-pool ramp — the round-1 execution
+    finding); a deployment whose decoder loads real codec/model state
+    passes the class + ``concurrency=`` instead."""
     import ray.data
 
     return ray.data.read_parquet(media_path).map_batches(
-        MediaFrameStats,
+        MediaFrameStats(),
         batch_format="pandas",
         batch_size=64,  # payloads are large binaries — small batches
-        concurrency=(1, 16),
     )
 
 
@@ -136,11 +140,9 @@ def sample_frames(media_path: str, n_frames: int = 2, seed: int = 0):
     import ray.data
 
     return ray.data.read_parquet(media_path).map_batches(
-        FrameSampler,
-        fn_constructor_args=(n_frames, seed),
+        FrameSampler(n_frames, seed),
         batch_format="pandas",
         batch_size=64,
-        concurrency=(1, 16),
     )
 
 
@@ -220,9 +222,7 @@ def imagespec_decode(
     import ray.data
 
     return ray.data.read_parquet(media_path).map_batches(
-        ImagespecDecoder,
-        fn_constructor_args=(spec, 200, transforms),
+        ImagespecDecoder(spec, 200, transforms),
         batch_format="pandas",
         batch_size=64,
-        concurrency=(1, 16),
     )
