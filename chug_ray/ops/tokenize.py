@@ -97,32 +97,52 @@ def save_vocab(sf_dir: str, path: str) -> str:
     return path
 
 
+# per-worker-process resolved vocab arrays, keyed by source (path or
+# ObjectRef hex): task-pool instances ship only the tiny source handle
+# and each worker process resolves + sorts the vocab once.
+_RESOLVED_VOCABS: dict = {}
+
+
 class TokenizerActor:
-    """Stateful stage: vocab loaded + regex compiled once per actor
-    (the reference's once-per-worker tokenizer load, T1).
+    """Stateful tokenizer stage (the reference's once-per-worker
+    tokenizer load, T1), usable as an actor class or a task-pool
+    callable.
 
     ``vocab_src`` is either a ``ray.put`` handle to the broadcast
-    corpus-built vocab, or a *path* to a pre-built vocab JSON which each
-    actor loads in ``__init__`` — the file seam removes the driver-side
-    vocab build entirely at scale.
+    corpus-built vocab, or a *path* to a pre-built vocab JSON — the file
+    seam removes the driver-side vocab build entirely at scale. The
+    vocab itself is resolved lazily ONCE PER WORKER PROCESS (module
+    cache), so the pickled stage object stays a few bytes.
 
     Ids are the 1-based alphabetical ranks, so the vocab is held as one
     sorted numpy string array and id lookup is a vectorized
     ``searchsorted`` over the whole batch — no per-token Python."""
 
     def __init__(self, vocab_src, max_len: int):
-        if isinstance(vocab_src, str):
-            import json
-
-            with open(vocab_src) as f:
-                vocab = json.load(f)
-        else:
-            import ray
-
-            vocab = ray.get(vocab_src)
-        self.vocab_arr = np.array(sorted(vocab), dtype=str)
+        self.vocab_src = vocab_src
         self.max_len = max_len
         self.token_re = re.compile(TOKEN_RE)
+
+    @property
+    def vocab_arr(self) -> np.ndarray:
+        key = (
+            self.vocab_src
+            if isinstance(self.vocab_src, str)
+            else self.vocab_src.hex()
+        )
+        arr = _RESOLVED_VOCABS.get(key)
+        if arr is None:
+            if isinstance(self.vocab_src, str):
+                import json
+
+                with open(self.vocab_src) as f:
+                    vocab = json.load(f)
+            else:
+                import ray
+
+                vocab = ray.get(self.vocab_src)
+            arr = _RESOLVED_VOCABS[key] = np.array(sorted(vocab), dtype=str)
+        return arr
 
     def _ids_batch(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """(tokens-per-doc counts, flat 1-based ids), truncated at
@@ -213,10 +233,7 @@ def tokenize_ids(sf_dir: str, max_len: int = 32, vocab_path: str | None = None):
     (the scale path); default builds + broadcasts the corpus vocab."""
     src = vocab_path if vocab_path else build_vocab_ref(sf_dir)
     return _docs(sf_dir).map_batches(
-        TokenizeIds,
-        fn_constructor_args=(src, max_len),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        TokenizeIds(src, max_len), batch_format="pyarrow"
     )
 
 
@@ -225,8 +242,5 @@ def text_targets(sf_dir: str, max_len: int = 32, vocab_path: str | None = None):
     prompt-prefix target masking."""
     src = vocab_path if vocab_path else build_vocab_ref(sf_dir)
     return _docs(sf_dir).map_batches(
-        TextTargets,
-        fn_constructor_args=(src, max_len),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        TextTargets(src, max_len), batch_format="pyarrow"
     )
