@@ -234,6 +234,16 @@ def split_sources(
     ], total
 
 
+def urldir(url: str) -> str:
+    """Directory part of a url, scheme preserved (the reference's
+    ``urldir``, `/root/reference/src/chug/wds/helpers.py:10-16`)."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(url)
+    directory = os.path.dirname(parsed.path)
+    return parsed._replace(path=directory).geturl()
+
+
 def plan_files(pattern: str) -> list[str]:
     """Expand a source pattern to a concrete parquet file list: env
     substitution → brace expansion → per-entry directory listing. The

@@ -110,3 +110,11 @@ def test_plan_files_and_partitions(tmp_path, monkeypatch):
     assert sorted(f for g in groups for f in g) == plan_files(pat)
     with pytest.raises(FileNotFoundError):
         plan_partitions(str(tmp_path / "docs-{0004..0005}.parquet"), None)
+
+
+def test_urldir():
+    from chug_ray.urls import urldir
+
+    assert urldir("/data/shards/s-0001.tar") == "/data/shards"
+    assert urldir("s3://bucket/path/s.tar") == "s3://bucket/path"
+    assert urldir("https://host/a/b/c.parquet?x=1") == "https://host/a/b?x=1"
