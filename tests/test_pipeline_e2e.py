@@ -158,3 +158,26 @@ def test_error_accounting(ray_session, t1_corpus, tmp_path):
     oracle_rows = oracle_extract_table(docs_tbl, media_tbl, cfg)
     assert errs == sum(1 for r in oracle_rows if r["err"] is not None)
     assert errs > 0  # corpus includes corrupt/missing archetypes
+
+
+def test_run_job_ranged_mode_resume(ray_session, t1_corpus, tmp_path):
+    """The job driver with the ranged store backend: produces the same
+    output as broadcast mode and still honors checkpoint resume."""
+    _, docs_path, media_path = t1_corpus
+    cfg = ExtractConfig(
+        page_sampling="all_valid",
+        seed=1,
+        media_store_path=media_path,
+        media_store_mode="ranged",
+    )
+    out_root = str(tmp_path / "ranged_out")
+    m1 = run_job(docs_path, out_root, cfg)
+    assert len(m1) == 1 and m1[0].n_docs == 200
+    m2 = run_job(docs_path, out_root, cfg)
+    assert m2[0].completed_at == m1[0].completed_at  # checkpoint hit
+
+    docs_tbl, media_tbl = _load_tables(docs_path, media_path)
+    expected = canonical(oracle_extract_table(docs_tbl, media_tbl, cfg))
+    actual = canonical(read_output(out_root).to_pylist())
+    problems = diff(expected, actual)
+    assert not problems, "\n".join(problems)
