@@ -202,19 +202,20 @@ def explode_tokens(sf_dir: str):
     token_re = re.compile("[a-z0-9]+")
 
     def fn(batch: pa.Table) -> pa.Table:
-        doc_ids, positions, tokens = [], [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            for pos, tok in enumerate(token_re.findall(text.lower())):
-                doc_ids.append(doc_id)
-                positions.append(pos)
-                tokens.append(tok)
+        toks = [token_re.findall(t.lower()) for t in batch["text"].to_pylist()]
+        counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+        ends = np.cumsum(counts)
+        total = int(ends[-1]) if len(ends) else 0
+        doc_ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), counts
+        )
+        positions = np.arange(total) - np.repeat(ends - counts, counts)
+        flat = [tok for doc in toks for tok in doc]
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "pos": pa.array(positions, pa.int64()),
-                "token": pa.array(tokens, pa.string()),
+                "token": pa.array(flat, pa.string()),
             }
         )
 

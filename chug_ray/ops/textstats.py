@@ -177,6 +177,9 @@ def simhash(sf_dir: str):
 
     token_re = re.compile(TOKEN_RE)
     bit_weights = 1 << np.arange(64, dtype=np.uint64)
+    # per-worker-process token-hash cache (shared with the dedup family's
+    # sketching — same blake2b-64 definition)
+    from chug_ray.ops.dedup import _SKETCH_CACHE, _token_hash
 
     def fn(batch: pa.Table) -> pa.Table:
         out = []
@@ -186,12 +189,7 @@ def simhash(sf_dir: str):
                 out.append("0" * 16)
                 continue
             hashes = np.array(
-                [
-                    int.from_bytes(
-                        hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
-                    )
-                    for t in toks
-                ],
+                [_SKETCH_CACHE.setdefault(t, _token_hash(t)) for t in toks],
                 dtype=np.uint64,
             )
             bits = (hashes[:, None] & bit_weights[None, :]) != 0
