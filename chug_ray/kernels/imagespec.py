@@ -158,6 +158,86 @@ def dilation(image: np.ndarray, kernel_size: int = 3) -> np.ndarray:
     return _pool2d(image, kernel_size, minimum=False)
 
 
+def _bilinear_resize(image: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    """Bilinear resample with half-pixel centers (the standard
+    align_corners=False convention). The reference resizes through
+    torchvision bicubic (`build_transforms_doc.py:40-42`); bicubic
+    kernels are library-specific, so this from-scratch port uses
+    bilinear — deterministic and documented — with the same geometry."""
+    h, w = image.shape[:2]
+    if (nh, nw) == (h, w):
+        return image
+    ys = np.clip((np.arange(nh) + 0.5) * h / nh - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(nw) + 0.5) * w / nw - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0).reshape(-1, 1)
+    fx = (xs - x0).reshape(1, -1)
+    if image.ndim == 3:
+        fy = fy[..., None]
+        fx = fx[..., None]
+    img = image.astype(np.float64)
+    out = (
+        img[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+        + img[np.ix_(y0, x1)] * (1 - fy) * fx
+        + img[np.ix_(y1, x0)] * fy * (1 - fx)
+        + img[np.ix_(y1, x1)] * fy * fx
+    )
+    if np.issubdtype(image.dtype, np.integer):
+        out = np.floor(out + 0.5)
+    return out.astype(image.dtype)
+
+
+def resize_keep_ratio(
+    image: np.ndarray, target: tuple[int, int], longest: float = 1.0
+) -> np.ndarray:
+    """Scale so the image fits ``target=(h, w)`` by the reference's
+    ratio rule (timm ResizeKeepRatio as used at
+    `build_transforms_doc.py:40`): ``ratio = max(h/th, w/tw)·longest +
+    min(h/th, w/tw)·(1−longest)``; ``longest=1`` (the eval default)
+    makes the longest relative side fit exactly."""
+    h, w = image.shape[:2]
+    th, tw = target
+    rel = (h / th, w / tw)
+    ratio = max(rel) * longest + min(rel) * (1.0 - longest)
+    nh, nw = round(h / ratio), round(w / ratio)
+    return _bilinear_resize(image, max(1, nh), max(1, nw))
+
+
+def center_crop_or_pad(
+    image: np.ndarray, target: tuple[int, int], fill: int = 0
+) -> np.ndarray:
+    """Center-crop each oversized axis and center-pad (``fill``) each
+    undersized one to exactly ``target=(h, w)`` — the reference's
+    CenterCropOrPad eval stage (`build_transforms_doc.py:41`)."""
+    th, tw = target
+    h, w = image.shape[:2]
+    if h > th:
+        top = (h - th) // 2
+        image = image[top : top + th]
+    if w > tw:
+        left = (w - tw) // 2
+        image = image[:, left : left + tw]
+    h, w = image.shape[:2]
+    if h < th or w < tw:
+        pt = (th - h) // 2
+        pl = (tw - w) // 2
+        pad = [(pt, th - h - pt), (pl, tw - w - pl)] + [(0, 0)] * (
+            image.ndim - 2
+        )
+        image = np.pad(image, pad, constant_values=fill)
+    return image
+
+
+def _parse_hw(arg: str | None, default: tuple[int, int]) -> tuple[int, int]:
+    if not arg:
+        return default
+    parts = [int(x) for x in arg.split(",")]
+    return (parts[0], parts[1]) if len(parts) >= 2 else (parts[0], parts[0])
+
+
 # name → deterministic post-decode transform builder; the doc-transform
 # subset of the reference's §2.11 stacks that is pure array math (the
 # random aug stacks are training-time and stay out of scope).
@@ -178,6 +258,12 @@ DOC_TRANSFORMS = {
         lambda img: align_long_axis(
             img, tuple(int(x) for x in (arg or "1024,768").split(","))
         )
+    ),
+    "resize_keep_ratio": lambda arg=None: (
+        lambda img: resize_keep_ratio(img, _parse_hw(arg, (32, 32)))
+    ),
+    "center_crop_or_pad": lambda arg=None: (
+        lambda img: center_crop_or_pad(img, _parse_hw(arg, (32, 32)))
     ),
 }
 

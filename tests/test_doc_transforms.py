@@ -90,3 +90,61 @@ def test_imagespec_decoder_accepts_transforms(ray_session, t1_corpus):
     bm = {r["media_ref"]: r["mean_e4"] for r in base}
     for r in transformed:
         assert r["mean_e4"] <= bm[r["media_ref"]]
+
+
+def test_bilinear_downscale_is_block_average():
+    from chug_ray.kernels.imagespec import _bilinear_resize
+
+    img = np.arange(16, dtype=np.float64).reshape(4, 4)
+    out = _bilinear_resize(img, 2, 2)
+    # half-pixel centers make exact 2x downscale a 2x2 block average
+    want = [
+        [img[0:2, 0:2].mean(), img[0:2, 2:4].mean()],
+        [img[2:4, 0:2].mean(), img[2:4, 2:4].mean()],
+    ]
+    assert out.tolist() == want
+    # constant images stay exactly constant at any size
+    const = np.full((3, 5), 7, dtype=np.uint8)
+    assert np.unique(_bilinear_resize(const, 8, 2)).tolist() == [7]
+
+
+def test_resize_keep_ratio_longest():
+    from chug_ray.kernels.imagespec import resize_keep_ratio
+
+    img = np.zeros((6, 4), dtype=np.uint8)
+    # rel = (2, 4/3); longest=1 -> ratio 2 -> (3, 2)
+    assert resize_keep_ratio(img, (3, 3)).shape == (3, 2)
+    color = np.zeros((4, 8, 3), dtype=np.uint8)
+    assert resize_keep_ratio(color, (4, 4)).shape == (2, 4, 3)
+
+
+def test_center_crop_or_pad():
+    from chug_ray.kernels.imagespec import center_crop_or_pad
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    # crop: center 2x2
+    assert center_crop_or_pad(img, (2, 2)).tolist() == [[5, 6], [9, 10]]
+    # pad: (3,2) -> (3,3), fill column on the right (left = (3-2)//2 = 0)
+    small = np.ones((3, 2), dtype=np.uint8)
+    out = center_crop_or_pad(small, (3, 3), fill=9)
+    assert out.shape == (3, 3)
+    assert out[:, 2].tolist() == [9, 9, 9]
+    assert out[:, :2].tolist() == small.tolist()
+    # mixed: crop rows, pad cols
+    tall = np.ones((5, 2), dtype=np.uint8)
+    assert center_crop_or_pad(tall, (3, 4)).shape == (3, 4)
+
+
+def test_eval_stack_composition():
+    """The reference's eval path (ResizeKeepRatio(longest=1) ->
+    CenterCropOrPad) as a compiled transform stack."""
+    from chug_ray.kernels.imagespec import build_doc_transform
+
+    stack = build_doc_transform(
+        ["resize_keep_ratio:8,8", "center_crop_or_pad:8,8"]
+    )
+    out = stack(np.full((20, 10), 5, dtype=np.uint8))
+    assert out.shape == (8, 8)
+    # longest side fit 20->8 => width 4, padded to 8 centered with zeros
+    assert out[:, 2:6].tolist() == np.full((8, 4), 5, np.uint8).tolist()
+    assert out[:, :2].sum() == 0 and out[:, 6:].sum() == 0
