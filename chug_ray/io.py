@@ -182,9 +182,21 @@ def prepare_ranged_store(
 
         def write_group(batch: _pa.Table) -> _pa.Table:
             # one small ref-sorted file per batch: a distributed
-            # sort-partitioned write with no driver involvement
+            # sort-partitioned write with no driver involvement. The
+            # name carries a uuid — duplicate media_ref runs straddling
+            # a batch boundary give two batches the same first/last ref,
+            # and a hash-only name would silently overwrite one.
+            import uuid
+
             p = os.path.join(
-                tmp, f"g-{_hx(batch['media_ref'][0].as_py())}.parquet"
+                tmp,
+                "g-{}-{}.parquet".format(
+                    _hx(
+                        batch["media_ref"][0].as_py(),
+                        batch["media_ref"][-1].as_py(),
+                    ),
+                    uuid.uuid4().hex[:8],
+                ),
             )
             pq.write_table(batch, p, row_group_size=rows_per_group)
             return _pa.table({"path": _pa.array([p])})

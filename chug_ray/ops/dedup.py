@@ -298,8 +298,8 @@ def _token_set(text: str) -> set:
 
 
 def _jaccard(a: set, b: set) -> float:
-    if not a and not b:
-        return 1.0
+    # union == 0 (two token-free docs) is no-pair, matching the SQL
+    # oracle's 0/0 -> NULL (excluded by WHERE jac >= threshold)
     u = len(a | b)
     return len(a & b) / u if u else 0.0
 
@@ -338,7 +338,7 @@ def minhash_lsh_pairs(
             tb = np.asarray(tb, dtype=np.uint64)
             inter = np.intersect1d(ta, tb, assume_unique=True).size
             union = ta.size + tb.size - inter
-            jac.append(1.0 if union == 0 else inter / union)
+            jac.append(0.0 if union == 0 else inter / union)
         m = m.assign(jaccard=round_away(jac, 4) if jac else [])
         m = m[m["jaccard"] >= threshold]
         return pa.table(
@@ -409,7 +409,7 @@ def _exact_jaccard_pairs(
             j = order[oj]
             inter = np.intersect1d(sets[i], sets[j], assume_unique=True).size
             union = sets[i].size + sets[j].size - inter
-            jac = 1.0 if union == 0 else inter / union
+            jac = 0.0 if union == 0 else inter / union
             if jac >= threshold:
                 a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
                 rows.append((a, b, float(round_away(jac, 4))))
@@ -450,7 +450,7 @@ def _banded_jaccard_pairs(
                     sets[i], sets[j], assume_unique=True
                 ).size
                 union = sets[i].size + sets[j].size - inter
-                jac = 1.0 if union == 0 else inter / union
+                jac = 0.0 if union == 0 else inter / union
                 if jac >= threshold:
                     a, b = (
                         (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])

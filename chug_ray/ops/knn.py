@@ -184,32 +184,52 @@ KMEANS_ITERS = 5
 def _train_centroids(sf_dir: str) -> np.ndarray:
     """Deterministic mini k-means on a *distributed* sample.
 
-    The sample (every 7th candidate, capped at 4096 rows) is filtered
-    inside ``map_batches`` and truncated with ``limit`` — only the ≤4096
-    sampled rows ever reach the driver, so training cost is independent
-    of corpus size. Returns unit-norm centroids; degenerates gracefully
-    on tiny corpora (centroids clamped to the sample size, which at 1
-    centroid is brute force)."""
+    The sample is **value-deterministic**: every 7th candidate, and of
+    those the 4096 *smallest vec_ids* — per-batch truncation to the
+    local 4096 smallest, then a distributed sort over the reduced set
+    and ``limit`` — so centroids (and IVF recall) never depend on block
+    arrival order. Only ≤4096 rows ever reach the driver; training cost
+    is independent of corpus size. Returns unit-norm centroids;
+    degenerates gracefully on tiny corpora (centroids clamped to the
+    sample size, which at 1 centroid is brute force)."""
     import pyarrow as pa
     import ray.data
+
+    def _truncate_smallest(t: pa.Table) -> pa.Table:
+        if t.num_rows > 4096:
+            order = np.argsort(
+                t["vec_id"].to_numpy(zero_copy_only=False), kind="stable"
+            )[:4096]
+            t = t.take(pa.array(order))
+        return t
 
     def pick(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         mask = (ids >= N_QUERIES) & (ids % 7 == 0)
-        return batch.filter(pa.array(mask))
+        return _truncate_smallest(batch.filter(pa.array(mask)))
 
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    rows = emb.map_batches(pick, batch_format="pyarrow").limit(4096).take_all()
+    rows = (
+        emb.map_batches(pick, batch_format="pyarrow")
+        .sort("vec_id")
+        .limit(4096)
+        .take_all()
+    )
     if not rows:
         # tiny corpus where the stride sampled nothing: fall back to the
-        # first candidates in row order
+        # 4096 smallest-vec_id candidates
         def cands(batch: pa.Table) -> pa.Table:
             ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            return batch.filter(pa.array(ids >= N_QUERIES))
+            return _truncate_smallest(batch.filter(pa.array(ids >= N_QUERIES)))
 
-        rows = emb.map_batches(cands, batch_format="pyarrow").limit(4096).take_all()
+        rows = (
+            emb.map_batches(cands, batch_format="pyarrow")
+            .sort("vec_id")
+            .limit(4096)
+            .take_all()
+        )
     if not rows:
         return np.zeros((1, 1), dtype=np.float64)
     rows.sort(key=lambda r: r["vec_id"])  # block arrival order isn't stable

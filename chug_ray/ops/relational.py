@@ -425,9 +425,14 @@ def customers_without_events(sf_dir: str):
     def anti(batch: pa.Table) -> pa.Table:
         ks = _bcast(keys_ref)
         cust = batch["c_custkey"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(ks, cust)
-        idx_c = np.clip(idx, 0, max(0, len(ks) - 1))
-        hit = (len(ks) > 0) & (ks[idx_c] == cust)
+        if len(ks) == 0:
+            # no events at all: every customer passes (and indexing an
+            # empty ks below would raise before any length guard)
+            hit = np.zeros(len(cust), dtype=bool)
+        else:
+            idx = np.searchsorted(ks, cust)
+            idx_c = np.clip(idx, 0, len(ks) - 1)
+            hit = ks[idx_c] == cust
         out = batch.filter(pa.array(~hit))
         return pa.table(
             {

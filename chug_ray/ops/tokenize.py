@@ -114,9 +114,11 @@ class TokenizerActor:
     vocab itself is resolved lazily ONCE PER WORKER PROCESS (module
     cache), so the pickled stage object stays a few bytes.
 
-    Ids are the 1-based alphabetical ranks, so the vocab is held as one
-    sorted numpy string array and id lookup is a vectorized
-    ``searchsorted`` over the whole batch — no per-token Python."""
+    The vocab is held as a sorted numpy string array plus a parallel id
+    array carrying the mapping's *actual* ids (a pre-built vocab JSON
+    may use any id assignment, not just alphabetical rank), so id
+    lookup is a vectorized ``searchsorted`` + take over the whole batch
+    — no per-token Python."""
 
     def __init__(self, vocab_src, max_len: int):
         self.vocab_src = vocab_src
@@ -124,14 +126,16 @@ class TokenizerActor:
         self.token_re = re.compile(TOKEN_RE)
 
     @property
-    def vocab_arr(self) -> np.ndarray:
+    def vocab_arrs(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted token array, ids aligned to it) — honors the ids in
+        the source mapping verbatim."""
         key = (
             self.vocab_src
             if isinstance(self.vocab_src, str)
             else self.vocab_src.hex()
         )
-        arr = _RESOLVED_VOCABS.get(key)
-        if arr is None:
+        arrs = _RESOLVED_VOCABS.get(key)
+        if arrs is None:
             if isinstance(self.vocab_src, str):
                 import json
 
@@ -141,12 +145,17 @@ class TokenizerActor:
                 import ray
 
                 vocab = ray.get(self.vocab_src)
-            arr = _RESOLVED_VOCABS[key] = np.array(sorted(vocab), dtype=str)
-        return arr
+            toks = np.array(sorted(vocab), dtype=str)
+            ids = np.fromiter(
+                (vocab[t] for t in toks), dtype=np.int64, count=len(toks)
+            )
+            arrs = _RESOLVED_VOCABS[key] = (toks, ids)
+        return arrs
 
     def _ids_batch(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
-        """(tokens-per-doc counts, flat 1-based ids), truncated at
-        ``max_len`` per doc; unknown tokens raise (dict-lookup parity)."""
+        """(tokens-per-doc counts, flat ids from the vocab mapping),
+        truncated at ``max_len`` per doc; unknown tokens raise
+        (dict-lookup parity)."""
         toks = [self.token_re.findall(t.lower())[: self.max_len] for t in texts]
         counts = np.fromiter(
             (len(t) for t in toks), dtype=np.int64, count=len(toks)
@@ -156,12 +165,13 @@ class TokenizerActor:
         flat_toks = np.array(
             [tok for doc in toks for tok in doc], dtype=str
         )
-        idx = np.searchsorted(self.vocab_arr, flat_toks)
-        idx_c = np.clip(idx, 0, len(self.vocab_arr) - 1)
-        bad = self.vocab_arr[idx_c] != flat_toks
+        vocab_arr, vocab_ids = self.vocab_arrs
+        idx = np.searchsorted(vocab_arr, flat_toks)
+        idx_c = np.clip(idx, 0, len(vocab_arr) - 1)
+        bad = vocab_arr[idx_c] != flat_toks
         if bad.any():
             raise KeyError(f"token not in vocab: {flat_toks[bad][0]!r}")
-        return counts, idx_c + 1
+        return counts, vocab_ids[idx_c]
 
 
 class TokenizeIds(TokenizerActor):

@@ -60,3 +60,21 @@ def test_survivors_are_min_ids_and_unique_texts(ray_session):
     for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
         by_text[text] = min(by_text.get(text, doc_id), doc_id)
     assert sorted(ids) == sorted(by_text.values())
+
+
+def test_empty_token_docs_never_pair():
+    """union == 0 is no-pair everywhere, matching the SQL oracle's
+    0/0 -> NULL (excluded by the threshold filter)."""
+    import numpy as np
+
+    from chug_ray.ops.dedup import (
+        _banded_jaccard_pairs,
+        _exact_jaccard_pairs,
+        _jaccard,
+    )
+
+    assert _jaccard(set(), set()) == 0.0
+    ids = np.array([1, 2], dtype=np.int64)
+    empty = [np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)]
+    assert _exact_jaccard_pairs(ids, empty, 0.5) == []
+    assert _banded_jaccard_pairs(ids, empty, 0.5) == []

@@ -113,3 +113,35 @@ def test_html_extract_total_and_deterministic(source):
 def test_html_extract_total_on_tag_soup(parts):
     source = "".join(parts)
     assert extract_main_text(source) == extract_main_text(source)
+
+
+def test_anti_join_with_empty_events_passes_all_customers(
+    ray_session, tmp_path
+):
+    """ADVICE regression: an empty events table must early-return (every
+    customer passes), not IndexError on the empty key array."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chug_ray.ops.relational import customers_without_events
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_mktsegment": pa.array(["A", "B", "A"]),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = customers_without_events(str(tmp_path)).take_all()
+    assert sorted(r["c_custkey"] for r in out) == [1, 2, 3]

@@ -34,3 +34,24 @@ def test_vocab_file_is_plain_json(ray_session, tmp_path):
     # ids are the 1-based alphabetical ranks
     toks = sorted(vocab)
     assert [vocab[t] for t in toks] == list(range(1, len(toks) + 1))
+
+
+def test_vocab_file_custom_ids_are_honored(ray_session, tmp_path):
+    """A pre-built vocab JSON may carry ANY id assignment (the reference
+    ships real tokenizer vocabs, not alphabetical ranks); the actor must
+    emit the mapping's actual ids, not recomputed ranks."""
+    import json
+
+    import pyarrow as pa
+
+    from chug_ray.ops.tokenize import TokenizeIds
+
+    vocab = {"alpha": 7, "beta": 100, "gamma": 3}
+    p = tmp_path / "custom.json"
+    p.write_text(json.dumps(vocab))
+
+    stage = TokenizeIds(str(p), max_len=16)
+    out = stage(
+        pa.table({"doc_id": [1], "text": ["gamma alpha beta alpha"]})
+    )
+    assert out["token_id"].to_pylist() == [3, 7, 100, 7]
