@@ -123,18 +123,6 @@ class MediaStore:
             return None
         return self._payloads[i].as_py()
 
-    def meta(self) -> dict[str, int]:
-        """media_ref → n_pages (small metadata, safe to broadcast)."""
-        if self.path is None:
-            return {}
-        import pyarrow.dataset as pads
-
-        tbl = pads.dataset(self.path, format="parquet").to_table(
-            columns=["media_ref", "n_pages"]
-        )
-        return dict(zip(tbl["media_ref"].to_pylist(), tbl["n_pages"].to_pylist()))
-
-
 def prepare_ranged_store(
     media_parquet: str,
     dst_dir: str | None = None,

@@ -495,19 +495,102 @@ def ngram_jaccard_pairs(
     )
 
 
+def _sim_e4(sims: np.ndarray) -> np.ndarray:
+    """Similarities → integer 1e-4 units (round-half-away): float
+    round() ulps differ between engines, integers hash identically."""
+    return (np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5)).astype(
+        np.int64
+    )
+
+
+def _cos_strip_pairs(
+    ids: np.ndarray, unit: np.ndarray, threshold: float, tile: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact all-pairs cosine ≥ threshold, computed one (tile × n)
+    strip at a time so peak memory is O(tile · n), never n × n."""
+    n = len(ids)
+    va, vb, se4 = [], [], []
+    for i0 in range(0, n, tile):
+        i1 = min(i0 + tile, n)
+        sims = unit[i0:i1] @ unit[i0:].T  # strip: rows i0..i1 × cols i0..n
+        ii, jj = np.nonzero(sims >= threshold)
+        # strip cols start at i0, so strictly-upper (global j > global
+        # i) is simply local jj > local ii
+        keep = jj > ii
+        ii, jj = ii[keep], jj[keep]
+        va.append(ids[ii + i0])
+        vb.append(ids[jj + i0])
+        se4.append(_sim_e4(sims[ii, jj]))
+    empty = np.array([], np.int64)
+    return (
+        np.concatenate(va) if va else empty,
+        np.concatenate(vb) if vb else empty,
+        np.concatenate(se4) if se4 else empty,
+    )
+
+
+def _banded_cos_pairs(
+    ids: np.ndarray,
+    unit: np.ndarray,
+    threshold: float,
+    tile: int,
+    n_tables: int = 8,
+    n_bits: int = 12,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Oversize-block path: ``n_tables`` independent random-hyperplane
+    (SimHash) bucketings prune candidates to same-bucket pairs, each
+    exact-verified — O(n · tables · bucket) instead of O(n²).
+    Approximate only in recall (a pair hashing apart in every table is
+    missed; miss prob ≈ (1 − (1 − θ/π)^bits)^tables); every emitted
+    score is exact. Deterministic: fixed-seed hyperplanes."""
+    rng = np.random.default_rng(0xC0541)
+    d = unit.shape[1]
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    seen: set[tuple] = set()
+    va, vb, se4 = [], [], []
+    for _ in range(n_tables):
+        planes = rng.standard_normal((d, n_bits))
+        codes = ((unit @ planes) >= 0) @ weights
+        order = np.argsort(codes, kind="stable")
+        bounds = np.nonzero(np.diff(codes[order]))[0] + 1
+        for members in np.split(order, bounds):
+            if len(members) < 2:
+                continue
+            a, b, s = _cos_strip_pairs(
+                ids[members], unit[members], threshold, tile
+            )
+            for x, y, v in zip(a, b, s):
+                key = (x, y) if x < y else (y, x)
+                if key not in seen:
+                    seen.add(key)
+                    va.append(key[0])
+                    vb.append(key[1])
+                    se4.append(v)
+    return (
+        np.array(va, np.int64),
+        np.array(vb, np.int64),
+        np.array(se4, np.int64),
+    )
+
+
 def embedding_near_dup(
-    sf_dir: str, threshold: float = 0.3, tile: int = 4096
+    sf_dir: str,
+    threshold: float = 0.3,
+    tile: int = 4096,
+    max_group_rows: int = 20_000,
 ):
     """Embedding-cosine near-dup pairs, blocked by label (same-label
     pairs only — the explicit blocking key keeps the quadratic part
     inside groups).
 
-    The in-group scoring is *tiled*: similarities are computed one
-    (tile × n) strip at a time and only the ≥ threshold pairs are kept,
-    so peak memory is O(tile · n) instead of the full n × n frame even
-    when one label dominates the corpus. Results are exact; the
-    sub-quadratic production path for truly huge blocks is the LSH
-    machinery in ``ops/knn.py``."""
+    Scale guards mirror ``ngram_jaccard_pairs``: a block under
+    ``max_group_rows`` runs the exact tiled strip scan (peak memory
+    O(tile · n), never the full n × n frame); an oversize (skewed)
+    block falls back to random-hyperplane bucketing + exact verify so a
+    dominant label stays near-linear instead of quadratic. Every
+    emitted score is exact on both paths; the banded path is
+    approximate only in recall. At oracle scales every block is under
+    the cap, so the result is the exact SQL answer."""
     import ray.data
 
     def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -517,33 +600,15 @@ def embedding_near_dup(
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = mat / norms
-        n = len(ids)
-        va, vb, se4 = [], [], []
-        for i0 in range(0, n, tile):
-            i1 = min(i0 + tile, n)
-            sims = unit[i0:i1] @ unit[i0:].T  # strip: rows i0..i1 × cols i0..n
-            ii, jj = np.nonzero(sims >= threshold)
-            # strip cols start at i0, so strictly-upper (global j > global
-            # i) is simply local jj > local ii
-            keep = jj > ii
-            ii, jj = ii[keep], jj[keep]
-            kept = sims[ii, jj]
-            va.append(ids[ii + i0])
-            vb.append(ids[jj + i0])
-            # integer 1e-4 similarity units: float round() ulps differ
-            # between engines, integers hash identically
-            se4.append(
-                (np.sign(kept) * np.floor(np.abs(kept) * 1e4 + 0.5)).astype(
-                    np.int64
-                )
-            )
+        if len(ids) <= max_group_rows:
+            va, vb, se4 = _cos_strip_pairs(ids, unit, threshold, tile)
+        else:
+            va, vb, se4 = _banded_cos_pairs(ids, unit, threshold, tile)
         return pd.DataFrame(
             {
-                "vec_a": np.concatenate(va) if va else np.array([], np.int64),
-                "vec_b": np.concatenate(vb) if vb else np.array([], np.int64),
-                "cos_sim_e4": np.concatenate(se4)
-                if se4
-                else np.array([], np.int64),
+                "vec_a": va.astype(np.int64),
+                "vec_b": vb.astype(np.int64),
+                "cos_sim_e4": se4.astype(np.int64),
             },
             columns=["vec_a", "vec_b", "cos_sim_e4"],
         )

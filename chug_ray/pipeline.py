@@ -582,15 +582,35 @@ def build_extract_pipeline(docs, cfg: ExtractConfig, media_meta_ref=None):
 def broadcast_media_meta(media_path: str | None):
     """ray.put the media page-count meta once (small side broadcast).
 
-    Stored as sorted numpy arrays (refs, n_pages): worker-side lookups
-    are vectorized searchsorted, and deserialization is an O(1) buffer
-    view rather than rebuilding a Python dict."""
+    The (media_ref, n_pages) side data is computed **distributed**: a
+    column-pruned ``read_parquet`` (never touches the payload bytes) →
+    distributed ``sort`` → the driver streams just the two thin columns
+    into numpy arrays. No full-table ``to_pylist()`` dict is ever built;
+    driver cost is two small arrays, one row per payload. Stored as
+    sorted numpy arrays (refs, n_pages): worker-side lookups are
+    vectorized searchsorted, and deserialization is an O(1) buffer view
+    rather than rebuilding a Python dict."""
     import numpy as np
     import ray
+    import ray.data
 
     if media_path is None:
         return None
-    meta = MediaStore(media_path).meta()
-    refs = np.array(sorted(meta), dtype=str)
-    pages = np.array([meta[r] for r in refs], dtype=np.int64)
+    ds = ray.data.read_parquet(
+        media_path, columns=["media_ref", "n_pages"]
+    ).sort("media_ref")
+    refs_parts, pages_parts = [], []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        refs_parts.append(
+            b["media_ref"].to_numpy(zero_copy_only=False).astype(str)
+        )
+        pages_parts.append(
+            b["n_pages"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+    if refs_parts:
+        refs = np.concatenate(refs_parts)
+        pages = np.concatenate(pages_parts)
+    else:
+        refs = np.array([], dtype=str)
+        pages = np.array([], dtype=np.int64)
     return ray.put((refs, pages))

@@ -166,3 +166,50 @@ def test_sessionize_chunk_invariance(ray_session):
 
     with pytest.raises(ValueError):
         sessionize(SF, gap_minutes=120, chunk_hours=1)
+
+
+def test_embedding_skewed_label_banded_path(ray_session, tmp_path):
+    """A label block over the group cap routes through random-hyperplane
+    bucketing + exact verify: it completes, every emitted score is
+    exact, planted near-identical pairs surface, and the result is a
+    subset of the exact answer (candidates only pruned, never added)."""
+    from chug_ray.ops.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 32
+    emb = rng.standard_normal((n, d))
+    # plant an identical pair and a near-identical pair
+    emb[302] = emb[301]
+    emb[312] = emb[311] + 0.01 * rng.standard_normal(d)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, e)) for e in emb], pa.list_(pa.float64())
+            ),
+            # 90% of rows share one label: a dominant block
+            "label": pa.array(
+                ["big" if i % 10 else "small" for i in range(n)]
+            ),
+        }
+    )
+    dd = tmp_path / "skewemb"
+    dd.mkdir()
+    pq.write_table(tbl, str(dd / "embeddings.parquet"))
+
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim_e4"]
+        for r in embedding_near_dup(str(dd), threshold=0.8).take_all()
+    }
+    banded = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim_e4"]
+        for r in embedding_near_dup(
+            str(dd), threshold=0.8, max_group_rows=100
+        ).take_all()
+    }
+    assert (301, 302) in exact and (311, 312) in exact
+    # identical vectors hash identically in every table -> always found
+    assert banded[(301, 302)] == 10000
+    assert set(banded) <= set(exact)  # pruned, never added
+    for pair, sim in banded.items():
+        assert sim == exact[pair]  # scores stay exact on the banded path
