@@ -224,19 +224,29 @@ def _shingle_hashes_from_tokens(th: np.ndarray, k: int = 3) -> np.ndarray:
         return (windows * _SHINGLE_MULT[None, :]).sum(axis=1, dtype=np.uint64)
 
 
+# bottom-k cap on the per-band token-hash sketch: a doc with more
+# unique tokens than this ships only its k smallest hashes, bounding
+# the banding-shuffle bytes at k·8B × N_BANDS per doc regardless of doc
+# length. Bottom-k sketches still give the standard Jaccard estimator
+# (see band_pairs); below the cap the sketch IS the full set → exact.
+SKETCH_K = 256
+
+
 class MinHasher:
     """Actor: permutation params + token-hash cache built once; per doc
     one vectorized (N_PERM × n_shingles) min.
 
-    Each band row also carries the doc's sorted-unique *token-hash set*
-    (uint64 sketch, much smaller than the text). That is what lets the
+    Each band row also carries the doc's sorted-unique *token-hash
+    sketch*, capped at the ``sketch_k`` smallest hashes (uint64, much
+    smaller than the text and bounded per doc). That is what lets the
     downstream verify run inside the band-bucket groups — no second
     lookup of the texts anywhere (the scale requirement: nothing ever
     materializes the corpus outside the streaming pipeline)."""
 
-    def __init__(self, num_buckets: int = 1):
+    def __init__(self, num_buckets: int = 1, sketch_k: int = SKETCH_K):
         self.a, self.b = _perm_params()
         self.num_buckets = num_buckets
+        self.sketch_k = sketch_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -250,7 +260,8 @@ class MinHasher:
                 dtype=np.uint64,
             )
             tok_arrays.append(th)
-            tok_sets.append(np.unique(th))
+            # np.unique is sorted, so [:k] is exactly the bottom-k sketch
+            tok_sets.append(np.unique(th)[: self.sketch_k])
         shingles = [_shingle_hashes_from_tokens(th) for th in tok_arrays]
         counts = np.fromiter(
             (len(s) for s in shingles), dtype=np.int64, count=n
@@ -305,27 +316,32 @@ def _jaccard(a: set, b: set) -> float:
 
 
 def minhash_lsh_pairs(
-    sf_dir: str, threshold: float = 0.6, num_buckets: int = 32
+    sf_dir: str,
+    threshold: float = 0.6,
+    num_buckets: int = 32,
+    sketch_k: int = SKETCH_K,
 ):
     """Near-dup pairs via MinHash banding, Jaccard-verified in-group.
 
     Fully streaming: the band rows carry each doc's uint64 token-hash
-    set, so verification happens inside the ``(band, bucket)`` groups —
-    exact Jaccard from the carried sketches, never a second lookup of
-    the texts and never a driver-side materialization. ``bucket =
-    band_hash % num_buckets`` keeps every group bounded (shuffle
-    parallelism = N_BANDS × num_buckets, and a group only holds rows
-    whose band_hash collides mod num_buckets). The final
+    bottom-``sketch_k`` sketch, so verification happens inside the
+    ``(band, bucket)`` groups — Jaccard from the carried sketches
+    (exact below the cap, the standard bottom-k estimator
+    |bottom_k(A∪B) ∩ A ∩ B| / |bottom_k(A∪B)| above it), never a
+    second lookup of the texts and never a driver-side materialization.
+    ``bucket = band_hash % num_buckets`` keeps every group bounded
+    (shuffle parallelism = N_BANDS × num_buckets, and a group only
+    holds rows whose band_hash collides mod num_buckets). The final
     ``groupby(doc_a, doc_b)`` dedups pairs surfaced by multiple bands;
-    all copies carry the same exact score, so ``Min`` is the identity.
+    all copies carry the same score, so ``Min`` is the identity.
     """
     from ray.data.aggregate import Min
 
     def band_pairs(group: pd.DataFrame) -> pa.Table:
         """All pairs sharing a band_hash within one band-bucket — a
-        vectorized self-merge, then exact Jaccard from the carried
-        token-hash sets. Emitted as Arrow (pandas blocks cripple the
-        downstream sort aggregate)."""
+        vectorized self-merge, then Jaccard from the carried bottom-k
+        token-hash sketches. Emitted as Arrow (pandas blocks cripple
+        the downstream sort aggregate)."""
         g = group.loc[
             ~group.duplicated(["band_hash", "doc_id"]),
             ["band_hash", "doc_id", "tok_hashes"],
@@ -336,9 +352,21 @@ def minhash_lsh_pairs(
         for ta, tb in zip(m["tok_hashes_a"], m["tok_hashes_b"]):
             ta = np.asarray(ta, dtype=np.uint64)
             tb = np.asarray(tb, dtype=np.uint64)
-            inter = np.intersect1d(ta, tb, assume_unique=True).size
-            union = ta.size + tb.size - inter
-            jac.append(0.0 if union == 0 else inter / union)
+            u = np.union1d(ta, tb)
+            if u.size > sketch_k:
+                # bottom-k estimator: every member of bottom_k(A∪B)
+                # that belongs to A is necessarily in bottom_k(A), so
+                # sketch membership is exact set membership here
+                u = u[:sketch_k]
+                inter = (
+                    np.isin(u, ta, assume_unique=True)
+                    & np.isin(u, tb, assume_unique=True)
+                ).sum()
+                jac.append(inter / u.size)
+            else:
+                inter = np.intersect1d(ta, tb, assume_unique=True).size
+                union = ta.size + tb.size - inter
+                jac.append(0.0 if union == 0 else inter / union)
         m = m.assign(jaccard=round_away(jac, 4) if jac else [])
         m = m[m["jaccard"] >= threshold]
         return pa.table(
@@ -354,7 +382,7 @@ def minhash_lsh_pairs(
     # ships only the tiny permutation params — no actor ramp
     return (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(MinHasher(num_buckets), batch_format="pyarrow")
+        .map_batches(MinHasher(num_buckets, sketch_k), batch_format="pyarrow")
         .groupby(["band", "bucket"])
         .map_groups(band_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])

@@ -78,3 +78,57 @@ def test_empty_token_docs_never_pair():
     empty = [np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)]
     assert _exact_jaccard_pairs(ids, empty, 0.5) == []
     assert _banded_jaccard_pairs(ids, empty, 0.5) == []
+
+
+def test_minhash_bottom_k_sketch_cap(ray_session, tmp_path):
+    """Docs over the sketch cap ship only bottom-k token hashes; the
+    estimator keeps identical pairs at 1.0 and near-dup scores close to
+    exact, and the capped run finds the same planted pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chug_ray.ops.dedup import minhash_lsh_pairs
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i:04d}" for i in range(3000)]
+
+    def doc(words):
+        return " ".join(words)
+
+    texts = []
+    for i in range(30):
+        texts.append(doc(rng.choice(vocab, size=600, replace=False)))
+    # planted: 30/31 identical, 32/33 ~90% token overlap (long docs,
+    # both far over the 64-token cap used below)
+    texts.append(texts[0])
+    base = list(rng.choice(vocab, size=600, replace=False))
+    texts.append(doc(base))
+    texts.append(doc(base[:540] + list(rng.choice(
+        [w for w in vocab if w not in base], size=60, replace=False))))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    d = tmp_path / "long"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            str(d), threshold=0.6, sketch_k=1 << 30
+        ).take_all()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            str(d), threshold=0.6, sketch_k=64
+        ).take_all()
+    }
+    assert exact[(0, 30)] == 1.0 and capped[(0, 30)] == 1.0
+    assert (31, 32) in exact and (31, 32) in capped
+    for pair, est in capped.items():
+        assert abs(est - exact.get(pair, est)) < 0.2
