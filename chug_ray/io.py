@@ -342,16 +342,46 @@ class PartitionManifest:
 
 
 def output_stats(out_dir: str) -> tuple[int, int, int]:
-    """(n_docs, n_err_docs, n_spans) of a written partition — columnar read
-    of just the needed columns."""
-    import pyarrow.compute as pc
+    """(n_docs, n_err_docs, n_spans) of a written partition.
 
-    tbl = read_partition_table(out_dir, columns=["err", "spans"])
-    n_docs = tbl.num_rows
-    err_stage = pc.struct_field(tbl["err"], "stage")
-    n_err = n_docs - err_stage.null_count
-    n_spans = pc.sum(pc.list_value_length(tbl["spans"])).as_py() or 0
-    return n_docs, int(n_err), int(n_spans)
+    Parquet partitions are counted from the file *footers* alone —
+    row counts plus per-row-group (num_values − null_count) on the
+    ``spans.…kind`` and ``err.stage`` leaves — so the stats pass reads
+    zero data pages (the round-2 version re-read the whole partition's
+    spans, including every extracted text). Non-parquet (Lance)
+    partitions fall back to a pruned columnar read."""
+    files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        import pyarrow.compute as pc
+
+        tbl = read_partition_table(out_dir, columns=["err", "spans"])
+        n_docs = tbl.num_rows
+        err_stage = pc.struct_field(tbl["err"], "stage")
+        n_err = n_docs - err_stage.null_count
+        n_spans = pc.sum(pc.list_value_length(tbl["spans"])).as_py() or 0
+        return n_docs, int(n_err), int(n_spans)
+
+    def leaf_nonnull(md, paths, leaf: str) -> int:
+        i = paths.index(leaf)
+        total = 0
+        for g in range(md.num_row_groups):
+            c = md.row_group(g).column(i)
+            nulls = c.statistics.null_count if c.statistics else 0
+            total += c.num_values - nulls
+        return total
+
+    n_docs = n_err = n_spans = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        paths = [md.schema.column(i).path for i in range(md.num_columns)]
+        n_docs += md.num_rows
+        n_err += leaf_nonnull(md, paths, "err.stage")
+        n_spans += leaf_nonnull(md, paths, "spans.list.element.kind")
+    return n_docs, n_err, n_spans
 
 
 def write_output_partition(ds, out_dir: str) -> None:

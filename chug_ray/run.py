@@ -41,6 +41,30 @@ def _config_hash(cfg: ExtractConfig) -> str:
     return hashlib.blake2b(cfg.to_json().encode(), digest_size=8).hexdigest()
 
 
+def _pin_http_filesystem_check() -> None:
+    """Make Ray's per-call ``fsspec.implementations.http`` probe safe
+    under driver threads.
+
+    ``path_util._is_http_filesystem`` re-attempts the import on every
+    path resolution; when aiohttp is absent the import *fails* every
+    time, and two overlapped partitions racing that failing import can
+    observe a partially-initialized module (``ImportError: cannot
+    import name 'HTTPFileSystem'``) that escapes Ray's
+    ModuleNotFoundError guard and kills a partition. If the import
+    cannot succeed in this environment, resolve the answer once: no
+    HTTP filesystem is possible, so pin the check to False. A cluster
+    with aiohttp installed imports fine and is left untouched."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ImportError:
+        try:
+            from ray.data.datasource import path_util
+
+            path_util._is_http_filesystem = lambda fs: False
+        except Exception:  # pragma: no cover - ray internals moved
+            pass
+
+
 def plan_partitions(docs_path: str, num_partitions: int | None) -> list[list[str]]:
     """Group input files into partitions (one file group per partition).
 
@@ -72,25 +96,28 @@ def run_job(
     cfg: ExtractConfig,
     num_partitions: int | None = None,
     resume: bool = True,
+    overlap: int = 2,
 ) -> list[PartitionManifest]:
-    """Run the extraction job partition-by-partition; returns manifests."""
+    """Run the extraction job partition-by-partition; returns manifests.
+
+    Up to ``overlap`` partitions are in flight at once (driver threads,
+    each owning its own streaming execution): partition k+1's read and
+    classify run while k's write and manifest work drain, so the
+    inter-partition driver gaps that would serialize a multi-node
+    cluster disappear. Each partition stays an independent checkpoint
+    unit — manifests are written per partition the moment it finishes,
+    and a killed run resumes exactly as before. ``overlap=1`` restores
+    the strictly sequential loop."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _pin_http_filesystem_check()
     os.makedirs(out_root, exist_ok=True)
     manifest_dir = os.path.join(out_root, "_manifests")
     cfg_hash = _config_hash(cfg)
     meta_ref = broadcast_media_meta(cfg.media_store_path)
 
-    manifests = []
-    for k, files in enumerate(plan_partitions(docs_path, num_partitions)):
+    def run_partition(k: int, files: list[str]) -> PartitionManifest:
         pid = f"part-{k:05d}"
-        existing = PartitionManifest.load(manifest_dir, pid)
-        if (
-            resume
-            and existing is not None
-            and existing.config_hash == cfg_hash
-            and existing.input_files == files
-        ):
-            manifests.append(existing)  # checkpoint hit — skip
-            continue
         t0 = time.perf_counter()
         docs = read_table_dataset(files, columns=["doc_id", "spans"])
         out = build_extract_pipeline(docs, cfg, media_meta_ref=meta_ref)
@@ -110,8 +137,26 @@ def run_job(
             stage_metrics=stage_summaries(out),
         )
         manifest.write(manifest_dir)
-        manifests.append(manifest)
-    return manifests
+        return manifest
+
+    slots: list = []  # (k, manifest-or-future), submission order
+    with ThreadPoolExecutor(max_workers=max(1, overlap)) as pool:
+        for k, files in enumerate(plan_partitions(docs_path, num_partitions)):
+            pid = f"part-{k:05d}"
+            existing = PartitionManifest.load(manifest_dir, pid)
+            if (
+                resume
+                and existing is not None
+                and existing.config_hash == cfg_hash
+                and existing.input_files == files
+            ):
+                slots.append(existing)  # checkpoint hit — skip
+                continue
+            slots.append(pool.submit(run_partition, k, files))
+        # .result() re-raises a partition's failure; completed manifests
+        # stay on disk, so the rerun resumes past them
+        return [s if isinstance(s, PartitionManifest) else s.result()
+                for s in slots]
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -181,3 +181,40 @@ def test_run_job_ranged_mode_resume(ray_session, t1_corpus, tmp_path):
     actual = canonical(read_output(out_root).to_pylist())
     problems = diff(expected, actual)
     assert not problems, "\n".join(problems)
+
+
+def test_run_job_overlap_matches_sequential(ray_session, t1_corpus, tmp_path):
+    """Overlapped partition execution (driver threads) is bit-identical
+    to the strictly sequential loop — partitions are independent
+    checkpoint units either way."""
+    import pyarrow.parquet as pq
+
+    from chug_ray.io import read_output
+
+    _, docs_path, media_path = t1_corpus
+    # split the corpus into 4 shard files so there are partitions to overlap
+    t = pq.read_table(docs_path)
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    step = (t.num_rows + 3) // 4
+    for i in range(4):
+        pq.write_table(
+            t.slice(i * step, step), str(shard_dir / f"s-{i}.parquet")
+        )
+    cfg = ExtractConfig(
+        page_sampling="random", seed=3, media_store_path=media_path
+    )
+    seq_out = str(tmp_path / "seq")
+    ovl_out = str(tmp_path / "ovl")
+    m_seq = run_job(str(shard_dir), seq_out, cfg, overlap=1)
+    m_ovl = run_job(str(shard_dir), ovl_out, cfg, overlap=3)
+    assert [m.partition_id for m in m_seq] == [m.partition_id for m in m_ovl]
+    assert [m.n_docs for m in m_seq] == [m.n_docs for m in m_ovl]
+
+    def rows(root):
+        tbl = read_output(root)
+        return sorted(
+            zip(tbl["doc_id"].to_pylist(), tbl["spans"].to_pylist())
+        )
+
+    assert rows(seq_out) == rows(ovl_out)
