@@ -74,6 +74,102 @@ def _extract_summary(sf_dir: str, page_sampling: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def _extract_parity(sf_dir: str, page_sampling: str):
+    """Driver-checkable extraction correctness: run the distributed
+    pipeline AND the sequential per-doc oracle (the same ``extract_doc``
+    the pytest goldens pin — `chug_ray/kernels/extract.py`) over the
+    same corpus, compare per doc under span-sequence equality
+    (kind, text, media_ref, offset) + parse + err stage, and emit
+    (doc_id, matched). The comparison itself is distributed: both sides
+    reduce to per-doc canonical hashes, then one groupby(doc_id) joins
+    them — nothing materializes on the driver. The SQL oracle asserts
+    every doc matched."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from chug_ray.config import ExtractConfig
+    from chug_ray.pipeline import (
+        _extract_doc_fn,
+        _store_ref_for,
+        broadcast_media_meta,
+        build_extract_pipeline,
+    )
+    from chug_ray.synth import corpus_for_sf_dir
+
+    docs_path, media_path, _ = corpus_for_sf_dir(sf_dir)
+    cfg = ExtractConfig(
+        page_sampling=page_sampling, seed=0, media_store_path=media_path
+    )
+
+    def canon_hash(batch: pa.Table) -> pa.Table:
+        hashes = []
+        for spans, parse, err in zip(
+            batch["spans"].to_pylist(),
+            batch["parse"].to_pylist(),
+            batch["err"].to_pylist(),
+        ):
+            h = hashlib.blake2b(digest_size=12)
+            for s in spans or []:
+                h.update(
+                    f"{s['kind']}\x00{s['text']}\x00{s['media_ref']}"
+                    f"\x00{s['offset']}\x01".encode()
+                )
+            if parse is not None:
+                h.update(
+                    f"P{parse['num_pages']}:"
+                    f"{list(parse['page_indices'] or [])}".encode()
+                )
+            if err is not None:
+                h.update(f"E{err['stage']}".encode())
+            hashes.append(h.hexdigest())
+        return pa.table(
+            {"doc_id": batch["doc_id"], "h": pa.array(hashes, pa.string())}
+        )
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array([side] * len(batch), pa.string())
+            )
+
+        return fn
+
+    pipe = (
+        build_extract_pipeline(
+            ray.data.read_parquet(docs_path),
+            cfg,
+            media_meta_ref=broadcast_media_meta(media_path),
+        )
+        .map_batches(canon_hash, batch_format="pyarrow")
+        .map_batches(tag("pipeline"), batch_format="pyarrow")
+    )
+    oracle = (
+        ray.data.read_parquet(docs_path)
+        .map_batches(
+            _extract_doc_fn(cfg.to_json(), _store_ref_for(media_path)),
+            batch_format="pyarrow",
+        )
+        .map_batches(canon_hash, batch_format="pyarrow")
+        .map_batches(tag("oracle"), batch_format="pyarrow")
+    )
+
+    def judge(group: pd.DataFrame) -> pd.DataFrame:
+        ok = (
+            len(group) == 2
+            and group["h"].nunique() == 1
+            and set(group["side"]) == {"pipeline", "oracle"}
+        )
+        return pd.DataFrame(
+            {"doc_id": [group["doc_id"].iloc[0]], "matched": [bool(ok)]}
+        )
+
+    return pipe.union(oracle).groupby("doc_id").map_groups(
+        judge, batch_format="pandas"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline: interleaved-document extraction at sf0.001."""
     return _extract_summary("/root/testdata/sf0.001", "all_valid")
@@ -146,6 +242,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_all_valid": lambda sf: _extract_summary(sf, "all_valid"),
         "extract_first": lambda sf: _extract_summary(sf, "first"),
         "extract_random": lambda sf: _extract_summary(sf, "random"),
+        # --- extraction parity: pipeline vs sequential per-doc oracle,
+        # compared distributed; SQL oracle asserts matched=TRUE per doc
+        "extract_parity_random": lambda sf: _extract_parity(sf, "random"),
+        "extract_parity_all_valid": lambda sf: _extract_parity(
+            sf, "all_valid"
+        ),
         # --- multimodal plumbing (rows-only)
         "media_frame_stats": _media_stats,
         "sample_frames": _sample_frames,
@@ -447,4 +549,31 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
         """,
+        **_extract_parity_oracles(),
+    }
+
+
+def _extract_parity_oracles(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> dict[str, str]:
+    """SQL oracles for the extraction-parity queries: every doc in the
+    synthesized interleaved corpus must come back matched=TRUE. The
+    corpus is a deterministic pure function of the sf tag cached under
+    /tmp (chug_ray/synth.py); it is synthesized here if absent so the
+    oracle can read it regardless of run order. The default resolves
+    for sf0.01 (the driver's comparison scale); the pytest harness
+    rebuilds these entries for its own sf."""
+    from chug_ray.synth import corpus_for_sf_dir
+
+    try:
+        docs_path, _, _ = corpus_for_sf_dir(sf_dir)
+    except Exception:  # corpus synth impossible here: omit the oracles
+        return {}
+    sql = f"""
+        SELECT doc_id, TRUE AS matched
+        FROM read_parquet('{docs_path}')
+    """
+    return {
+        "extract_parity_random": sql,
+        "extract_parity_all_valid": sql,
     }

@@ -48,8 +48,13 @@ SQL_QUERIES = sorted(entrymod.oracle_sql().keys())
 
 @pytest.mark.parametrize("name", SQL_QUERIES)
 def test_query_matches_duckdb(ray_session, name):
+    sqls = entrymod.oracle_sql()
+    if name.startswith("extract_parity"):
+        # the parity oracles read the synthesized corpus for a specific
+        # sf; rebuild them for this harness's scale
+        sqls = {**sqls, **entrymod._extract_parity_oracles(SF_DIR)}
     ray_df = _canon(_to_pandas(entrymod.queries()[name](SF_DIR)))
-    duck_df = _canon(_duck(entrymod.oracle_sql()[name]))
+    duck_df = _canon(_duck(sqls[name]))
     assert list(ray_df.columns) == list(duck_df.columns), (
         f"{name}: column mismatch {list(ray_df.columns)} vs {list(duck_df.columns)}"
     )
