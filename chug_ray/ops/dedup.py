@@ -342,10 +342,20 @@ def minhash_lsh_pairs(
         vectorized self-merge, then Jaccard from the carried bottom-k
         token-hash sketches. Emitted as Arrow (pandas blocks cripple
         the downstream sort aggregate)."""
+        from chug_ray.telemetry import record_group
+
         g = group.loc[
             ~group.duplicated(["band_hash", "doc_id"]),
             ["band_hash", "doc_id", "tok_hashes"],
         ]
+        sub = g.groupby("band_hash", sort=False).size()
+        if len(sub):  # skew visibility: the self-merge is quadratic in
+            # the largest band_hash collision set
+            record_group(
+                "minhash_lsh_pairs(band_hash)",
+                int(sub.idxmax()),
+                int(sub.max()),
+            )
         m = g.merge(g, on="band_hash", suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
         jac = []
@@ -502,7 +512,16 @@ def ngram_jaccard_pairs(
     result is the exact SQL answer."""
 
     def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
         g = group.sort_values("doc_id")
+        record_group(
+            "ngram_jaccard_pairs(lang,source)",
+            (str(g["lang"].iloc[0]), str(g["source"].iloc[0]))
+            if len(g)
+            else None,
+            len(g),
+        )
         ids = g["doc_id"].to_numpy()
         sets = [np.asarray(s, dtype=np.uint64) for s in g["tok_hashes"]]
         fn = (
@@ -622,7 +641,14 @@ def embedding_near_dup(
     import ray.data
 
     def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
         g = group.sort_values("vec_id")
+        record_group(
+            "embedding_near_dup(label)",
+            str(g["label"].iloc[0]) if len(g) else None,
+            len(g),
+        )
         ids = g["vec_id"].to_numpy()
         mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)

@@ -291,6 +291,13 @@ def asof_last_order(sf_dir: str, num_buckets: int = 64):
         )
 
     def match(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
+        sub = group.groupby("key", sort=False).size()
+        if len(sub):  # skew visibility: largest per-customer timeline
+            record_group(
+                "asof_last_order(key)", int(sub.idxmax()), int(sub.max())
+            )
         ev = group[group["side"] == "e"].sort_values("ts", kind="stable")
         # secondary sort: among equal (key, ts) orders merge_asof picks
         # the LAST row, so ascending o_orderkey ⇒ max orderkey wins

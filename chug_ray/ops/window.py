@@ -187,7 +187,14 @@ def sessionize(sf_dir: str, gap_minutes: int = 30, chunk_hours: int = 24):
 
     def local_sessions(group: pd.DataFrame) -> pa.Table:
         """All (user, chunk) pairs of one bucket, one vectorized pass."""
+        from chug_ray.telemetry import record_group
+
         g = group.sort_values(["user_id", "chunk", "ts", "event_id"])
+        sub = g.groupby(["user_id", "chunk"], sort=False).size()
+        if len(sub):  # skew visibility: largest (user, chunk) group
+            record_group(
+                "sessionize.local(user,chunk)", sub.idxmax(), int(sub.max())
+            )
         boundary = (
             g["user_id"].ne(g["user_id"].shift())
             | g["chunk"].ne(g["chunk"].shift())
@@ -208,7 +215,14 @@ def sessionize(sf_dir: str, gap_minutes: int = 30, chunk_hours: int = 24):
 
     def stitch(group: pd.DataFrame) -> pd.DataFrame:
         """All users of one bucket: merge boundary-adjacent summaries."""
+        from chug_ray.telemetry import record_group
+
         g = group.sort_values(["user_id", "start_ts", "end_ts"])
+        sub = g.groupby("user_id", sort=False).size()
+        if len(sub):  # skew visibility: most summaries for one user
+            record_group(
+                "sessionize.stitch(user)", int(sub.idxmax()), int(sub.max())
+            )
         boundary = g["user_id"].ne(g["user_id"].shift())
         new_session = boundary | ((g["start_ts"] - g["end_ts"].shift()) > gap)
         g = g.assign(sid=new_session.cumsum().astype(np.int64))

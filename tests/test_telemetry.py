@@ -1,0 +1,50 @@
+"""Group-size telemetry: the bucketed ops must surface their largest
+in-group row count so a skewed key at scale is visible before it OOMs
+(the "no silent caps" rule)."""
+
+from __future__ import annotations
+
+import time
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_ops_report_group_sizes(ray_session):
+    from chug_ray import telemetry
+    from chug_ray.ops.dedup import minhash_lsh_pairs
+    from chug_ray.ops.relational import asof_last_order
+    from chug_ray.ops.window import sessionize
+
+    telemetry.reset()
+    sessionize(SF).materialize()
+    asof_last_order(SF).materialize()
+    minhash_lsh_pairs(SF).materialize()
+
+    want = {
+        "sessionize.local(user,chunk)",
+        "sessionize.stitch(user)",
+        "asof_last_order(key)",
+        "minhash_lsh_pairs(band_hash)",
+    }
+    snap = {}
+    for _ in range(20):  # worker reports are fire-and-forget; allow drain
+        snap = telemetry.snapshot()
+        if want <= set(snap):
+            break
+        time.sleep(0.25)
+    assert want <= set(snap), f"missing telemetry: {want - set(snap)}"
+    for op in want:
+        assert snap[op]["max_group_rows"] >= 1
+        assert snap[op]["key"] is not None
+
+
+def test_oversize_group_logs_warning(ray_session, caplog):
+    import logging
+
+    from chug_ray import telemetry
+
+    telemetry.reset()
+    with caplog.at_level(logging.WARNING, logger="chug_ray.telemetry"):
+        telemetry.record_group("demo_op", "hot-key", telemetry.WARN_ROWS + 1)
+    assert any("demo_op" in r.message and "hot-key" in r.message
+               for r in caplog.records)
