@@ -579,38 +579,82 @@ def build_extract_pipeline(docs, cfg: ExtractConfig, media_meta_ref=None):
     return light.union(heavy)
 
 
+# one meta broadcast per (session, path, mtime): repeated pipeline
+# builds over the same corpus (bench samples, retries, resume) must not
+# re-derive or re-put the side data
+_MEDIA_META_CACHE: dict = {}
+
+# above this many payload rows the meta is sorted distributed; below it
+# a pruned driver read + numpy sort is strictly faster (a distributed
+# sort's fixed cost, ~1-4 s at 32 cpus, dwarfs a two-column read)
+_MEDIA_META_DISTRIBUTED_ROWS = 4_000_000
+
+
 def broadcast_media_meta(media_path: str | None):
     """ray.put the media page-count meta once (small side broadcast).
 
-    The (media_ref, n_pages) side data is computed **distributed**: a
-    column-pruned ``read_parquet`` (never touches the payload bytes) →
-    distributed ``sort`` → the driver streams just the two thin columns
-    into numpy arrays. No full-table ``to_pylist()`` dict is ever built;
-    driver cost is two small arrays, one row per payload. Stored as
+    The (media_ref, n_pages) side data never touches the payload bytes
+    (column-pruned reads only) and never builds a ``to_pylist()`` dict.
+    Small tables: the driver reads just the two thin columns and
+    numpy-argsorts them — O(n_media × ~16 B) driver memory, one row per
+    payload. Tables past ``_MEDIA_META_DISTRIBUTED_ROWS`` (footer row
+    count, no data read): a distributed column-pruned ``read_parquet``
+    → ``sort`` and the driver streams the sorted columns. Stored as
     sorted numpy arrays (refs, n_pages): worker-side lookups are
     vectorized searchsorted, and deserialization is an O(1) buffer view
-    rather than rebuilding a Python dict."""
+    rather than rebuilding a Python dict. Cached per (session, path,
+    mtime)."""
+    import os
+
     import numpy as np
     import ray
-    import ray.data
+
+    from chug_ray.util import ray_session_key
 
     if media_path is None:
         return None
-    ds = ray.data.read_parquet(
-        media_path, columns=["media_ref", "n_pages"]
-    ).sort("media_ref")
-    refs_parts, pages_parts = [], []
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        refs_parts.append(
-            b["media_ref"].to_numpy(zero_copy_only=False).astype(str)
+    key = (
+        ray_session_key(),
+        media_path,
+        os.path.getmtime(media_path) if os.path.exists(media_path) else 0,
+    )
+    if key in _MEDIA_META_CACHE:
+        return _MEDIA_META_CACHE[key]
+
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(media_path, format="parquet")
+    n_rows = sum(f.metadata.num_rows for f in dataset.get_fragments())
+    if n_rows > _MEDIA_META_DISTRIBUTED_ROWS:
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            media_path, columns=["media_ref", "n_pages"]
+        ).sort("media_ref")
+        refs_parts, pages_parts = [], []
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+            refs_parts.append(
+                b["media_ref"].to_numpy(zero_copy_only=False).astype(str)
+            )
+            pages_parts.append(
+                b["n_pages"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        refs = (
+            np.concatenate(refs_parts)
+            if refs_parts
+            else np.array([], dtype=str)
         )
-        pages_parts.append(
-            b["n_pages"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pages = (
+            np.concatenate(pages_parts)
+            if pages_parts
+            else np.array([], dtype=np.int64)
         )
-    if refs_parts:
-        refs = np.concatenate(refs_parts)
-        pages = np.concatenate(pages_parts)
     else:
-        refs = np.array([], dtype=str)
-        pages = np.array([], dtype=np.int64)
-    return ray.put((refs, pages))
+        tbl = dataset.to_table(columns=["media_ref", "n_pages"])
+        refs = tbl["media_ref"].to_numpy(zero_copy_only=False).astype(str)
+        pages = tbl["n_pages"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(refs, kind="stable")
+        refs, pages = refs[order], pages[order]
+    ref = ray.put((refs, pages))
+    _MEDIA_META_CACHE[key] = ref
+    return ref
