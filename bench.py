@@ -71,7 +71,9 @@ def _run_headline(sf_dir: str, seed: int = 0, limit: int | None = None) -> dict:
     return {"n_docs": n, "secs": secs, "docs_per_sec": n / secs if secs else 0.0}
 
 
-def _bench_queries(sf_dir: str, only: set[str] | None) -> dict[str, float]:
+def _bench_queries(
+    sf_dir: str, only: set[str] | None, repeats: int = 2
+) -> dict[str, float]:
     import __ray_entry__ as entrymod
 
     # untimed setup: build the corpus-vocab artifact once so the
@@ -88,10 +90,17 @@ def _bench_queries(sf_dir: str, only: set[str] | None) -> dict[str, float]:
         time.sleep(5)  # let the previous query's worker teardown settle
         # (measured: the same query runs 1.8s after a 10s settle vs 3-4s
         # right after a heavy query's actor pools wind down)
-        t0 = time.perf_counter()
+        best = None
         try:
-            _consume(fn(sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            # min-of-N: this VM's external noise moves identical queries
+            # 3x between runs (BASELINE.md control table); noise is
+            # strictly additive, so the min is the capability estimate
+            for _ in range(max(1, repeats)):
+                t0 = time.perf_counter()
+                _consume(fn(sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            timings[name] = round(best, 3)
         except Exception as e:  # keep the bench line intact; flag the query
             print(f"bench: query {name} FAILED: {e!r}", file=sys.stderr)
             timings[name] = -1.0
@@ -114,6 +123,7 @@ def _init_ray(num_cpus: int) -> None:
     from ray.data.context import AutoscalingConfig, DataContext
 
     ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False  # measured runs, no TTY overhead
     ctx.max_tasks_in_flight_per_actor = 2
     ctx.autoscaling_config = AutoscalingConfig(
         actor_pool_util_upscaling_threshold=0.8,
@@ -233,6 +243,8 @@ def main() -> None:
                         help="corpus tag dir for --scaling (basename keys the synth)")
     parser.add_argument("--queries", default=None,
                         help="comma-separated subset of query names")
+    parser.add_argument("--query-repeats", type=int, default=2,
+                        help="runs per query; min kept (noise robustness)")
     parser.add_argument("--no-queries", action="store_true",
                         help="headline pipeline only")
     parser.add_argument("--child", type=int, default=None, help=argparse.SUPPRESS)
@@ -260,7 +272,9 @@ def main() -> None:
         samples = [_run_headline(args.sf_dir) for _ in range(3)]
         head = min(samples, key=lambda r: r["secs"])
         only = set(args.queries.split(",")) if args.queries else None
-        timings = {} if args.no_queries else _bench_queries(args.sf_dir, only)
+        timings = {} if args.no_queries else _bench_queries(
+            args.sf_dir, only, repeats=args.query_repeats
+        )
         print(json.dumps({
             "metric": "headline extraction wall time (all_valid, full corpus)",
             "value": round(head["secs"], 3),
