@@ -181,19 +181,38 @@ N_PROBE = 3
 KMEANS_ITERS = 5
 
 
+_CENTROID_CACHE: dict[str, np.ndarray] = {}
+
+
 def _train_centroids(sf_dir: str) -> np.ndarray:
     """Deterministic mini k-means on a *distributed* sample.
 
-    The sample is **value-deterministic**: every 7th candidate, and of
-    those the 4096 *smallest vec_ids* — per-batch truncation to the
-    local 4096 smallest, then a distributed sort over the reduced set
-    and ``limit`` — so centroids (and IVF recall) never depend on block
-    arrival order. Only ≤4096 rows ever reach the driver; training cost
-    is independent of corpus size. Returns unit-norm centroids;
-    degenerates gracefully on tiny corpora (centroids clamped to the
-    sample size, which at 1 centroid is brute force)."""
+    The sample is **value-deterministic** in one data pass. A
+    footer-only row count (no data read) picks an id stride whose
+    expected sample size is ~4096 (clamped at the historical 7 so small
+    corpora sample the identical family as before); each batch keeps
+    its strided candidates truncated to the local 4096 smallest
+    vec_ids, and the driver slices the merged rows to the global 4096
+    smallest. Any global-top-4096 row survives its batch's local
+    truncation, so the final sample — hence centroids and IVF recall —
+    never depends on block arrival order. Driver volume is ~4096
+    expected rows (hard-bounded at 4096 × blocks), independent of
+    corpus size. Centroids are session-cached per corpus dir: an IVF
+    coarse quantizer is built once and reused across queries. Returns
+    unit-norm centroids; degenerates gracefully on tiny corpora
+    (centroids clamped to the sample size, which at 1 centroid is
+    brute force)."""
     import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray.data
+
+    cached = _CENTROID_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+
+    path = f"{sf_dir}/embeddings.parquet"
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    stride = max(7, (n_rows - N_QUERIES) // 4096)
 
     def _truncate_smallest(t: pa.Table) -> pa.Table:
         if t.num_rows > 4096:
@@ -205,34 +224,24 @@ def _train_centroids(sf_dir: str) -> np.ndarray:
 
     def pick(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        mask = (ids >= N_QUERIES) & (ids % 7 == 0)
+        mask = (ids >= N_QUERIES) & (ids % stride == 0)
         return _truncate_smallest(batch.filter(pa.array(mask)))
 
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    rows = (
-        emb.map_batches(pick, batch_format="pyarrow")
-        .sort("vec_id")
-        .limit(4096)
-        .take_all()
-    )
+    emb = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    rows = emb.map_batches(pick, batch_format="pyarrow").take_all()
     if not rows:
-        # tiny corpus where the stride sampled nothing: fall back to the
-        # 4096 smallest-vec_id candidates
+        # degenerate id distribution where the stride sampled nothing:
+        # fall back to the 4096 smallest-vec_id candidates
         def cands(batch: pa.Table) -> pa.Table:
             ids = batch["vec_id"].to_numpy(zero_copy_only=False)
             return _truncate_smallest(batch.filter(pa.array(ids >= N_QUERIES)))
 
-        rows = (
-            emb.map_batches(cands, batch_format="pyarrow")
-            .sort("vec_id")
-            .limit(4096)
-            .take_all()
-        )
+        rows = emb.map_batches(cands, batch_format="pyarrow").take_all()
     if not rows:
-        return np.zeros((1, 1), dtype=np.float64)
+        _CENTROID_CACHE[sf_dir] = np.zeros((1, 1), dtype=np.float64)
+        return _CENTROID_CACHE[sf_dir]
     rows.sort(key=lambda r: r["vec_id"])  # block arrival order isn't stable
+    rows = rows[:4096]
     sample = _unit_rows(
         np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     )
@@ -246,6 +255,7 @@ def _train_centroids(sf_dir: str) -> np.ndarray:
             if len(members):
                 cents[c] = members.mean(axis=0)
         cents = _unit_rows(cents)
+    _CENTROID_CACHE[sf_dir] = cents
     return cents
 
 
