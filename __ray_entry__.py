@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_k_tokens": textstats.top_k_tokens,
         "chars_quantiles": textstats.chars_quantiles,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         "embedding_near_dup": dedup.embedding_near_dup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only
         "simhash": textstats.simhash,  # rows-only
@@ -380,6 +381,33 @@ def oracle_sql() -> dict[str, str]:
                   ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
             )
             SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM p WHERE jac >= 0.8
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, lang, source, list_distinct({_TOK}) AS toks
+                FROM documents
+            ), p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM t a JOIN t b
+                  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                        / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.8
+            ), edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM p
+                UNION ALL
+                SELECT doc_b AS a, doc_a AS b FROM p
+            ), reach AS (
+                SELECT a AS node, b AS peer FROM edges
+                UNION
+                SELECT r.node, e.b AS peer FROM reach r JOIN edges e ON e.a = r.peer
+            ), cl AS (
+                SELECT node, LEAST(node, MIN(peer)) AS cluster_id
+                FROM reach GROUP BY node
+            )
+            SELECT d.doc_id,
+                   COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+                   CAST(d.doc_id = COALESCE(cl.cluster_id, d.doc_id) AS BIGINT) AS is_survivor
+            FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -671,3 +671,200 @@ def embedding_near_dup(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
     )
     return emb.groupby("label").map_groups(block_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+
+def _symmetric_edges(pairs):
+    """(doc_a, doc_b) pairs → both-direction (node, nbr) edge rows."""
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b])),
+                "val": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    return pairs.map_batches(sym, batch_format="pyarrow")
+
+
+def _cc_labels(edges, num_buckets: int = 64, max_rounds: int = 16):
+    """Distributed connected components by iterative min-label
+    propagation over an edge Dataset (node, val=nbr) — the join-free
+    map-reduce formulation: each round is two hash-bucket ``groupby``
+    shuffles over (pair-graph) rows, never a driver-side graph.
+
+    * round 0: label(x) = min(x, min of x's neighbors) — a plain
+      Min aggregate.
+    * round k: spread — every edge group forwards its node's current
+      label to each neighbor; shrink — every node takes the min of its
+      old label and the forwarded candidates, emitting a ``changed``
+      flag whose Sum is the driver's convergence test.
+
+    Rounds needed = graph diameter; near-dup components are shallow
+    (dups of a common original), so this converges in a handful of
+    rounds. For adversarially deep graphs the published fix is
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"), which this loop's row shape
+    admits; ``max_rounds`` caps the work and raises rather than
+    silently emitting unconverged labels. Both phases shuffle on
+    ``hash(node) % num_buckets`` and process all keys of a bucket in
+    one vectorized pass (the repo-wide map_groups finding).
+
+    Returns a (node, label) Dataset over pair-graph nodes only —
+    singleton documents never enter the iteration."""
+    from ray.data.aggregate import Min
+
+    edges = edges.materialize()  # reused every round
+    if edges.count() == 0:
+        return None  # no pairs: every document is a singleton
+
+    labels = (
+        edges.groupby("node")
+        .aggregate(Min("val", alias_name="label"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "val": pa.compute.min_element_wise(t["node"], t["label"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def with_bkt(t: pa.Table) -> pa.Table:
+        nodes = t["node"].to_numpy(zero_copy_only=False)
+        bkt = (nodes.astype(np.uint64) * np.uint64(1000003)) % num_buckets
+        return t.append_column("bkt", pa.array(bkt.astype(np.int64)))
+
+    def tagged(t: pa.Table, is_lab: int) -> pa.Table:
+        flag = np.full(t.num_rows, is_lab, np.int8)
+        return with_bkt(t.append_column("is_lab", pa.array(flag)))
+
+    def spread(group: pd.DataFrame) -> pd.DataFrame:
+        """One bucket: forward each node's label along its edges."""
+        from chug_ray.telemetry import record_group
+
+        node = group["node"].to_numpy()
+        val = group["val"].to_numpy()
+        is_lab = group["is_lab"].to_numpy().astype(bool)
+        record_group("dedup_clusters.spread(bucket)", None, len(group))
+        ln, lv = node[is_lab], val[is_lab]
+        order = np.argsort(ln, kind="stable")
+        ln, lv = ln[order], lv[order]
+        en, ev = node[~is_lab], val[~is_lab]
+        lab_of_edge = lv[np.searchsorted(ln, en)]
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([ev, ln]),
+                "val": np.concatenate([lab_of_edge, lv]),
+                "is_lab": np.concatenate(
+                    [
+                        np.zeros(len(ev), np.int8),
+                        np.ones(len(ln), np.int8),
+                    ]
+                ),
+            }
+        )
+
+    def shrink(group: pd.DataFrame) -> pd.DataFrame:
+        """One bucket: per node, min(old label, candidates) + changed."""
+        node = group["node"].to_numpy()
+        val = group["val"].to_numpy()
+        is_lab = group["is_lab"].to_numpy().astype(bool)
+        order = np.lexsort((val, node))
+        n_s, v_s = node[order], val[order]
+        first = np.ones(len(n_s), dtype=bool)
+        first[1:] = n_s[1:] != n_s[:-1]
+        new_nodes, new_vals = n_s[first], v_s[first]
+        ln, lv = node[is_lab], val[is_lab]
+        lorder = np.argsort(ln, kind="stable")
+        old = lv[lorder][np.searchsorted(ln[lorder], new_nodes)]
+        return pd.DataFrame(
+            {
+                "node": new_nodes,
+                "val": new_vals,
+                "changed": (new_vals < old).astype(np.int64),
+            }
+        )
+
+    for _ in range(max_rounds):
+        both = edges.map_batches(
+            lambda t: tagged(t, 0), batch_format="pyarrow"
+        ).union(
+            labels.map_batches(lambda t: tagged(t, 1), batch_format="pyarrow")
+        )
+        cand = both.groupby("bkt").map_groups(spread, batch_format="pandas")
+        new = (
+            cand.map_batches(with_bkt, batch_format="pyarrow")
+            .groupby("bkt")
+            .map_groups(shrink, batch_format="pandas")
+            .materialize()
+        )
+        # convergence probe: one column sum over the materialized labels
+        changed = new.sum("changed")
+        labels = new.drop_columns(["changed"])
+        if not changed:
+            return labels
+    raise RuntimeError(
+        f"connected components did not converge in {max_rounds} rounds — "
+        "graph diameter exceeds the cap; use star-contraction for this input"
+    )
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_rounds: int = 16):
+    """Near-dup cluster assignment for **every** document: cluster_id =
+    the minimum doc_id of the document's connected component in the
+    ``ngram_jaccard_pairs`` graph (singletons are their own cluster);
+    ``is_survivor`` marks the one kept doc per cluster. This is the
+    operator a 100 TB dedup pass actually ends with — pairs alone don't
+    tell you what to drop when near-dup relations chain (A~B, B~C but
+    not A~C must still collapse to one survivor).
+
+    Distributed end-to-end: pairs stream out of the blocked Jaccard op,
+    components are labeled by bucket-shuffled min-label propagation
+    (:func:`_cc_labels` — no driver-side graph), and the full-corpus
+    assignment is one more ``groupby(doc_id)`` Min over
+    ``union(docs as (doc_id, doc_id), labels)`` — no join, no broadcast
+    of the label table. SQL-oracle-able via a recursive CTE."""
+    from ray.data.aggregate import Min
+
+    labels = _cc_labels(
+        _symmetric_edges(ngram_jaccard_pairs(sf_dir, threshold)),
+        max_rounds=max_rounds,
+    )
+
+    def self_labeled(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "cluster": t["doc_id"]})
+
+    assigned = _docs(sf_dir, ["doc_id"]).map_batches(
+        self_labeled, batch_format="pyarrow"
+    )
+    if labels is not None:
+        assigned = assigned.union(
+            labels.map_batches(
+                lambda t: pa.table({"doc_id": t["node"], "cluster": t["val"]}),
+                batch_format="pyarrow",
+            )
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        cl = t["cluster_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "is_survivor", pa.array((ids == cl).astype(np.int64))
+        )
+
+    return (
+        assigned.groupby("doc_id")
+        .aggregate(Min("cluster", alias_name="cluster_id"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

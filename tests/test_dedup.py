@@ -132,3 +132,86 @@ def test_minhash_bottom_k_sketch_cap(ray_session, tmp_path):
     assert (31, 32) in exact and (31, 32) in capped
     for pair, est in capped.items():
         assert abs(est - exact.get(pair, est)) < 0.2
+
+
+# ---------------------------------------------------------------------------
+# connected-components clustering
+# ---------------------------------------------------------------------------
+
+
+def _edges_ds(pairs):
+    import ray.data
+
+    from chug_ray.ops.dedup import _symmetric_edges
+
+    return _symmetric_edges(
+        ray.data.from_items(
+            [{"doc_a": a, "doc_b": b} for a, b in pairs]
+        )
+    )
+
+
+def _labels_of(pairs, **kw):
+    from chug_ray.ops.dedup import _cc_labels
+
+    ds = _cc_labels(_edges_ds(pairs), **kw)
+    return {r["node"]: r["val"] for r in ds.take_all()} if ds else {}
+
+
+def test_cc_chain_needs_multiple_rounds(ray_session):
+    # path graph 10-11-...-17: diameter 7, min label must travel the
+    # whole chain — exercises the iterative propagation, not just the
+    # round-0 aggregate
+    pairs = [(i, i + 1) for i in range(10, 17)]
+    labels = _labels_of(pairs)
+    assert labels == {i: 10 for i in range(10, 18)}
+
+
+def test_cc_two_components_and_star(ray_session):
+    pairs = [(5, 9), (9, 7), (20, 21), (22, 21), (23, 21)]
+    labels = _labels_of(pairs)
+    assert labels == {5: 5, 9: 5, 7: 5, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_cc_max_rounds_raises_not_silently_truncates(ray_session):
+    import pytest
+
+    pairs = [(i, i + 1) for i in range(0, 30)]  # diameter 30
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _labels_of(pairs, max_rounds=2)
+
+
+def test_dedup_clusters_singletons_and_chains(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chug_ray.ops.dedup import dedup_clusters
+
+    # doc 0/1/2 form a near-dup chain (0~1, 1~2 share 9 of 10 tokens;
+    # 0~2 share 8 of 10 — still >= 0.8 only via the chain for the pair
+    # threshold used below), doc 3 is unrelated
+    base = [f"tok{i}" for i in range(10)]
+    texts = [
+        " ".join(base),
+        " ".join(base[:-1] + ["aa"]),
+        " ".join(base[:-2] + ["aa", "bb"]),
+        "entirely different words here",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "cc"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+        for r in dedup_clusters(str(d), threshold=0.8).take_all()
+    }
+    assert out == {0: (0, 1), 1: (0, 0), 2: (0, 0), 3: (3, 1)}
