@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": dedup.dedup_survivors,
         "top_k_tokens": textstats.top_k_tokens,
         "chars_quantiles": textstats.chars_quantiles,
+        "repetition_stats": textstats.repetition_stats,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "embedding_near_dup": dedup.embedding_near_dup,
@@ -368,6 +369,45 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
             UNION ALL SELECT lang, 99, CAST(quantile_disc(n_chars, 0.99) AS BIGINT)
             FROM documents GROUP BY lang
+        """,
+        "repetition_stats": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS toks FROM documents
+            ), u AS (
+                SELECT doc_id, unnest(toks) AS tok FROM t
+            ), c AS (
+                SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok
+            ), a AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS n_unique,
+                       CAST(max(c) AS BIGINT) AS top_c
+                FROM c GROUP BY doc_id
+            ), bgr AS (
+                SELECT t.doc_id, t.toks[i] || ' ' || t.toks[i + 1] AS bg
+                FROM t, LATERAL (
+                    SELECT unnest(generate_series(1, len(t.toks) - 1)) AS i
+                ) g(i)
+            ), bc AS (
+                SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY doc_id, bg
+            ), ba AS (
+                SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg
+                FROM bc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.n_unique, 0) AS n_unique,
+                   CASE WHEN a.n_tokens > 0
+                        THEN CAST(round((1 - CAST(a.n_unique AS DOUBLE) / a.n_tokens) * 10000, 0) AS BIGINT)
+                        ELSE 0 END AS dup_token_frac_e4,
+                   CASE WHEN a.n_tokens > 0
+                        THEN CAST(round(CAST(a.top_c AS DOUBLE) / a.n_tokens * 10000, 0) AS BIGINT)
+                        ELSE 0 END AS top_token_frac_e4,
+                   CASE WHEN ba.n_bg > 0
+                        THEN CAST(round(CAST(ba.top_bg AS DOUBLE) / ba.n_bg * 10000, 0) AS BIGINT)
+                        ELSE 0 END AS top_bigram_frac_e4
+            FROM documents d
+            LEFT JOIN a ON a.doc_id = d.doc_id
+            LEFT JOIN ba ON ba.doc_id = d.doc_id
         """,
         "ngram_jaccard_pairs": f"""
             WITH t AS (

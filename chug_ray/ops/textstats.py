@@ -258,3 +258,67 @@ def chars_quantiles(sf_dir: str, ps=(25, 50, 75, 95, 99)):
         return pd.DataFrame(rows, columns=["lang", "p_pct", "value"])
 
     return counts.groupby("lang").map_groups(quantiles, batch_format="pandas")
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition filters): duplicate-token
+    fraction, most-frequent-token fraction, and most-frequent-bigram
+    fraction — the standard drop rules for boilerplate/spam pages in a
+    web-scale corpus. Fractions are emitted as integer 1e-4 units
+    (round-half-away) so hashes match the SQL oracle exactly.
+
+    Per-doc token multisets are inherent (like the sketch/fingerprint
+    kernels); within a doc everything is numpy — tokens are
+    integer-coded with ``np.unique(return_inverse)`` and bigram counts
+    come from coding the adjacent-pair ids, never string concatenation."""
+    import re
+
+    import numpy as np
+
+    tok_re = re.compile(TOKEN_RE)
+
+    def _e4(x: float) -> int:
+        return int(np.floor(x * 1e4 + 0.5))  # x >= 0 always here
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_tok = np.empty(batch.num_rows, np.int64)
+        n_uni = np.empty(batch.num_rows, np.int64)
+        dup_e4 = np.empty(batch.num_rows, np.int64)
+        top_e4 = np.empty(batch.num_rows, np.int64)
+        big_e4 = np.empty(batch.num_rows, np.int64)
+        for i, text in enumerate(batch["text"].to_pylist()):
+            toks = tok_re.findall(text.lower())
+            n = len(toks)
+            n_tok[i] = n
+            if n == 0:
+                n_uni[i] = dup_e4[i] = top_e4[i] = big_e4[i] = 0
+                continue
+            uniq, inv, counts = np.unique(
+                np.asarray(toks, dtype=object),
+                return_inverse=True,
+                return_counts=True,
+            )
+            u = len(uniq)
+            n_uni[i] = u
+            dup_e4[i] = _e4(1.0 - u / n)
+            top_e4[i] = _e4(counts.max() / n)
+            if n >= 2:
+                pair = inv[:-1].astype(np.int64) * u + inv[1:]
+                big_e4[i] = _e4(
+                    np.unique(pair, return_counts=True)[1].max() / (n - 1)
+                )
+            else:
+                big_e4[i] = 0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "n_unique": pa.array(n_uni),
+                "dup_token_frac_e4": pa.array(dup_e4),
+                "top_token_frac_e4": pa.array(top_e4),
+                "top_bigram_frac_e4": pa.array(big_e4),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,54 @@
+"""Edge-case kernels for the text-analysis ops (the bulk coverage is
+the DuckDB parity harness in test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, texts):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_repetition_stats_edge_cases(ray_session, tmp_path):
+    from chug_ray.ops.textstats import repetition_stats
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            "",  # no tokens at all
+            "one",  # single token: no bigrams
+            "w w w w",  # fully repeated: dup 3/4, top 4/4, bigram 3/3
+            "a b a b a",  # top token 3/5, top bigram 2/4
+        ],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(sf).take_all()}
+    assert rows[0] == {
+        "doc_id": 0,
+        "n_tokens": 0,
+        "n_unique": 0,
+        "dup_token_frac_e4": 0,
+        "top_token_frac_e4": 0,
+        "top_bigram_frac_e4": 0,
+    }
+    assert (rows[1]["n_tokens"], rows[1]["n_unique"]) == (1, 1)
+    assert rows[1]["top_token_frac_e4"] == 10000
+    assert rows[1]["top_bigram_frac_e4"] == 0
+    assert rows[2]["dup_token_frac_e4"] == 7500
+    assert rows[2]["top_token_frac_e4"] == 10000
+    assert rows[2]["top_bigram_frac_e4"] == 10000
+    assert rows[3]["top_token_frac_e4"] == 6000
+    assert rows[3]["top_bigram_frac_e4"] == 5000
