@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": knn.knn_bruteforce,
         "knn_lsh": knn.knn_lsh,  # rows-only (approximate)
         "knn_ivf": knn.knn_ivf,  # rows-only (approximate)
+        "embedding_stats": knn.embedding_stats,
         # --- stream-shaped (events)
         "tumbling_window": window.tumbling_window,
         "hopping_window": window.hopping_window,
@@ -469,6 +470,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
                    CAST(round(sim * 10000, 0) AS BIGINT) AS cos_sim_e4
             FROM r WHERE rank <= 10
+        """,
+        "embedding_stats": """
+            WITH v AS (
+                SELECT label,
+                       list_transform(
+                           embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)
+                       ) AS comp_e4
+                FROM embeddings
+            ), pv AS (
+                SELECT label,
+                       list_aggregate(comp_e4, 'sum') AS sum_comp_e4,
+                       list_aggregate(
+                           list_transform(comp_e4, x -> x * x), 'sum'
+                       ) AS norm_sq_e8
+                FROM v
+            )
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(sum_comp_e4) AS BIGINT) AS sum_comp_e4,
+                   CAST(min(norm_sq_e8) AS BIGINT) AS min_norm_sq_e8,
+                   CAST(max(norm_sq_e8) AS BIGINT) AS max_norm_sq_e8
+            FROM pv GROUP BY label
         """,
         "tumbling_window": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -338,3 +338,58 @@ def knn_lsh(sf_dir: str, k: int = DEFAULT_K):
         .groupby("query_id")
         .map_groups(_LshScorer.merge(k), batch_format="pandas")
     )
+
+
+def embedding_stats(sf_dir: str):
+    """Per-label embedding-column statistics, exact and hash-stable.
+
+    Floats never survive a reduction: each *component* is rounded to an
+    integer 1e-4 unit first, and everything after that — per-vector
+    component sum, per-vector squared norm (e-8 units), and the
+    per-label Sum/Min/Max — is integer arithmetic, which is
+    order-independent. A float mean/norm would differ from the SQL
+    oracle in ulps depending on summation order (numpy pairwise vs
+    DuckDB sequential) and flip at rounding boundaries. Batch combiner
+    → one tiny groupby(label) shuffle carrying a few ints per
+    (label, batch)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = np.stack(
+            [
+                np.asarray(e, dtype=np.float64)
+                for e in batch["embedding"].to_pylist()
+            ]
+        )
+        comp_e4 = _sim_e4(mat)  # (n, dim) integer components
+        df = pd.DataFrame(
+            {
+                "label": batch["label"].to_numpy(zero_copy_only=False),
+                "sum_comp_e4": comp_e4.sum(axis=1),
+                "norm_sq_e8": (comp_e4 * comp_e4).sum(axis=1),
+            }
+        )
+        out = df.groupby("label", as_index=False).agg(
+            n_vecs=("sum_comp_e4", "size"),
+            sum_comp_e4=("sum_comp_e4", "sum"),
+            min_norm_sq_e8=("norm_sq_e8", "min"),
+            max_norm_sq_e8=("norm_sq_e8", "max"),
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("n_vecs", alias_name="n_vecs"),
+            Sum("sum_comp_e4", alias_name="sum_comp_e4"),
+            Min("min_norm_sq_e8", alias_name="min_norm_sq_e8"),
+            Max("max_norm_sq_e8", alias_name="max_norm_sq_e8"),
+        )
+    )
