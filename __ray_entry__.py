@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textstats.repetition_stats,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
+        "novel_docs": dedup.novel_docs,
         "embedding_near_dup": dedup.embedding_near_dup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only
         "simhash": textstats.simhash,  # rows-only
@@ -370,6 +371,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
             UNION ALL SELECT lang, 99, CAST(quantile_disc(n_chars, 0.99) AS BIGINT)
             FROM documents GROUP BY lang
+        """,
+        "novel_docs": """
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE d.source <> 'src0'
+              AND NOT EXISTS (
+                    SELECT 1 FROM documents r
+                    WHERE r.source = 'src0' AND md5(r.text) = md5(d.text)
+              )
         """,
         "repetition_stats": f"""
             WITH t AS (

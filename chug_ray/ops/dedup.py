@@ -868,3 +868,59 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_rounds: int = 16):
         .aggregate(Min("cluster", alias_name="cluster_id"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def novel_docs(sf_dir: str, ref_source: str = "src0", num_buckets: int = 64):
+    """Incremental-ingestion dedup: documents *outside* ``ref_source``
+    whose exact text does not already exist in ``ref_source`` — the
+    "which of today's crawl is actually new" pass that precedes
+    appending to a 100 TB corpus.
+
+    One hash-bucket shuffle over fingerprints: the reference side is
+    combined per batch to one tiny flag row per (fp, batch) — its
+    payload never shuffles — while candidate rows carry their payload
+    through. Each bucket group drops candidates whose fp has any
+    reference flag, all keys of the bucket in one vectorized ``isin``
+    pass. The broadcast-set alternative (ship all reference fps via
+    ``ray.put``) only works while the reference fits one node's heap;
+    this path has no such cap."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_pylist()
+        fps = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        df = pd.DataFrame(
+            {
+                "fp_md5": fps,
+                "is_ref": np.array([s == ref_source for s in src], bool),
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+                "lang": batch["lang"].to_pylist(),
+                "source": src,
+                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        ref = df[df["is_ref"]].drop_duplicates("fp_md5")  # batch combiner
+        out = pd.concat([ref, df[~df["is_ref"]]], ignore_index=True)
+        bkt = np.array(
+            [int(fp[:8], 16) % num_buckets for fp in out["fp_md5"]], np.int64
+        )
+        return pa.Table.from_pandas(out.assign(bkt=bkt), preserve_index=False)
+
+    def filter_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
+        record_group("novel_docs(bucket)", None, len(group))
+        taken = group.loc[group["is_ref"], "fp_md5"]
+        keep = group[~group["is_ref"] & ~group["fp_md5"].isin(set(taken))]
+        return keep[["doc_id", "lang", "source", "n_chars"]].astype(
+            {"doc_id": np.int64, "n_chars": np.int64}
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(filter_bucket, batch_format="pandas")
+    )

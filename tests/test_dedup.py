@@ -215,3 +215,35 @@ def test_dedup_clusters_singletons_and_chains(ray_session, tmp_path):
         for r in dedup_clusters(str(d), threshold=0.8).take_all()
     }
     assert out == {0: (0, 1), 1: (0, 0), 2: (0, 0), 3: (3, 1)}
+
+
+def test_novel_docs_drops_ref_dups_only(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chug_ray.ops.dedup import novel_docs
+
+    rows = [
+        # (doc_id, text, source)
+        (0, "already ingested", "src0"),
+        (1, "also ingested", "src0"),
+        (2, "already ingested", "src1"),  # dup of ref -> dropped
+        (3, "genuinely new", "src1"),     # kept
+        (4, "genuinely new", "src2"),     # dup of another NEW doc -> kept
+        (5, "also ingested", "src2"),     # dup of ref -> dropped
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array([r[2] for r in rows]),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    d = tmp_path / "inc"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    kept = sorted(r["doc_id"] for r in novel_docs(str(d)).take_all())
+    assert kept == [3, 4]
