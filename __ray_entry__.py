@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_k_tokens": textstats.top_k_tokens,
         "chars_quantiles": textstats.chars_quantiles,
         "repetition_stats": textstats.repetition_stats,
+        "clean_text": textstats.clean_text,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "novel_docs": dedup.novel_docs,
@@ -371,6 +372,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
             UNION ALL SELECT lang, 99, CAST(quantile_disc(n_chars, 0.99) AS BIGINT)
             FROM documents GROUP BY lang
+        """,
+        "clean_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean_text,
+                   CAST(length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS BIGINT)
+                       AS n_clean_chars
+            FROM documents
         """,
         "novel_docs": """
             SELECT d.doc_id, d.lang, d.source, d.n_chars

@@ -322,3 +322,25 @@ def repetition_stats(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def clean_text(sf_dir: str):
+    """Whitespace normalization — the standard pre-tokenization cleanup
+    for crawled text: collapse every whitespace run (tabs, newlines,
+    repeated spaces) to one space and trim the ends. Pure
+    ``pyarrow.compute`` RE2 kernels (same regex engine as the DuckDB
+    oracle), zero-copy in, vectorized, streams."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cleaned = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(batch["text"], r"\s+", " ")
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": cleaned,
+                "n_clean_chars": pc.cast(pc.utf8_length(cleaned), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
