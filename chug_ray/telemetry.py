@@ -63,8 +63,14 @@ def _actor():
 
     global _ACTOR_HANDLE
     if _ACTOR_HANDLE is None:
+        # explicit namespace: a detached actor in the default anonymous
+        # namespace makes the raylet print a warning to stdout, which
+        # can corrupt single-JSON-line protocols (bench.py, the driver)
         _ACTOR_HANDLE = GroupTelemetry.options(
-            name=_ACTOR_NAME, get_if_exists=True, lifetime="detached"
+            name=_ACTOR_NAME,
+            get_if_exists=True,
+            lifetime="detached",
+            namespace="chug_ray",
         ).remote()
     return _ACTOR_HANDLE
 
