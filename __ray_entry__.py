@@ -129,10 +129,16 @@ def _extract_parity(sf_dir: str, page_sampling: str):
         )
 
     def tag(side: str):
+        import zlib
+
         def fn(batch: pa.Table) -> pa.Table:
+            bkt = [
+                zlib.crc32(str(d).encode()) % 64
+                for d in batch["doc_id"].to_pylist()
+            ]
             return batch.append_column(
                 "side", pa.array([side] * len(batch), pa.string())
-            )
+            ).append_column("bkt", pa.array(bkt, pa.int64()))
 
         return fn
 
@@ -156,16 +162,23 @@ def _extract_parity(sf_dir: str, page_sampling: str):
     )
 
     def judge(group: pd.DataFrame) -> pd.DataFrame:
-        ok = (
-            len(group) == 2
-            and group["h"].nunique() == 1
-            and set(group["side"]) == {"pipeline", "oracle"}
+        # one vectorized pass per hash bucket (per-doc map_groups calls
+        # dominate wall time at tens of thousands of keys): matched ⇔
+        # exactly one row per side and a single distinct hash
+        counts = (
+            group.groupby(["doc_id", "side"]).size().unstack(fill_value=0)
+        )
+        n_hashes = group.groupby("doc_id")["h"].nunique()
+        matched = (
+            (counts.get("pipeline", 0) == 1)
+            & (counts.get("oracle", 0) == 1)
+            & (n_hashes == 1)
         )
         return pd.DataFrame(
-            {"doc_id": [group["doc_id"].iloc[0]], "matched": [bool(ok)]}
+            {"doc_id": matched.index, "matched": matched.to_numpy()}
         )
 
-    return pipe.union(oracle).groupby("doc_id").map_groups(
+    return pipe.union(oracle).groupby("bkt").map_groups(
         judge, batch_format="pandas"
     )
 
