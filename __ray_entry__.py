@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flatten_props": sources.flatten_props,
         "vqa_prompt": sources.vqa_prompt,
         "hfds_docs": sources.hfds_docs,
+        "hfds_stream_docs": sources.hfds_stream_docs,
         "stratified_sample": sources.stratified_sample,
         # --- extraction pipeline (rows-only; oracle = pytest goldens)
         "extract_all_valid": lambda sf: _extract_summary(sf, "all_valid"),
@@ -617,6 +618,12 @@ def oracle_sql() -> dict[str, str]:
                OR (source <> 'src0' AND doc_id % 100 < 30)
         """,
         "hfds_docs": """
+            SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        # the stream path must yield exactly the same row SET (the
+        # driver compare sorts before hashing, so shuffle order is free)
+        "hfds_stream_docs": """
             SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
             FROM documents
         """,

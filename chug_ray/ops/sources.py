@@ -285,3 +285,101 @@ def stratified_sample(sf_dir: str, rates: dict[str, int] | None = None):
     return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def hfds_stream_source(
+    snapshot_dir: str,
+    split: str = "train",
+    seed: int = 0,
+    epoch: int = 0,
+    buffer_size: int = 2000,
+    columns=None,
+):
+    """Streaming-iterable read of an HF snapshot with the reference's
+    ``streaming=True`` shuffle semantics re-expressed for Ray Data
+    (reference: /root/reference/src/chug/hfds/loader.py:100-137 shard
+    split + ``.shuffle(seed, buffer_size)``, wrappers.py:31-53
+    ``set_epoch``):
+
+    * **shard order**: a seeded permutation of the shard list; ``epoch``
+      folds into the seed exactly like ``set_epoch`` reseeds the
+      iterable.
+    * **buffer shuffle**: each block's rows are permuted by an RNG keyed
+      on (seed, epoch, block head) with ``buffer_size`` bounding the
+      permutation span — rows move at most ``buffer_size`` positions,
+      like a reservoir of that size. The reference's buffer order is
+      worker-count-dependent by design; ours is likewise only
+      block-split-dependent. The *row set* is exactly the snapshot
+      (oracle-checked via set equality), and epoch/seed changes reorder
+      deterministically.
+
+    An infinite ``set_epoch`` training loop has no analog in a one-pass
+    batch engine; epochs are explicit calls with different ``epoch``."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from chug_ray.io import read_table_dataset
+
+    files = hfds_snapshot_files(snapshot_dir, split)
+    rng = np.random.default_rng(
+        int.from_bytes(
+            _hl.blake2b(
+                f"hfds-stream:{seed}:{epoch}".encode(), digest_size=8
+            ).digest(),
+            "little",
+        )
+    )
+    order = rng.permutation(len(files))
+    ds = read_table_dataset([files[i] for i in order], columns=columns)
+
+    def buffer_shuffle(batch: pa.Table) -> pa.Table:
+        head = str(batch.slice(0, 1).to_pylist())
+        bseed = int.from_bytes(
+            _hl.blake2b(
+                f"{seed}:{epoch}:{batch.num_rows}:{head}".encode(),
+                digest_size=8,
+            ).digest(),
+            "little",
+        )
+        brng = np.random.default_rng(bseed)
+        idx = np.arange(batch.num_rows)
+        # permute within buffer_size-wide spans: a row moves at most
+        # buffer_size positions, mirroring a buffer_size reservoir
+        for lo in range(0, batch.num_rows, buffer_size):
+            span = idx[lo : lo + buffer_size]
+            brng.shuffle(span)
+        return batch.take(pa.array(idx))
+
+    return ds.map_batches(buffer_shuffle, batch_format="pyarrow")
+
+
+def hfds_stream_docs(sf_dir: str, epoch: int = 1):
+    """Documents via the streaming-shuffle snapshot path. The oracle is
+    the same SELECT as ``hfds_docs``: the driver compare sorts rows, so
+    a hash match proves the shuffled stream is exactly the document
+    set (reordered, nothing dropped or duplicated)."""
+    import os
+
+    from chug_ray.util import stable_hash_hex
+
+    src = f"{sf_dir}/documents.parquet"
+    snap = os.path.join(
+        "/tmp/chug_ray_hfds", stable_hash_hex(src, os.path.getmtime(src))
+    )
+    if not os.path.isdir(os.path.join(snap, "data")):
+        make_hfds_snapshot(src, snap)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+            }
+        )
+
+    return hfds_stream_source(
+        snap, seed=0, epoch=epoch, columns=["doc_id", "lang", "source", "n_chars"]
+    ).map_batches(project, batch_format="pyarrow")

@@ -71,3 +71,61 @@ def test_hfds_docs_matches_documents(ray_session):
         (r["doc_id"], r["lang"], r["source"], r["n_chars"]) for r in rows
     )
     assert got == want
+
+
+def test_hfds_stream_source_set_equal_and_epoch_reorders(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chug_ray.ops.sources import hfds_stream_source, make_hfds_snapshot
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            "val": pa.array([f"v{i}" for i in range(200)]),
+        }
+    )
+    src = tmp_path / "docs.parquet"
+    pq.write_table(tbl, str(src))
+    snap = make_hfds_snapshot(str(src), str(tmp_path / "snap"), shards=4)
+
+    def ids(epoch):
+        return [
+            r["doc_id"]
+            for r in hfds_stream_source(
+                snap, seed=7, epoch=epoch, buffer_size=16
+            ).take_all()
+        ]
+
+    e0, e0b, e1 = ids(0), ids(0), ids(1)
+    # the row SET is exactly the snapshot at every epoch
+    assert sorted(e0) == list(range(200)) == sorted(e1)
+    # same (seed, epoch) → same order; different epoch → different order
+    assert e0 == e0b
+    assert e0 != e1
+
+
+def test_hfds_stream_buffer_bounds_displacement(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chug_ray.ops.sources import hfds_stream_source, make_hfds_snapshot
+
+    tbl = pa.table({"doc_id": pa.array(range(300), pa.int64())})
+    src = tmp_path / "docs.parquet"
+    pq.write_table(tbl, str(src))
+    # one shard → one block: within-block displacement must stay inside
+    # the buffer_size span, like a reservoir of that size
+    snap = make_hfds_snapshot(str(src), str(tmp_path / "snap"), shards=1)
+    out = np.array(
+        [
+            r["doc_id"]
+            for r in hfds_stream_source(
+                snap, seed=3, epoch=0, buffer_size=32
+            ).take_all()
+        ]
+    )
+    displacement = np.abs(out - np.arange(len(out)))
+    assert displacement.max() < 32
+    assert (out != np.arange(len(out))).any()  # actually shuffled
