@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang_source": relational.docs_by_lang_source,
         "pricing_summary": relational.pricing_summary,
         "top_revenue_orders": relational.top_revenue_orders,
+        "top_docs_per_group": relational.top_docs_per_group,
         "orders_by_segment": relational.orders_by_segment,
         "region_customer_stats": relational.region_customer_stats,
         "customers_without_events": relational.customers_without_events,
@@ -616,6 +617,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, lang FROM documents
             WHERE (source = 'src0' AND doc_id % 100 < 70)
                OR (source <> 'src0' AND doc_id % 100 < 30)
+        """,
+        "top_docs_per_group": """
+            WITH r AS (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id ASC
+                       ) AS rank
+                FROM documents
+            )
+            SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+            FROM r WHERE rank <= 5
         """,
         "hfds_docs": """
             SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars

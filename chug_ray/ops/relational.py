@@ -451,3 +451,52 @@ def customers_without_events(sf_dir: str):
     return _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
         anti, batch_format="pyarrow"
     )
+
+
+def top_docs_per_group(sf_dir: str, k: int = 5):
+    """Per-group top-k (the windowed ``ROW_NUMBER() OVER (PARTITION BY
+    lang ORDER BY n_chars DESC, doc_id)`` shape): the k longest
+    documents of every language.
+
+    Combiner-shaped: each batch keeps only its local top-k per lang
+    (vectorized pandas sort + group-head), so the ``groupby(lang)``
+    shuffle carries ≤ k rows per (lang, batch) — never the corpus. The
+    handful of language groups makes per-key ``map_groups`` overhead
+    irrelevant here (contrast the bucketed ops, whose key counts are
+    unbounded)."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        top = (
+            df.sort_values(["lang", "n_chars", "doc_id"],
+                           ascending=[True, False, True])
+            .groupby("lang", group_keys=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "rank", "doc_id", "n_chars"]].astype(
+            {"doc_id": np.int64, "n_chars": np.int64}
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+    )
