@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": window.hopping_window,
         "event_type_stats": window.event_type_stats,
         "sessionize": window.sessionize,
+        "running_user_totals": window.running_user_totals,
         "asof_last_order": relational.asof_last_order,
         # --- relational / operator inventory demos
         "filter_project": relational.filter_project,
@@ -546,6 +547,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start, event_type, count(*) AS n_events,
                    CAST(sum(value_e4) AS BIGINT) AS sum_value_e4
             FROM h GROUP BY 1, 2
+        """,
+        "running_user_totals": """
+            SELECT event_id, user_id, ts,
+                   CAST(SUM(CAST(round(value * 10000, 0) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS running_e4
+            FROM events
         """,
         "asof_last_order": """
             WITH cand AS (

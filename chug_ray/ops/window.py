@@ -262,3 +262,171 @@ def event_type_stats(sf_dir: str):
             Max("value", alias_name="max_value"),
         )
     )
+
+
+def running_user_totals(
+    sf_dir: str, chunk_hours: int = 24, num_buckets: int = 64
+):
+    """Per-user running totals — the ``SUM(value) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id)`` window — as a **distributed prefix
+    sum**. Values are integer 1e-4 units (exact, order-invariant).
+
+    Like :func:`sessionize`, no phase ever holds a whole user:
+
+    1. **chunk sums**: per-batch partials per (user, time-chunk) →
+       one combiner ``groupby`` Sum; rows = distinct (user, chunk).
+    2. **offsets**: per-user *exclusive* prefix over the chunk-sum
+       summaries — a user-hash-bucket ``groupby`` whose vectorized pass
+       cumsums each user's chunk totals and shifts by one.
+    3. **apply**: events and their chunk offsets co-shuffle on the same
+       (user, chunk) hash bucket; each bucket sorts events within
+       (user, chunk), adds the in-chunk cumulative sum to the chunk's
+       offset, all keys in one vectorized pass.
+
+    Shuffle cost: one combiner-sized, one summary-sized, one over the
+    events (inevitable — every event needs its ordered position). The
+    partitioning unit is (user, chunk): a user with years of events
+    splits across chunks, and only the tiny per-chunk summary stream is
+    ever per-user."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        value_e4 = (
+            np.sign(batch["value"])
+            * np.floor(np.abs(batch["value"].to_numpy()) * 1e4 + 0.5)
+        ).astype(np.int64)
+        chunk = (
+            batch["ts"]
+            .dt.floor(f"{chunk_hours}h")
+            .astype("datetime64[s]")
+            .astype(np.int64)
+        )
+        uid = batch["user_id"].to_numpy()
+        with np.errstate(over="ignore"):
+            bkt = (
+                (uid.astype(np.uint64) * np.uint64(1000003))
+                ^ chunk.to_numpy().astype(np.uint64)
+            ) % num_buckets
+        return batch.assign(
+            value_e4=value_e4, chunk=chunk, bkt=bkt.astype(np.int64)
+        )
+
+    events = (
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+        .map_batches(keyed, batch_format="pandas", batch_size=16384)
+        .materialize()  # consumed by the summary pass AND the apply pass
+    )
+
+    def chunk_partial(batch: pd.DataFrame) -> pa.Table:
+        out = batch.groupby(["user_id", "chunk"], as_index=False).agg(
+            chunk_sum=("value_e4", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    summaries = (
+        events.map_batches(chunk_partial, batch_format="pandas")
+        .groupby(["user_id", "chunk"])
+        .aggregate(Sum("chunk_sum", alias_name="chunk_sum"))
+    )
+
+    def to_offsets(group: pd.DataFrame) -> pa.Table:
+        """One user-bucket: exclusive prefix of chunk sums per user."""
+        g = group.sort_values(["user_id", "chunk"])
+        csum = g.groupby("user_id")["chunk_sum"].cumsum()
+        offset = (csum - g["chunk_sum"]).astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        chunk = g["chunk"].to_numpy()
+        with np.errstate(over="ignore"):
+            bkt = (
+                (uid.astype(np.uint64) * np.uint64(1000003))
+                ^ chunk.astype(np.uint64)
+            ) % num_buckets
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "chunk": pa.array(chunk, pa.int64()),
+                "bkt": pa.array(bkt.astype(np.int64)),
+                "offset": pa.array(offset.to_numpy(), pa.int64()),
+            }
+        )
+
+    def add_ubucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "ubkt", pa.array((uid % num_buckets).astype(np.int64))
+        )
+
+    offsets = (
+        summaries.map_batches(add_ubucket, batch_format="pyarrow")
+        .groupby("ubkt")
+        .map_groups(to_offsets, batch_format="pandas")
+    )
+
+    def project_events(batch: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            batch[
+                ["bkt", "user_id", "chunk", "event_id", "ts", "value_e4"]
+            ].assign(offset=np.int64(0), is_off=np.int8(0)),
+            preserve_index=False,
+        )
+
+    def project_offsets(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "bkt": t["bkt"],
+                "user_id": t["user_id"],
+                "chunk": t["chunk"],
+                "event_id": pa.array(np.full(n, -1, np.int64)),
+                "ts": pa.array(
+                    np.zeros(n, "datetime64[us]"), pa.timestamp("us")
+                ),
+                "value_e4": pa.array(np.zeros(n, np.int64)),
+                "offset": t["offset"],
+                "is_off": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    def apply(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
+        record_group("running_user_totals(bucket)", None, len(group))
+        off = group[group["is_off"] == 1]
+        ev = group[group["is_off"] == 0]
+        if not len(ev):
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts", "running_e4"]
+            ).astype(
+                {
+                    "event_id": np.int64,
+                    "user_id": np.int64,
+                    "ts": "datetime64[us]",
+                    "running_e4": np.int64,
+                }
+            )
+        ev = (
+            ev.sort_values(["user_id", "chunk", "ts", "event_id"])
+            .drop(columns=["offset", "is_off", "bkt"])
+            .merge(  # exact (user, chunk) offset lookup, C hash join,
+                off[["user_id", "chunk", "offset"]],  # left order kept
+                on=["user_id", "chunk"],
+                how="left",
+            )
+        )
+        running = ev.groupby(["user_id", "chunk"])["value_e4"].cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": ev["event_id"].to_numpy(np.int64),
+                "user_id": ev["user_id"].to_numpy(np.int64),
+                "ts": ev["ts"].to_numpy(),
+                "running_e4": (
+                    running.to_numpy() + ev["offset"].to_numpy(np.int64)
+                ).astype(np.int64),
+            }
+        )
+
+    both = events.map_batches(project_events, batch_format="pandas").union(
+        offsets.map_batches(project_offsets, batch_format="pyarrow")
+    )
+    return both.groupby("bkt").map_groups(apply, batch_format="pandas")

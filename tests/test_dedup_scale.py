@@ -213,3 +213,23 @@ def test_embedding_skewed_label_banded_path(ray_session, tmp_path):
     assert set(banded) <= set(exact)  # pruned, never added
     for pair, sim in banded.items():
         assert sim == exact[pair]  # scores stay exact on the banded path
+
+
+def test_running_totals_chunk_invariance(ray_session):
+    """The distributed prefix sum must be exact for ANY chunking: the
+    per-user exclusive chunk offsets stitch local cumsums into the same
+    global running totals regardless of chunk width."""
+    from chug_ray.ops.window import running_user_totals
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(hours):
+        df = running_user_totals(sf, chunk_hours=hours).to_pandas()
+        return (
+            df.sort_values("event_id").reset_index(drop=True)[
+                ["event_id", "running_e4"]
+            ]
+        )
+
+    a, b, c = run(24), run(6), run(1)
+    assert a.equals(b) and b.equals(c)
