@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_quantiles": textstats.chars_quantiles,
         "repetition_stats": textstats.repetition_stats,
         "clean_text": textstats.clean_text,
+        "approx_distinct_tokens": textstats.approx_distinct_tokens,  # rows-only (sketch)
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "novel_docs": dedup.novel_docs,

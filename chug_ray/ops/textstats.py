@@ -344,3 +344,81 @@ def clean_text(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def approx_distinct_tokens(sf_dir: str, p: int = 12):
+    """HyperLogLog distinct-token estimate per language (Flajolet et
+    al. 2007) — the sketch that replaces an exact-distinct shuffle at
+    100 TB: the ``groupby(lang)`` carries ONE ``2^p``-byte register
+    array per (lang, batch) no matter how many tokens flow through.
+
+    Per batch: blake2b-64 token hashes (shared per-process cache with
+    the dedup family) split into a ``p``-bit register index and the
+    rank of the remaining bits' leading one; ``np.maximum.at``
+    scatter-max fills the batch's registers. Merge = elementwise max;
+    estimate = harmonic-mean formula with the standard small-range
+    linear-counting correction. Deterministic (hash-based, no RNG);
+    standard error ≈ 1.04/√m ≈ 1.6% at p=12 — pinned against the exact
+    distinct count in tests."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from chug_ray.ops.dedup import _SKETCH_CACHE, _token_hash
+
+    tok_re = re.compile(TOKEN_RE)
+    m = 1 << p
+
+    def batch_registers(batch: pa.Table) -> pa.Table:
+        regs: dict[str, np.ndarray] = {}
+        for lang, text in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = set(tok_re.findall(text.lower()))
+            if not toks:
+                continue
+            h = np.array(
+                [_SKETCH_CACHE.setdefault(t, _token_hash(t)) for t in toks],
+                dtype=np.uint64,
+            )
+            idx = (h >> np.uint64(64 - p)).astype(np.int64)
+            low = h & np.uint64((1 << (64 - p)) - 1)
+            rho = np.where(
+                low == 0,
+                64 - p + 1,
+                (64 - p) - np.floor(np.log2(np.maximum(low, 1).astype(np.float64))),
+            ).astype(np.uint8)
+            reg = regs.setdefault(lang, np.zeros(m, np.uint8))
+            np.maximum.at(reg, idx, rho)
+        return pa.table(
+            {
+                "lang": pa.array(list(regs.keys()), pa.string()),
+                "registers": pa.array(
+                    [r.tolist() for r in regs.values()], pa.list_(pa.uint8())
+                ),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        reg = np.maximum.reduce(
+            np.stack([np.asarray(r, np.uint8) for r in group["registers"]])
+        )
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+        zeros = int((reg == 0).sum())
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)  # linear counting, small range
+        return pd.DataFrame(
+            {
+                "lang": [group["lang"].iloc[0]],
+                "est_distinct": np.array([round(est)], np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ("doc_id", "text", "lang"))
+        .map_batches(batch_registers, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+    )

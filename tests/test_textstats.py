@@ -52,3 +52,32 @@ def test_repetition_stats_edge_cases(ray_session, tmp_path):
     assert rows[2]["top_bigram_frac_e4"] == 10000
     assert rows[3]["top_token_frac_e4"] == 6000
     assert rows[3]["top_bigram_frac_e4"] == 5000
+
+
+def test_hll_estimate_within_error_bound(ray_session):
+    """HLL at p=12 has standard error ~1.6%; pin ±5% against the exact
+    per-lang distinct token count, plus determinism."""
+    import re
+
+    import duckdb
+
+    from chug_ray.ops.textstats import TOKEN_RE, approx_distinct_tokens
+
+    sf = "/root/testdata/sf0.01"
+    est1 = {r["lang"]: r["est_distinct"] for r in approx_distinct_tokens(sf).take_all()}
+    est2 = {r["lang"]: r["est_distinct"] for r in approx_distinct_tokens(sf).take_all()}
+    assert est1 == est2  # hash-based, no RNG
+
+    exact = dict(
+        duckdb.sql(
+            f"""
+            SELECT lang, count(DISTINCT tok) FROM (
+                SELECT lang, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+                FROM read_parquet('{sf}/documents.parquet')
+            ) GROUP BY lang
+            """
+        ).fetchall()
+    )
+    assert set(est1) == set(exact)
+    for lang, ex in exact.items():
+        assert abs(est1[lang] - ex) / ex < 0.05, (lang, est1[lang], ex)
