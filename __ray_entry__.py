@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hfds_docs": sources.hfds_docs,
         "hfds_stream_docs": sources.hfds_stream_docs,
         "stratified_sample": sources.stratified_sample,
+        "uniform_sample_k": sources.uniform_sample_k,
         # --- extraction pipeline (rows-only; oracle = pytest goldens)
         "extract_all_valid": lambda sf: _extract_summary(sf, "all_valid"),
         "extract_first": lambda sf: _extract_summary(sf, "first"),
@@ -650,6 +651,10 @@ def oracle_sql() -> dict[str, str]:
         "hfds_stream_docs": """
             SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
             FROM documents
+        """,
+        "uniform_sample_k": """
+            SELECT doc_id, lang, n_chars FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100
         """,
         "stratified_sample": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -287,6 +287,44 @@ def stratified_sample(sf_dir: str, rates: dict[str, int] | None = None):
     )
 
 
+def uniform_sample_k(sf_dir: str, k: int = 100):
+    """Exact uniform k-sample without replacement, distributed: keep the
+    k documents with the smallest ``md5(doc_id)`` — bottom-k hashing,
+    the order-free equivalent of reservoir sampling. Each batch emits
+    only its local bottom-k (one tiny row per candidate), the driver
+    merges ``blocks × k`` short rows — never the corpus. Deterministic
+    and exactly SQL-expressible (``ORDER BY md5(...) LIMIT k``), unlike
+    an order-dependent reservoir."""
+    import hashlib
+
+    import numpy as np
+
+    def local_bottom_k(batch: pa.Table) -> pa.Table:
+        h = np.array(
+            [
+                hashlib.md5(str(d).encode()).hexdigest()
+                for d in batch["doc_id"].to_pylist()
+            ]
+        )
+        order = np.argsort(h, kind="stable")[:k]
+        return batch.append_column("h", pa.array(h)).take(pa.array(order))
+
+    def global_bottom_k(batch: pa.Table) -> pa.Table:
+        order = np.argsort(
+            batch["h"].to_numpy(zero_copy_only=False), kind="stable"
+        )[:k]
+        return batch.take(pa.array(order)).drop_columns(["h"])
+
+    # the merge input is ≤ blocks × k short rows: repartition(1) makes
+    # the final exact cut a single tiny task, not a driver loop
+    return (
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .map_batches(local_bottom_k, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(global_bottom_k, batch_format="pyarrow")
+    )
+
+
 def hfds_stream_source(
     snapshot_dir: str,
     split: str = "train",
