@@ -273,23 +273,23 @@ def running_user_totals(
 
     Like :func:`sessionize`, no phase ever holds a whole user:
 
-    1. **chunk sums**: per-batch partials per (user, time-chunk) →
-       one combiner ``groupby`` Sum; rows = distinct (user, chunk).
-    2. **offsets**: per-user *exclusive* prefix over the chunk-sum
-       summaries — a user-hash-bucket ``groupby`` whose vectorized pass
-       cumsums each user's chunk totals and shifts by one.
-    3. **apply**: events and their chunk offsets co-shuffle on the same
+    1. **offsets**: per-batch partial sums per (user, time-chunk)
+       shuffle once on a user-hash bucket; each bucket finishes the
+       (user, chunk) sums AND the per-user *exclusive* prefix in one
+       vectorized pass. (A native 2-key Aggregate here measured ~22 s
+       at 40k groups vs ~2 s for the 64-bucket pass — the repo-wide
+       map_groups/bucket finding applies to Aggregate keys too.)
+    2. **apply**: events and their chunk offsets co-shuffle on the same
        (user, chunk) hash bucket; each bucket sorts events within
        (user, chunk), adds the in-chunk cumulative sum to the chunk's
        offset, all keys in one vectorized pass.
 
-    Shuffle cost: one combiner-sized, one summary-sized, one over the
+    Shuffle cost: one combiner-sized (partial chunk sums), one over the
     events (inevitable — every event needs its ordered position). The
     partitioning unit is (user, chunk): a user with years of events
     splits across chunks, and only the tiny per-chunk summary stream is
     ever per-user."""
     import pyarrow as pa
-    from ray.data.aggregate import Sum
 
     def keyed(batch: pd.DataFrame) -> pd.DataFrame:
         value_e4 = (
@@ -322,17 +322,18 @@ def running_user_totals(
         out = batch.groupby(["user_id", "chunk"], as_index=False).agg(
             chunk_sum=("value_e4", "sum")
         )
+        out["ubkt"] = (out["user_id"].to_numpy() % num_buckets).astype(
+            np.int64
+        )
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    summaries = (
-        events.map_batches(chunk_partial, batch_format="pandas")
-        .groupby(["user_id", "chunk"])
-        .aggregate(Sum("chunk_sum", alias_name="chunk_sum"))
-    )
-
     def to_offsets(group: pd.DataFrame) -> pa.Table:
-        """One user-bucket: exclusive prefix of chunk sums per user."""
-        g = group.sort_values(["user_id", "chunk"])
+        """One user-bucket: finish the (user, chunk) sums over the
+        partials, then the exclusive per-user prefix."""
+        g = group.groupby(["user_id", "chunk"], as_index=False).agg(
+            chunk_sum=("chunk_sum", "sum")
+        )
+        g = g.sort_values(["user_id", "chunk"])
         csum = g.groupby("user_id")["chunk_sum"].cumsum()
         offset = (csum - g["chunk_sum"]).astype(np.int64)
         uid = g["user_id"].to_numpy()
@@ -351,14 +352,8 @@ def running_user_totals(
             }
         )
 
-    def add_ubucket(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "ubkt", pa.array((uid % num_buckets).astype(np.int64))
-        )
-
     offsets = (
-        summaries.map_batches(add_ubucket, batch_format="pyarrow")
+        events.map_batches(chunk_partial, batch_format="pandas")
         .groupby("ubkt")
         .map_groups(to_offsets, batch_format="pandas")
     )
