@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textstats.repetition_stats,
         "clean_text": textstats.clean_text,
         "approx_distinct_tokens": textstats.approx_distinct_tokens,  # rows-only (sketch)
+        "oov_rate": textstats.oov_rate,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "novel_docs": dedup.novel_docs,
@@ -397,6 +398,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS BIGINT)
                        AS n_clean_chars
             FROM documents
+        """,
+        "oov_rate": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+            ), vocab AS (
+                SELECT tok FROM (
+                    SELECT tok, count(*) AS n FROM tok GROUP BY tok
+                    ORDER BY n DESC, tok ASC LIMIT 1000
+                )
+            ), per_doc AS (
+                SELECT t.doc_id,
+                       count(*) AS n_tokens,
+                       count(*) FILTER (v.tok IS NULL) AS n_oov
+                FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+                   CASE WHEN p.n_tokens > 0
+                        THEN CAST(round(CAST(p.n_oov AS DOUBLE) / p.n_tokens * 10000, 0) AS BIGINT)
+                        ELSE 0 END AS oov_rate_e4
+            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
         """,
         "novel_docs": """
             SELECT d.doc_id, d.lang, d.source, d.n_chars

@@ -422,3 +422,65 @@ def approx_distinct_tokens(sf_dir: str, p: int = 12):
         .groupby("lang")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def oov_rate(sf_dir: str, vocab_k: int = 1000):
+    """Out-of-vocabulary rate per document — the integer-exact core of
+    a CCNet-style LM quality filter: fraction of a doc's tokens not in
+    the corpus's top-``vocab_k`` token vocabulary, as 1e-4 units.
+    (A perplexity score would add float ``log`` whose last-ulp differs
+    between engines; the OOV fraction keeps the whole filter
+    order-independent integer math, hash-exact vs the SQL oracle.)
+
+    Two-phase broadcast-stats shape: phase 1 reuses the top-k-tokens
+    combiner (shuffle carries one row per (token, batch)) and pulls
+    only the ``vocab_k`` vocabulary rows to the driver for one
+    ``ray.put``; phase 2 scores every doc against the broadcast
+    sorted-array vocab with a per-doc ``searchsorted`` membership test.
+    Ties at the vocabulary boundary break (count desc, token asc) —
+    pinned in both engines."""
+    import re
+
+    import numpy as np
+    import ray
+
+    tok_re = re.compile(TOKEN_RE)
+
+    vocab = np.sort(
+        np.array(
+            [r["token"] for r in top_k_tokens(sf_dir, k=vocab_k).take_all()],
+            dtype=object,
+        )
+    )
+    vocab_ref = ray.put(vocab)
+
+    def _e4(x: float) -> int:
+        return int(np.floor(x * 1e4 + 0.5))
+
+    def score(batch: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        n_tok = np.empty(batch.num_rows, np.int64)
+        n_oov = np.empty(batch.num_rows, np.int64)
+        rate = np.empty(batch.num_rows, np.int64)
+        for i, text in enumerate(batch["text"].to_pylist()):
+            toks = np.asarray(tok_re.findall(text.lower()), dtype=object)
+            n = len(toks)
+            n_tok[i] = n
+            if n == 0:
+                n_oov[i] = rate[i] = 0
+                continue
+            pos = np.searchsorted(v, toks)
+            pos[pos >= len(v)] = len(v) - 1
+            oov = int((v[pos] != toks).sum()) if len(v) else n
+            n_oov[i] = oov
+            rate[i] = _e4(oov / n)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "n_oov": pa.array(n_oov),
+                "oov_rate_e4": pa.array(rate),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
