@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novel_docs": dedup.novel_docs,
         "embedding_near_dup": dedup.embedding_near_dup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only
+        "minhash_clusters": dedup.minhash_clusters,  # rows-only (approx pairs)
         "simhash": textstats.simhash,  # rows-only
         # --- similarity search (embeddings)
         "knn_bruteforce": knn.knn_bruteforce,

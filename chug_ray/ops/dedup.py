@@ -896,13 +896,52 @@ def dedup_clusters(
     assignment is one more ``groupby(doc_id)`` Min over
     ``union(docs as (doc_id, doc_id), labels)`` — no join, no broadcast
     of the label table. SQL-oracle-able via a recursive CTE."""
-    from ray.data.aggregate import Min
-
-    labels = _cc_labels(
-        _symmetric_edges(ngram_jaccard_pairs(sf_dir, threshold)),
-        max_rounds=max_rounds,
-        max_driver_edges=max_driver_edges,
+    return _assign_clusters(
+        sf_dir,
+        _cc_labels(
+            _symmetric_edges(ngram_jaccard_pairs(sf_dir, threshold)),
+            max_rounds=max_rounds,
+            max_driver_edges=max_driver_edges,
+        ),
     )
+
+
+def minhash_clusters(
+    sf_dir: str,
+    threshold: float = 0.8,
+    max_rounds: int = 16,
+    max_driver_edges: int = 4_000_000,
+):
+    """:func:`dedup_clusters` over the **MinHash-LSH** pair graph — the
+    scale-realistic fuzzy-dedup end-to-end (banding prunes candidates
+    sub-quadratically, so this composition is what a 100 TB pass runs;
+    the ngram variant is the exact-oracle twin). Approximate only in
+    pair recall; the CC labeling and assignment are exact over whatever
+    pairs banding found, so every cluster is a union of true near-dup
+    links. Rows-only for the driver; pinned against the ngram clusters
+    in tests (same corpus ⇒ MinHash clusters refine or equal them)."""
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.select(["doc_a", "doc_b"])
+
+    pairs = minhash_lsh_pairs(sf_dir, threshold).map_batches(
+        strip, batch_format="pyarrow"
+    )
+    return _assign_clusters(
+        sf_dir,
+        _cc_labels(
+            _symmetric_edges(pairs),
+            max_rounds=max_rounds,
+            max_driver_edges=max_driver_edges,
+        ),
+    )
+
+
+def _assign_clusters(sf_dir: str, labels):
+    """(node, val=label) Dataset (or None) → full-corpus
+    (doc_id, cluster_id, is_survivor) via one union + groupby Min —
+    no join, no broadcast of the label table."""
+    from ray.data.aggregate import Min
 
     def self_labeled(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"], "cluster": t["doc_id"]})

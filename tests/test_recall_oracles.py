@@ -99,3 +99,49 @@ def test_minhash_high_pairs_subset_of_ngram(ray_session):
             assert ngram.get((a, b)) == jac, (a, b, jac)
             checked += 1
     assert checked, "no same-block high-similarity pairs to cross-check"
+
+
+def test_minhash_clusters_match_union_find_over_pairs(ray_session):
+    """The distributed composition (pairs → CC labels → full-corpus
+    assignment) must equal a sequential union-find over the same
+    emitted pair set. Every emitted MinHash pair score is exact
+    (pinned elsewhere), so this closes the loop for the cluster op.
+    Note: MinHash bands corpus-wide while the ngram op blocks by
+    (lang, source), so MinHash clusters may legitimately merge
+    cross-source duplicates the blocked op never compares — the two
+    ops' clusters are NOT a refinement pair."""
+    import duckdb
+
+    from chug_ray.ops.dedup import minhash_clusters, minhash_lsh_pairs
+
+    sf = "/root/testdata/sf0.01"
+    pairs = [
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(sf).take_all()
+    ]
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchone()[0]
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in range(n_docs)}
+
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in minhash_clusters(sf).take_all()
+    }
+    assert got == want
+    surv = {
+        r["doc_id"]: r["is_survivor"]
+        for r in minhash_clusters(sf).take_all()
+    }
+    assert all(surv[d] == (1 if want[d] == d else 0) for d in want)
