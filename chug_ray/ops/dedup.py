@@ -918,19 +918,17 @@ def minhash_clusters(
     the ngram variant is the exact-oracle twin). Approximate only in
     pair recall; the CC labeling and assignment are exact over whatever
     pairs banding found, so every cluster is a union of true near-dup
-    links. Rows-only for the driver; pinned against the ngram clusters
-    in tests (same corpus ⇒ MinHash clusters refine or equal them)."""
-
-    def strip(t: pa.Table) -> pa.Table:
-        return t.select(["doc_a", "doc_b"])
-
-    pairs = minhash_lsh_pairs(sf_dir, threshold).map_batches(
-        strip, batch_format="pyarrow"
-    )
+    links (every emitted pair score is exact). Rows-only for the
+    driver; pinned in tests by sequential union-find equivalence over
+    the same pair set. NOTE: MinHash bands corpus-wide while the ngram
+    op blocks by (lang, source), so MinHash clusters can legitimately
+    merge cross-source duplicates the blocked op never compares — the
+    two ops' clusters are not a refinement pair."""
     return _assign_clusters(
         sf_dir,
         _cc_labels(
-            _symmetric_edges(pairs),
+            # _symmetric_edges projects doc_a/doc_b itself; no strip stage
+            _symmetric_edges(minhash_lsh_pairs(sf_dir, threshold)),
             max_rounds=max_rounds,
             max_driver_edges=max_driver_edges,
         ),

@@ -206,11 +206,14 @@ def _train_centroids(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
     import ray.data
 
-    cached = _CENTROID_CACHE.get(sf_dir)
+    path = f"{sf_dir}/embeddings.parquet"
+    import os
+
+    cache_key = f"{path}:{os.path.getmtime(path)}"  # stale on rewrite
+    cached = _CENTROID_CACHE.get(cache_key)
     if cached is not None:
         return cached
 
-    path = f"{sf_dir}/embeddings.parquet"
     n_rows = pq.ParquetFile(path).metadata.num_rows
     stride = max(7, (n_rows - N_QUERIES) // 4096)
 
@@ -238,8 +241,9 @@ def _train_centroids(sf_dir: str) -> np.ndarray:
 
         rows = emb.map_batches(cands, batch_format="pyarrow").take_all()
     if not rows:
-        _CENTROID_CACHE[sf_dir] = np.zeros((1, 1), dtype=np.float64)
-        return _CENTROID_CACHE[sf_dir]
+        _CENTROID_CACHE[cache_key] = np.zeros((1, 1), dtype=np.float64)
+        _CENTROID_CACHE[cache_key].flags.writeable = False
+        return _CENTROID_CACHE[cache_key]
     rows.sort(key=lambda r: r["vec_id"])  # block arrival order isn't stable
     rows = rows[:4096]
     sample = _unit_rows(
@@ -255,7 +259,8 @@ def _train_centroids(sf_dir: str) -> np.ndarray:
             if len(members):
                 cents[c] = members.mean(axis=0)
         cents = _unit_rows(cents)
-    _CENTROID_CACHE[sf_dir] = cents
+    cents.flags.writeable = False  # shared across callers
+    _CENTROID_CACHE[cache_key] = cents
     return cents
 
 

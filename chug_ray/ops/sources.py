@@ -145,16 +145,23 @@ def make_hfds_snapshot(
 
     import pyarrow.parquet as pq
 
+    # crash-safe: build under a temp name, rename "data" into place last
+    # (a partially written snapshot must never pass the isdir check)
+    tmp_dir = os.path.join(dst_dir, "_data.tmp")
     data_dir = os.path.join(dst_dir, "data")
-    os.makedirs(data_dir, exist_ok=True)
+    import shutil
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
     tbl = pq.read_table(src_parquet)
     n = tbl.num_rows
     per = (n + shards - 1) // shards
     for s in range(shards):
         pq.write_table(
             tbl.slice(s * per, per),
-            os.path.join(data_dir, f"{split}-{s:05d}-of-{shards:05d}.parquet"),
+            os.path.join(tmp_dir, f"{split}-{s:05d}-of-{shards:05d}.parquet"),
         )
+    os.rename(tmp_dir, data_dir)
     return dst_dir
 
 
@@ -190,10 +197,9 @@ def hfds_source(
     return ds.map_batches(apply, batch_format="pyarrow")
 
 
-def hfds_docs(sf_dir: str):
-    """Documents round-tripped through a synthetic HF snapshot (cached
-    per corpus) and read back via ``hfds_source`` — SQL-oracle-able
-    because the snapshot holds exactly the documents rows."""
+def _docs_snapshot(sf_dir: str) -> str:
+    """The corpus's documents table as a cached HF-style snapshot dir
+    (keyed on path + mtime so a regenerated corpus re-snapshots)."""
     import os
 
     from chug_ray.util import stable_hash_hex
@@ -204,20 +210,30 @@ def hfds_docs(sf_dir: str):
     )
     if not os.path.isdir(os.path.join(snap, "data")):
         make_hfds_snapshot(src, snap)
+    return snap
 
-    def project(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "lang": batch["lang"],
-                "source": batch["source"],
-                "n_chars": pc.cast(batch["n_chars"], pa.int64()),
-            }
-        )
 
-    return hfds_source(
-        snap, columns=["doc_id", "lang", "source", "n_chars"]
-    ).map_batches(project, batch_format="pyarrow")
+_DOC_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def _project_docs(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "source": batch["source"],
+            "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+        }
+    )
+
+
+def hfds_docs(sf_dir: str):
+    """Documents round-tripped through a synthetic HF snapshot (cached
+    per corpus) and read back via ``hfds_source`` — SQL-oracle-able
+    because the snapshot holds exactly the documents rows."""
+    return hfds_source(_docs_snapshot(sf_dir), columns=_DOC_COLS).map_batches(
+        _project_docs, batch_format="pyarrow"
+    )
 
 
 # prompt template tokens — same shape as the reference defaults
@@ -397,27 +413,6 @@ def hfds_stream_docs(sf_dir: str, epoch: int = 1):
     the same SELECT as ``hfds_docs``: the driver compare sorts rows, so
     a hash match proves the shuffled stream is exactly the document
     set (reordered, nothing dropped or duplicated)."""
-    import os
-
-    from chug_ray.util import stable_hash_hex
-
-    src = f"{sf_dir}/documents.parquet"
-    snap = os.path.join(
-        "/tmp/chug_ray_hfds", stable_hash_hex(src, os.path.getmtime(src))
-    )
-    if not os.path.isdir(os.path.join(snap, "data")):
-        make_hfds_snapshot(src, snap)
-
-    def project(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "lang": batch["lang"],
-                "source": batch["source"],
-                "n_chars": pc.cast(batch["n_chars"], pa.int64()),
-            }
-        )
-
     return hfds_stream_source(
-        snap, seed=0, epoch=epoch, columns=["doc_id", "lang", "source", "n_chars"]
-    ).map_batches(project, batch_format="pyarrow")
+        _docs_snapshot(sf_dir), seed=0, epoch=epoch, columns=_DOC_COLS
+    ).map_batches(_project_docs, batch_format="pyarrow")

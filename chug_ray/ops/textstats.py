@@ -329,11 +329,18 @@ def clean_text(sf_dir: str):
     for crawled text: collapse every whitespace run (tabs, newlines,
     repeated spaces) to one space and trim the ends. Pure
     ``pyarrow.compute`` RE2 kernels (same regex engine as the DuckDB
-    oracle), zero-copy in, vectorized, streams."""
+    oracle), zero-copy in, vectorized, streams.
+
+    Trim is space-only (``utf8_trim(characters=" ")``), matching SQL
+    ``trim()``: RE2 ``\\s`` is ASCII in both engines, so a U+2028/2029
+    separator at a string edge survives the replace in BOTH — Arrow's
+    ``utf8_trim_whitespace`` would strip it (Unicode White_Space) and
+    silently diverge from the oracle on such crawled text."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        cleaned = pc.utf8_trim_whitespace(
-            pc.replace_substring_regex(batch["text"], r"\s+", " ")
+        cleaned = pc.utf8_trim(
+            pc.replace_substring_regex(batch["text"], r"\s+", " "),
+            characters=" ",
         )
         return pa.table(
             {

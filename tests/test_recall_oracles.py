@@ -115,8 +115,11 @@ def test_minhash_clusters_match_union_find_over_pairs(ray_session):
     from chug_ray.ops.dedup import minhash_clusters, minhash_lsh_pairs
 
     sf = "/root/testdata/sf0.01"
+    # same threshold as minhash_clusters' default — the equivalence is
+    # over the SAME emitted pair set, not the op's laxer 0.6 default
     pairs = [
-        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(sf).take_all()
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(sf, threshold=0.8).take_all()
     ]
     n_docs = duckdb.sql(
         f"SELECT count(*) FROM read_parquet('{sf}/documents.parquet')"
@@ -136,12 +139,8 @@ def test_minhash_clusters_match_union_find_over_pairs(ray_session):
             parent[max(ra, rb)] = min(ra, rb)
     want = {d: find(d) for d in range(n_docs)}
 
-    got = {
-        r["doc_id"]: r["cluster_id"] for r in minhash_clusters(sf).take_all()
-    }
+    rows = minhash_clusters(sf).take_all()  # one pipeline run, both cols
+    got = {r["doc_id"]: r["cluster_id"] for r in rows}
+    surv = {r["doc_id"]: r["is_survivor"] for r in rows}
     assert got == want
-    surv = {
-        r["doc_id"]: r["is_survivor"]
-        for r in minhash_clusters(sf).take_all()
-    }
     assert all(surv[d] == (1 if want[d] == d else 0) for d in want)
