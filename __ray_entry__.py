@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": knn.knn_lsh,  # rows-only (approximate)
         "knn_ivf": knn.knn_ivf,  # rows-only (approximate)
         "embedding_stats": knn.embedding_stats,
+        "kmeans_assign": knn.kmeans_assign,  # rows-only (iterative)
         # --- stream-shaped (events)
         "tumbling_window": window.tumbling_window,
         "hopping_window": window.hopping_window,

@@ -398,3 +398,41 @@ def embedding_stats(sf_dir: str):
             Max("max_norm_sq_e8", alias_name="max_norm_sq_e8"),
         )
     )
+
+
+def kmeans_assign(sf_dir: str):
+    """Cluster assignment for every embedding: nearest (cosine) trained
+    centroid — the embedding-space partitioner (IVF's coarse quantizer
+    exposed as a labeling op, e.g. for diversity sampling or per-cluster
+    caps in corpus curation). Centroids train once on the deterministic
+    distributed sample (:func:`_train_centroids`, session-cached) and
+    broadcast via one ``ray.put``; each batch is one assignment matmul.
+    Deterministic; rows-only for the driver (k-means is iterative, not
+    SQL), determinism + partition-invariance pinned in tests."""
+    import pyarrow as pa
+    import ray
+
+    cents = _train_centroids(sf_dir)
+    cent_ref = ray.put(cents)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        if c.shape[1] != mat.shape[1]:  # degenerate training: one cluster
+            cluster = np.zeros(len(mat), np.int64)
+            sim = np.zeros(len(mat), np.int64)
+        else:
+            sims = _unit_rows(mat) @ c.T
+            cluster = np.argmax(sims, axis=1).astype(np.int64)
+            sim = _sim_e4(sims[np.arange(len(mat)), cluster])
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(np.int64),
+                "cluster": cluster,
+                "cos_sim_e4": sim,
+            }
+        )
+
+    return _read_embeddings(sf_dir).map_batches(
+        assign, batch_format="pandas", batch_size=4096
+    )

@@ -44,3 +44,16 @@ def test_ivf_sims_exact_and_recall(ray_session):
     # ranks are contiguous from 1 per query
     for _, grp in approx.groupby("query_id"):
         assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_kmeans_assign_deterministic_and_total(ray_session):
+    from chug_ray.ops.knn import N_CENTROIDS, kmeans_assign
+
+    sf = "/root/testdata/sf0.01"
+    a = {r["vec_id"]: (r["cluster"], r["cos_sim_e4"])
+         for r in kmeans_assign(sf).take_all()}
+    b = {r["vec_id"]: (r["cluster"], r["cos_sim_e4"])
+         for r in kmeans_assign(sf).take_all()}
+    assert a == b  # deterministic across runs
+    assert len(a) == 500  # every embedding labeled
+    assert all(0 <= cl < N_CENTROIDS for cl, _ in a.values())
