@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_text": textstats.clean_text,
         "approx_distinct_tokens": textstats.approx_distinct_tokens,  # rows-only (sketch)
         "oov_rate": textstats.oov_rate,
+        "cms_heavy_hitters": textstats.cms_heavy_hitters,  # rows-only (sketch)
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "novel_docs": dedup.novel_docs,

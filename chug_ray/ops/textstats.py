@@ -491,3 +491,112 @@ def oov_rate(sf_dir: str, vocab_k: int = 1000):
         )
 
     return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def cms_heavy_hitters(sf_dir: str, k: int = 20, w: int = 8192, d: int = 4):
+    """Heavy-hitter tokens via a count-min sketch — the bounded-memory
+    twin of :func:`top_k_tokens`: the exact op's shuffle carries one
+    row per *distinct token* per batch (unbounded vocabulary), while
+    the sketch's merge traffic is a fixed ``d×w`` counter grid per
+    batch no matter the vocabulary. CMS is linear, so the distributed
+    merge is a plain integer Sum over exploded (cell, count) rows; the
+    merged grid (d·w ints — it's a sketch, constant size) comes to the
+    driver once for point queries over the candidate set (per-batch
+    local top tokens — a batch-local heavy hitter is how a global one
+    always looks somewhere). Estimates only ever overestimate
+    (est ≥ true ≤ est + εN); both bounds pinned in tests."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    tok_re = re.compile(TOKEN_RE)
+    seeds = [0x9E37 + 131 * i for i in range(d)]
+
+    def _hashes(tok: str) -> list[int]:
+        import hashlib as _hl
+
+        return [
+            int.from_bytes(
+                _hl.blake2b(
+                    tok.encode(), digest_size=8, salt=str(s).encode()
+                ).digest(),
+                "little",
+            )
+            % w
+            for s in seeds
+        ]
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            c.update(tok_re.findall(text.lower()))
+        grid = np.zeros((d, w), np.int64)
+        for tok, n in c.items():
+            for row, col in enumerate(_hashes(tok)):
+                grid[row, col] += n
+        cells = np.nonzero(grid.ravel())[0]
+        # the batch's local heavy hitters ride along on sentinel rows
+        # (cell = -1): a global heavy hitter is a local one somewhere
+        cand = [t for t, _ in c.most_common(4 * k)]
+        return pa.table(
+            {
+                "cell": pa.array(
+                    np.concatenate([cells, np.full(len(cand), -1)]), pa.int64()
+                ),
+                "count": pa.array(
+                    np.concatenate(
+                        [grid.ravel()[cells], np.zeros(len(cand), np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+                "cand": pa.array([""] * len(cells) + cand, pa.string()),
+            }
+        )
+
+    merged = (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(sketch_batch, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def only_cells(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.filter(_pc.greater_equal(t["cell"], 0)).select(
+            ["cell", "count"]
+        )
+
+    def only_cands(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.filter(_pc.less(t["cell"], 0)).select(["cand"])
+
+    grid = np.zeros(d * w, np.int64)
+    cells = (
+        merged.map_batches(only_cells, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("count", alias_name="count"))
+        .take_all()
+    )
+    for r in cells:
+        grid[r["cell"]] = r["count"]
+    grid = grid.reshape(d, w)
+    cands = {
+        r["cand"]
+        for r in merged.map_batches(only_cands, batch_format="pyarrow").take_all()
+    }
+    rows = []
+    for tok in cands:
+        est = min(grid[row, col] for row, col in enumerate(_hashes(tok)))
+        rows.append((tok, int(est)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return pa.table(
+        {
+            "token": pa.array([t for t, _ in rows[:k]], pa.string()),
+            "est_count": pa.array([n for _, n in rows[:k]], pa.int64()),
+        }
+    )

@@ -81,3 +81,20 @@ def test_hll_estimate_within_error_bound(ray_session):
     assert set(est1) == set(exact)
     for lang, ex in exact.items():
         assert abs(est1[lang] - ex) / ex < 0.05, (lang, est1[lang], ex)
+
+
+def test_cms_heavy_hitters_bounds(ray_session):
+    """CMS point estimates only overestimate; with w=8192 and ~30k
+    distinct tokens, collisions are small — the exact top-20 must all
+    surface with est >= true and est <= true + small slack."""
+    from chug_ray.ops.textstats import cms_heavy_hitters, top_k_tokens
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["token"]: r["n"] for r in top_k_tokens(sf, k=20).take_all()}
+    cms = cms_heavy_hitters(sf, k=20)
+    est = dict(zip(cms["token"].to_pylist(), cms["est_count"].to_pylist()))
+    n_total = sum(exact.values())  # lower bound on corpus token count
+    assert set(exact) <= set(est), set(exact) - set(est)
+    for tok, true_n in exact.items():
+        assert est[tok] >= true_n, (tok, est[tok], true_n)
+        assert est[tok] <= true_n + max(50, 0.01 * n_total), (tok, est[tok], true_n)
