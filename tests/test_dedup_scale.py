@@ -233,3 +233,62 @@ def test_running_totals_chunk_invariance(ray_session):
 
     a, b, c = run(24), run(6), run(1)
     assert a.equals(b) and b.equals(c)
+
+
+def test_running_totals_single_hot_user(ray_session, tmp_path):
+    """One user owns every event: the (user, chunk) partitioning must
+    still bound groups (events split across chunks; only the per-chunk
+    summary stream is per-user) and the totals stay exact."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chug_ray.ops.window import running_user_totals
+
+    n = 5000
+    ts = pd.date_range("2024-01-01", periods=n, freq="7min")  # ~24 days
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts),
+            "user_id": pa.array(np.zeros(n, np.int64)),
+            "value": pa.array(np.ones(n, np.float64)),
+        }
+    )
+    d = tmp_path / "hot"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    out = running_user_totals(str(d), chunk_hours=24).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    assert (out["running_e4"].to_numpy() == (np.arange(n) + 1) * 10000).all()
+
+
+def test_novel_docs_single_dominant_fingerprint(ray_session, tmp_path):
+    """All candidate docs share one text (one fp bucket gets everything):
+    the bucketed anti-dedup must still drop them all against one
+    reference row and keep the lone distinct doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chug_ray.ops.dedup import novel_docs
+
+    n = 4000
+    texts = ["the same page"] * n + ["unique page"]
+    sources = ["src0"] + ["srcX"] * (n - 1) + ["srcX"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n + 1), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * (n + 1)),
+            "source": pa.array(sources),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "skewfp"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    kept = [r["doc_id"] for r in novel_docs(str(d)).take_all()]
+    assert kept == [n]  # only the unique doc survives
