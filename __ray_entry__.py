@@ -183,6 +183,83 @@ def _extract_parity(sf_dir: str, page_sampling: str):
     )
 
 
+def _span_kind_stats(sf_dir: str, page_sampling: str = "all_valid"):
+    """Extraction composed with the analytics layer: run the flagship
+    pipeline, then aggregate its *output* spans by kind (count + total
+    text chars) — the "how much text/media did extraction yield" report
+    every corpus build ends with. Vectorized over the list<struct>
+    column (flattened child arrays, no per-row Python); combiner →
+    one tiny groupby(kind). Rows-only (extraction is not SQL); the
+    per-doc span content is pinned by the parity queries and goldens."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from chug_ray.config import ExtractConfig
+    from chug_ray.pipeline import broadcast_media_meta, build_extract_pipeline
+    from chug_ray.synth import corpus_for_sf_dir
+
+    docs_path, media_path, _ = corpus_for_sf_dir(sf_dir)
+    cfg = ExtractConfig(
+        page_sampling=page_sampling, seed=0, media_store_path=media_path
+    )
+    out = build_extract_pipeline(
+        ray.data.read_parquet(docs_path),
+        cfg,
+        media_meta_ref=broadcast_media_meta(media_path),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        spans = batch["spans"]
+        flat = spans.combine_chunks().flatten() if isinstance(
+            spans, pa.ChunkedArray
+        ) else spans.flatten()
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.string()),
+                    "n_spans": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                }
+            )
+        kinds = flat.field("kind")
+        chars = pc.fill_null(pc.utf8_length(flat.field("text")), 0)
+        df = pd.DataFrame(
+            {
+                "kind": kinds.to_pylist(),
+                "n_chars": chars.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("kind", as_index=False).agg(
+            n_spans=("n_chars", "size"), n_chars=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(
+            g[["kind", "n_spans", "n_chars"]], preserve_index=False
+        )
+
+    from ray.data.aggregate import Sum
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": t["kind"],
+                "n_spans": pc.cast(t["n_spans"], pa.int64()),
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            }
+        )
+
+    return (
+        out.map_batches(partial, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(
+            Sum("n_spans", alias_name="n_spans"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline: interleaved-document extraction at sf0.001."""
     return _extract_summary("/root/testdata/sf0.001", "all_valid")
@@ -272,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- extraction parity: pipeline vs sequential per-doc oracle,
         # compared distributed; SQL oracle asserts matched=TRUE per doc
         "extract_parity_random": lambda sf: _extract_parity(sf, "random"),
+        "span_kind_stats": _span_kind_stats,  # rows-only (extraction)
         "extract_parity_all_valid": lambda sf: _extract_parity(
             sf, "all_valid"
         ),
