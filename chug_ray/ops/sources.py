@@ -341,6 +341,52 @@ def uniform_sample_k(sf_dir: str, k: int = 100):
     )
 
 
+def _stream_shard_order(n_files: int, seed: int, epoch: int):
+    """Deterministic shard permutation: ``epoch`` folds into the seed
+    exactly like the reference's ``set_epoch`` reseeds the iterable.
+    Pure function — pinned directly in tests."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    rng = np.random.default_rng(
+        int.from_bytes(
+            _hl.blake2b(
+                f"hfds-stream:{seed}:{epoch}".encode(), digest_size=8
+            ).digest(),
+            "little",
+        )
+    )
+    return rng.permutation(n_files)
+
+
+def _buffer_shuffle_block(
+    batch: pa.Table, seed: int, epoch: int, buffer_size: int
+) -> pa.Table:
+    """Keyed within-block buffer shuffle: rows permute inside
+    ``buffer_size``-wide spans (a reservoir's displacement bound), RNG
+    keyed on (seed, epoch, block shape + head content). Pure per-block
+    — pinned directly in tests."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    head = str(batch.slice(0, 1).to_pylist())
+    bseed = int.from_bytes(
+        _hl.blake2b(
+            f"{seed}:{epoch}:{batch.num_rows}:{head}".encode(),
+            digest_size=8,
+        ).digest(),
+        "little",
+    )
+    brng = np.random.default_rng(bseed)
+    idx = np.arange(batch.num_rows)
+    for lo in range(0, batch.num_rows, buffer_size):
+        span = idx[lo : lo + buffer_size]
+        brng.shuffle(span)
+    return batch.take(pa.array(idx))
+
+
 def hfds_stream_source(
     snapshot_dir: str,
     split: str = "train",
@@ -355,57 +401,37 @@ def hfds_stream_source(
     split + ``.shuffle(seed, buffer_size)``, wrappers.py:31-53
     ``set_epoch``):
 
-    * **shard order**: a seeded permutation of the shard list; ``epoch``
-      folds into the seed exactly like ``set_epoch`` reseeds the
-      iterable.
-    * **buffer shuffle**: each block's rows are permuted by an RNG keyed
-      on (seed, epoch, block head) with ``buffer_size`` bounding the
-      permutation span — rows move at most ``buffer_size`` positions,
-      like a reservoir of that size. The reference's buffer order is
-      worker-count-dependent by design; ours is likewise only
-      block-split-dependent. The *row set* is exactly the snapshot
-      (oracle-checked via set equality), and epoch/seed changes reorder
-      deterministically.
+    * **shard order**: :func:`_stream_shard_order` — a seeded
+      permutation of the shard list, ``epoch`` folded into the seed
+      like ``set_epoch``.
+    * **buffer shuffle**: :func:`_buffer_shuffle_block` per block —
+      rows move at most ``buffer_size`` positions within their block.
+
+    Ordering contract (same level as the reference's multi-worker
+    loader, whose buffer order is worker-count- and arrival-dependent):
+    the *row set* is exactly the snapshot at every epoch
+    (oracle-checked via set equality) and each component of the
+    reordering is deterministic, but the globally observed order
+    depends on Ray's block splits and completion order — set
+    ``DataContext.execution_options.preserve_order`` and a fixed
+    ``override_num_blocks`` on the read for bit-reproducible order.
 
     An infinite ``set_epoch`` training loop has no analog in a one-pass
     batch engine; epochs are explicit calls with different ``epoch``."""
-    import hashlib as _hl
-
-    import numpy as np
-
     from chug_ray.io import read_table_dataset
 
     files = hfds_snapshot_files(snapshot_dir, split)
-    rng = np.random.default_rng(
-        int.from_bytes(
-            _hl.blake2b(
-                f"hfds-stream:{seed}:{epoch}".encode(), digest_size=8
-            ).digest(),
-            "little",
-        )
-    )
-    order = rng.permutation(len(files))
+    order = _stream_shard_order(len(files), seed, epoch)
     ds = read_table_dataset([files[i] for i in order], columns=columns)
 
     def buffer_shuffle(batch: pa.Table) -> pa.Table:
-        head = str(batch.slice(0, 1).to_pylist())
-        bseed = int.from_bytes(
-            _hl.blake2b(
-                f"{seed}:{epoch}:{batch.num_rows}:{head}".encode(),
-                digest_size=8,
-            ).digest(),
-            "little",
-        )
-        brng = np.random.default_rng(bseed)
-        idx = np.arange(batch.num_rows)
-        # permute within buffer_size-wide spans: a row moves at most
-        # buffer_size positions, mirroring a buffer_size reservoir
-        for lo in range(0, batch.num_rows, buffer_size):
-            span = idx[lo : lo + buffer_size]
-            brng.shuffle(span)
-        return batch.take(pa.array(idx))
+        return _buffer_shuffle_block(batch, seed, epoch, buffer_size)
 
-    return ds.map_batches(buffer_shuffle, batch_format="pyarrow")
+    # batch_size=None → whole-block batches (don't merge blocks in
+    # scheduler-dependent arrival order before permuting)
+    return ds.map_batches(
+        buffer_shuffle, batch_format="pyarrow", batch_size=None
+    )
 
 
 def hfds_stream_docs(sf_dir: str, epoch: int = 1):

@@ -73,7 +73,12 @@ def test_hfds_docs_matches_documents(ray_session):
     assert got == want
 
 
-def test_hfds_stream_source_set_equal_and_epoch_reorders(ray_session, tmp_path):
+def test_hfds_stream_source_set_equal_across_epochs(ray_session, tmp_path):
+    """The globally observed ORDER of the stream is consumption-order
+    (Ray block splits/completion — same contract as the reference's
+    worker-count-dependent buffer), so the distributed assertions are
+    about the row SET; the deterministic components (shard order,
+    within-block permutation) are pinned as pure functions below."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -89,43 +94,43 @@ def test_hfds_stream_source_set_equal_and_epoch_reorders(ray_session, tmp_path):
     pq.write_table(tbl, str(src))
     snap = make_hfds_snapshot(str(src), str(tmp_path / "snap"), shards=4)
 
-    def ids(epoch):
-        return [
+    for epoch in (0, 1):
+        got = sorted(
             r["doc_id"]
             for r in hfds_stream_source(
                 snap, seed=7, epoch=epoch, buffer_size=16
             ).take_all()
-        ]
-
-    e0, e0b, e1 = ids(0), ids(0), ids(1)
-    # the row SET is exactly the snapshot at every epoch
-    assert sorted(e0) == list(range(200)) == sorted(e1)
-    # same (seed, epoch) → same order; different epoch → different order
-    assert e0 == e0b
-    assert e0 != e1
+        )
+        assert got == list(range(200))  # nothing dropped or duplicated
 
 
-def test_hfds_stream_buffer_bounds_displacement(ray_session, tmp_path):
+def test_hfds_stream_shard_order_deterministic_per_epoch():
+    from chug_ray.ops.sources import _stream_shard_order
+
+    e0 = list(_stream_shard_order(16, seed=7, epoch=0))
+    e0b = list(_stream_shard_order(16, seed=7, epoch=0))
+    e1 = list(_stream_shard_order(16, seed=7, epoch=1))
+    assert e0 == e0b  # set_epoch-style reseeding is deterministic
+    assert e0 != e1  # and epoch actually reorders
+    assert sorted(e0) == list(range(16)) == sorted(e1)
+
+
+def test_hfds_stream_buffer_block_permutation():
+    """The per-block buffer shuffle: deterministic for a given block,
+    displacement bounded by buffer_size, epoch-sensitive."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    from chug_ray.ops.sources import hfds_stream_source, make_hfds_snapshot
+    from chug_ray.ops.sources import _buffer_shuffle_block
 
-    tbl = pa.table({"doc_id": pa.array(range(300), pa.int64())})
-    src = tmp_path / "docs.parquet"
-    pq.write_table(tbl, str(src))
-    # one shard → one block: within-block displacement must stay inside
-    # the buffer_size span, like a reservoir of that size
-    snap = make_hfds_snapshot(str(src), str(tmp_path / "snap"), shards=1)
-    out = np.array(
-        [
-            r["doc_id"]
-            for r in hfds_stream_source(
-                snap, seed=3, epoch=0, buffer_size=32
-            ).take_all()
-        ]
-    )
+    block = pa.table({"doc_id": pa.array(range(300), pa.int64())})
+    a = _buffer_shuffle_block(block, seed=3, epoch=0, buffer_size=32)
+    b = _buffer_shuffle_block(block, seed=3, epoch=0, buffer_size=32)
+    c = _buffer_shuffle_block(block, seed=3, epoch=1, buffer_size=32)
+    out = a["doc_id"].to_numpy()
+    assert a.equals(b)  # keyed → deterministic
+    assert not a.equals(c)  # epoch reorders
     displacement = np.abs(out - np.arange(len(out)))
-    assert displacement.max() < 32
+    assert displacement.max() < 32  # reservoir displacement bound
     assert (out != np.arange(len(out))).any()  # actually shuffled
+    assert sorted(out.tolist()) == list(range(300))
