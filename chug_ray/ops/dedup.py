@@ -65,6 +65,7 @@ def exact_dedup(sf_dir: str):
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(partial, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("fp_md5")
         .aggregate(
             Min("doc_id", alias_name="doc_id"), Sum("n_dups", alias_name="n_dups")
@@ -117,6 +118,7 @@ def dedup_survivors(sf_dir: str):
     return (
         _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
         .map_batches(add_packed, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("fp_md5")
         .aggregate(Min("packed", alias_name="packed"))
         .map_batches(unpack, batch_format="pyarrow")
@@ -393,8 +395,10 @@ def minhash_lsh_pairs(
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(MinHasher(num_buckets, sketch_k), batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby(["band", "bucket"])
         .map_groups(band_pairs, batch_format="pandas")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby(["doc_a", "doc_b"])
         .aggregate(Min("jaccard", alias_name="jaccard"))
     )
@@ -537,6 +541,7 @@ def ngram_jaccard_pairs(
     return (
         _docs(sf_dir, ["doc_id", "text", "lang", "source"])
         .map_batches(_sketch_tokens, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby(["lang", "source"])
         .map_groups(block_pairs, batch_format="pandas")
     )
@@ -1020,6 +1025,7 @@ def novel_docs(sf_dir: str, ref_source: str = "src0", num_buckets: int = 64):
     return (
         _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
         .map_batches(prep, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("bkt")
         .map_groups(filter_bucket, batch_format="pandas")
     )

@@ -105,6 +105,7 @@ def knn_bruteforce(sf_dir: str, k: int = DEFAULT_K):
     return (
         _read_embeddings(sf_dir)
         .map_batches(score_batch, batch_format="pandas", batch_size=4096)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("query_id")
         .map_groups(merge, batch_format="pandas")
     )
@@ -323,6 +324,7 @@ def knn_ivf(sf_dir: str, k: int = DEFAULT_K):
             batch_format="pandas",
             batch_size=4096,
         )
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("query_id")
         .map_groups(_LshScorer.merge(k), batch_format="pandas")
     )
@@ -340,6 +342,7 @@ def knn_lsh(sf_dir: str, k: int = DEFAULT_K):
             batch_format="pandas",
             batch_size=4096,
         )
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("query_id")
         .map_groups(_LshScorer.merge(k), batch_format="pandas")
     )
@@ -390,6 +393,7 @@ def embedding_stats(sf_dir: str):
             f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
         )
         .map_batches(partial, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("label")
         .aggregate(
             Sum("n_vecs", alias_name="n_vecs"),

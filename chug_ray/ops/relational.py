@@ -57,6 +57,7 @@ def pricing_summary(sf_dir: str):
             ],
         )
         .map_batches(prep, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("qty", alias_name="sum_qty"),
@@ -110,6 +111,7 @@ def top_revenue_orders(sf_dir: str, k: int = 10, num_buckets: int = 32):
     return (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
         .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
         .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
@@ -159,6 +161,7 @@ def orders_by_segment(sf_dir: str):
     agg = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(join_partial, batch_format="pyarrow", batch_size=65536)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("c_mktsegment")
         .aggregate(
             Sum("n_orders", alias_name="n_orders"),
@@ -236,6 +239,7 @@ def docs_by_lang_source(sf_dir: str):
         ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
         )
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby(["lang", "source"])
         .aggregate(
             Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
@@ -340,6 +344,7 @@ def asof_last_order(sf_dir: str, num_buckets: int = 64):
     ).map_batches(prep_orders, batch_format="pyarrow")
     return (
         events.union(orders)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("bucket")
         .map_groups(match, batch_format="pandas")
     )
@@ -387,6 +392,7 @@ def region_customer_stats(sf_dir: str):
     return (
         _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
         .map_batches(add_region, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby(["r_name", "c_mktsegment"])
         .aggregate(Count(alias_name="n_customers"))
     )
@@ -421,6 +427,7 @@ def customers_without_events(sf_dir: str):
 
     users = (
         _read(sf_dir, "events", ["user_id"])
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("user_id")
         .aggregate(Count(alias_name="n"))
         .select_columns(["user_id"])
@@ -497,6 +504,7 @@ def top_docs_per_group(sf_dir: str, k: int = 5):
             f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
         )
         .map_batches(partial, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("lang")
         .map_groups(merge, batch_format="pandas")
     )

@@ -150,6 +150,7 @@ def top_k_tokens(sf_dir: str, k: int = 20):
     agg = (
         _docs(sf_dir, ("doc_id", "text"))
         .map_batches(partial, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -233,6 +234,7 @@ def chars_quantiles(sf_dir: str, ps=(25, 50, 75, 95, 99)):
     counts = (
         _docs(sf_dir, ("lang", "n_chars"))
         .map_batches(value_counts, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby(["lang", "n_chars"])
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -257,7 +259,11 @@ def chars_quantiles(sf_dir: str, ps=(25, 50, 75, 95, 99)):
             )
         return pd.DataFrame(rows, columns=["lang", "p_pct", "value"])
 
-    return counts.groupby("lang").map_groups(quantiles, batch_format="pandas")
+    # counts is itself an aggregate output: pin it so the second
+    # shuffle's sampling doesn't re-run the first
+    return counts.materialize().groupby("lang").map_groups(
+        quantiles, batch_format="pandas"
+    )
 
 
 def repetition_stats(sf_dir: str):
@@ -426,6 +432,7 @@ def approx_distinct_tokens(sf_dir: str, p: int = 12):
     return (
         _docs(sf_dir, ("doc_id", "text", "lang"))
         .map_batches(batch_registers, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("lang")
         .map_groups(merge, batch_format="pandas")
     )

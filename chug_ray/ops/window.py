@@ -28,6 +28,15 @@ def _events(sf_dir: str, columns):
 # partial table with ~17k groups). Every partial/combiner stage in this
 # package therefore emits **Arrow tables**, even when the combining math
 # itself runs in pandas.
+#
+# NOTE (measured, round 3): Ray's sort shuffle samples its boundary
+# quantiles by executing its *lazy* input, so an unmaterialized combiner
+# chain runs (at least) twice — whole-query 2–5× at small scale
+# (tumbling_window 6.5 s → 1.4 s, top-k combiner 7.2 s → 3.2 s cold at
+# sf0.01/8 cpus). Combiner outputs are therefore materialized right
+# before every groupby, repo-wide: the partials are the shuffle's input
+# either way, so pinning them adds no asymptotic memory — it just stops
+# the re-execution.
 
 
 def tumbling_window(sf_dir: str):
@@ -57,7 +66,8 @@ def tumbling_window(sf_dir: str):
     partials = _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
         partial, batch_format="pandas", batch_size=16384
     )
-    agg = partials.groupby(["ws", "event_type"]).aggregate(
+    # partials: sort shuffle re-executes lazy inputs (see NOTE above)
+    agg = partials.materialize().groupby(["ws", "event_type"]).aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("sum_value_e4", alias_name="sum_value_e4"),
     )
@@ -118,6 +128,7 @@ def hopping_window(sf_dir: str, size_minutes: int = 60, hop_minutes: int = 30):
     agg = (
         _events(sf_dir, ["ts", "event_type", "value"])
         .map_batches(partial, batch_format="pandas", batch_size=16384)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby(["ws", "event_type"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),
@@ -242,8 +253,10 @@ def sessionize(sf_dir: str, gap_minutes: int = 30, chunk_hours: int = 24):
     return (
         _events(sf_dir, ["event_id", "ts", "user_id"])
         .map_batches(add_chunk, batch_format="pandas")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("bucket")
         .map_groups(local_sessions, batch_format="pandas")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("ubucket")
         .map_groups(stitch, batch_format="pandas")
     )
@@ -255,6 +268,7 @@ def event_type_stats(sf_dir: str):
 
     return (
         _events(sf_dir, ["event_type", "value"])
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("event_type")
         .aggregate(
             Count(alias_name="n"),
@@ -354,6 +368,7 @@ def running_user_totals(
 
     offsets = (
         events.map_batches(chunk_partial, batch_format="pandas")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("ubkt")
         .map_groups(to_offsets, batch_format="pandas")
     )
@@ -424,4 +439,9 @@ def running_user_totals(
     both = events.map_batches(project_events, batch_format="pandas").union(
         offsets.map_batches(project_offsets, batch_format="pyarrow")
     )
-    return both.groupby("bkt").map_groups(apply, batch_format="pandas")
+    # offsets' lazy chain contains its own shuffle — pin it so the
+    # final sort's sampling doesn't run that shuffle twice (events
+    # are materialized above already)
+    return both.materialize().groupby("bkt").map_groups(
+        apply, batch_format="pandas"
+    )
