@@ -573,6 +573,13 @@ def build_extract_pipeline(docs, cfg: ExtractConfig, media_meta_ref=None):
             num_cpus=cfg.num_cpus_per_actor,
         )
 
+    # NOT materialized (measured): pinning units before the reassembly
+    # shuffle would avoid the sort's lazy-input sampling re-execution
+    # (the ops/window.py combiner finding), but it also serializes the
+    # heavy decode against the light branch — the streaming executor
+    # otherwise runs both concurrently, and that overlap is worth far
+    # more (headline 2.1 s → ~12 s when materialized here). The
+    # re-executed heavy decode hides inside the light path's wall time.
     heavy = units.groupby("doc_id").map_groups(
         reassemble_group, batch_format="pyarrow"
     )
