@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": window.sessionize,
         "running_user_totals": window.running_user_totals,
         "asof_last_order": relational.asof_last_order,
+        "events_after_order": relational.events_after_order,
         # --- relational / operator inventory demos
         "filter_project": relational.filter_project,
         "explode_tokens": relational.explode_tokens,
@@ -333,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": relational.top_revenue_orders,
         "top_docs_per_group": relational.top_docs_per_group,
         "orders_by_segment": relational.orders_by_segment,
+        "order_priority_revenue": relational.order_priority_revenue,
         "region_customer_stats": relational.region_customer_stats,
         "customers_without_events": relational.customers_without_events,
         "weighted_union": sources.weighted_union,
@@ -680,6 +682,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o_orderkey AS BIGINT) AS last_orderkey,
                    o_orderdate AS last_orderdate
             FROM cand WHERE rn = 1
+        """,
+        "order_priority_revenue": """
+            SELECT o.o_orderpriority, l.l_returnflag,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        """,
+        "events_after_order": """
+            SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(o.o_custkey AS BIGINT) AS user_id,
+                   CAST(count(e.user_id) AS BIGINT) AS n_events_7d,
+                   CAST(COALESCE(sum(CAST(round(e.value * 10000, 0) AS BIGINT)), 0) AS BIGINT) AS sum_value_e4
+            FROM orders o
+            LEFT JOIN events e ON e.user_id = o.o_custkey
+                              AND e.ts >= o.o_orderdate
+                              AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY 1, 2
         """,
         "region_customer_stats": """
             SELECT r.r_name, c.c_mktsegment, count(*) AS n_customers

@@ -460,6 +460,223 @@ def customers_without_events(sf_dir: str):
     )
 
 
+def order_priority_revenue(sf_dir: str, num_buckets: int = 64):
+    """Large×large co-partitioned shuffle join (§2.5): lineitem ⋈ orders
+    on orderkey, aggregated to revenue per (o_orderpriority,
+    l_returnflag).
+
+    Neither side fits a broadcast at scale, so this is the real
+    shuffle-join shape: both sides carry ``bucket = orderkey %
+    num_buckets``, union side-tagged, ONE hash shuffle co-locates every
+    orderkey's rows, and the probe is a vectorized in-group pandas merge.
+    The lineitem side pre-aggregates per (orderkey, returnflag) inside
+    each batch (combiner), so the shuffle carries per-order partials —
+    never raw lineitem rows — and the in-group output is reduced again
+    to (priority, returnflag) partials before the tiny final groupby.
+    Partitioning assumption: one bucket's rows form one group;
+    num_buckets scales with the cluster, not the data."""
+    from ray.data.aggregate import Sum
+
+    def prep_lineitem(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        rev_cents = pc.cast(
+            pc.round(pc.multiply(rev, pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        df = pd.DataFrame(
+            {
+                "key": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "l_returnflag": batch["l_returnflag"].to_pylist(),
+                "revenue_cents": rev_cents.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["key", "l_returnflag"], as_index=False).agg(
+            n_items=("revenue_cents", "size"),
+            revenue_cents=("revenue_cents", "sum"),
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (g["key"].to_numpy() % num_buckets).astype(np.int32)
+                ),
+                "key": pa.array(g["key"].to_numpy(np.int64)),
+                "side": pa.array(["l"] * len(g)),
+                "l_returnflag": pa.array(g["l_returnflag"], pa.string()),
+                "o_orderpriority": pa.array([""] * len(g), pa.string()),
+                "n_items": pa.array(g["n_items"].to_numpy(np.int64)),
+                "revenue_cents": pa.array(g["revenue_cents"].to_numpy(np.int64)),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        n = len(batch)
+        return pa.table(
+            {
+                "bucket": pa.array((key % num_buckets).astype(np.int32)),
+                "key": pa.array(key.astype(np.int64)),
+                "side": pa.array(["o"] * n),
+                "l_returnflag": pa.array([""] * n, pa.string()),
+                "o_orderpriority": batch["o_orderpriority"],
+                "n_items": pa.array(np.zeros(n, np.int64)),
+                "revenue_cents": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def probe(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        li = group[group["side"] == "l"]
+        od = group[group["side"] == "o"]
+        sub = group.groupby("key", sort=False).size()
+        if len(sub):  # skew visibility: hottest orderkey in the bucket
+            record_group(
+                "order_priority_revenue(key)", int(sub.idxmax()), int(sub.max())
+            )
+        m = li[["key", "l_returnflag", "n_items", "revenue_cents"]].merge(
+            od[["key", "o_orderpriority"]], on="key"
+        )
+        g = m.groupby(["o_orderpriority", "l_returnflag"], as_index=False).agg(
+            n_items=("n_items", "sum"), revenue_cents=("revenue_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(prep_lineitem, batch_format="pyarrow", batch_size=65536)
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        prep_orders, batch_format="pyarrow"
+    )
+    agg = (
+        li.union(od)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bucket")
+        .map_groups(probe, batch_format="pandas")
+        .groupby(["o_orderpriority", "l_returnflag"])
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_items"] = batch["n_items"].astype(np.int64)
+        batch["revenue_cents"] = batch["revenue_cents"].astype(np.int64)
+        return batch
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def events_after_order(sf_dir: str, days: int = 7, num_buckets: int = 64):
+    """Interval (range) join (§2.5 custom operator): for every order,
+    the count and value-sum of the customer's events inside
+    ``[o_orderdate, o_orderdate + days)``.
+
+    Same co-partitioned shape as the as-of join: both sides bucket on
+    the user key, union, one hash shuffle, then the in-group probe is
+    fully vectorized — events sort once by (user, ts) into a composite
+    int64 key and a prefix-sum of value, and every order's window
+    resolves to two ``searchsorted`` cuts (count = hi−lo, sum =
+    pref[hi]−pref[lo]). No per-user Python loop; a hot user costs two
+    binary searches per order, not a scan."""
+
+    def prep_events(batch: pa.Table) -> pa.Table:
+        key = pc.cast(batch["user_id"], pa.int64())
+        val_e4 = pc.cast(
+            pc.round(pc.multiply(batch["value"], pa.scalar(10000.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (key.to_numpy(zero_copy_only=False) % num_buckets).astype(np.int32)
+                ),
+                "key": key,
+                "side": pa.array(["e"] * len(batch)),
+                "ts": batch["ts"],
+                "o_orderkey": pa.array(np.zeros(len(batch), np.int64)),
+                "value_e4": val_e4,
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        key = pc.cast(batch["o_custkey"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (key.to_numpy(zero_copy_only=False) % num_buckets).astype(np.int32)
+                ),
+                "key": key,
+                "side": pa.array(["o"] * len(batch)),
+                "ts": batch["o_orderdate"],
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "value_e4": pa.array(np.zeros(len(batch), np.int64)),
+            }
+        )
+
+    window_us = np.int64(days) * 86_400_000_000
+
+    def probe(group: pd.DataFrame) -> pd.DataFrame:
+        od = group[group["side"] == "o"]
+        out = pd.DataFrame(
+            {
+                "o_orderkey": od["o_orderkey"].to_numpy(np.int64),
+                "user_id": od["key"].to_numpy(np.int64),
+            }
+        )
+        ev = group[group["side"] == "e"]
+        ev_key = ev["key"].to_numpy(np.int64)
+        ev_ts = ev["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        o_key = out["user_id"].to_numpy()
+        o_ts = od["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        if len(ev):
+            # composite (key, ts) → one sortable int64: shift timestamps
+            # to a non-negative offset so key strictly dominates
+            t0 = ev_ts.min() - 1  # -1 keeps lo-edge searches in range
+            span = np.int64(ev_ts.max() - t0 + window_us + 2)
+            kmax = max(int(ev_key.max()), int(o_key.max()) if len(o_key) else 0)
+            assert (kmax + 1) * span < np.iinfo(np.int64).max, (
+                "composite (user, ts) key overflows int64; shrink buckets"
+            )
+            comp = ev_key * span + (ev_ts - t0)
+            order = np.argsort(comp, kind="stable")
+            comp = comp[order]
+            pref = np.concatenate(
+                ([0], np.cumsum(ev["value_e4"].to_numpy(np.int64)[order]))
+            )
+            # clip query offsets into [0, span-1]: event offsets live in
+            # [1, span-window-2], so clipped cuts stay inside the order's
+            # OWN user range — an order dated outside the event range
+            # must not spill into a neighboring user's composite block
+            lo_off = np.clip(o_ts - t0, 0, span - 1)
+            hi_off = np.clip(o_ts - t0 + window_us, 0, span - 1)
+            lo = np.searchsorted(comp, o_key * span + lo_off, side="left")
+            hi = np.searchsorted(comp, o_key * span + hi_off, side="left")
+            out["n_events_7d"] = (hi - lo).astype(np.int64)
+            out["sum_value_e4"] = pref[hi] - pref[lo]
+        else:
+            out["n_events_7d"] = np.zeros(len(out), np.int64)
+            out["sum_value_e4"] = np.zeros(len(out), np.int64)
+        return out
+
+    events = _read(sf_dir, "events", ["ts", "user_id", "value"]).map_batches(
+        prep_events, batch_format="pyarrow"
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    return (
+        events.union(orders)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bucket")
+        .map_groups(probe, batch_format="pandas")
+    )
+
+
 def top_docs_per_group(sf_dir: str, k: int = 5):
     """Per-group top-k (the windowed ``ROW_NUMBER() OVER (PARTITION BY
     lang ORDER BY n_chars DESC, doc_id)`` shape): the k longest

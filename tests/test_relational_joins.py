@@ -1,0 +1,177 @@
+"""Edge-case guards for the co-partitioned shuffle/interval joins in
+chug_ray/ops/relational.py (the happy paths are pinned by the DuckDB
+parity harness in test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from chug_ray.ops.relational import events_after_order, order_priority_revenue
+
+
+def _write(tmp_path, name, table):
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+
+
+def _mini_tables(tmp_path, order_dates, event_ts):
+    """One user (7), orders at the given dates, events at the given
+    timestamps — exercises window cuts at/beyond the event range."""
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(len(order_dates)), pa.int64()),
+                "o_custkey": pa.array([7] * len(order_dates), pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(order_dates)),
+                "o_totalprice": pa.array([1.0] * len(order_dates)),
+                "o_orderdate": pa.array(
+                    np.array(order_dates, dtype="datetime64[us]")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(order_dates)),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array(range(len(event_ts)), pa.int64()),
+                "ts": pa.array(np.array(event_ts, dtype="datetime64[us]")),
+                "user_id": pa.array([7] * len(event_ts), pa.int64()),
+                "event_type": pa.array(["click"] * len(event_ts)),
+                "value": pa.array([1.5] * len(event_ts)),
+                "props": pa.array(["{}"] * len(event_ts)),
+            }
+        ),
+    )
+
+
+def test_interval_join_orders_outside_event_range(ray_session, tmp_path):
+    """Orders dated before/after every event must not leak a neighboring
+    composite block: counts are exact 0 or the full in-window slice."""
+    _mini_tables(
+        tmp_path,
+        order_dates=[
+            "1990-01-01",  # long before any event → 0
+            "2024-03-01",  # window covers first two events
+            "2024-03-05T12:00:00",  # covers the last event only
+            "2030-01-01",  # long after every event → 0
+        ],
+        event_ts=["2024-03-02", "2024-03-04", "2024-03-09"],
+    )
+    out = (
+        events_after_order(str(tmp_path), days=7)
+        .to_pandas()
+        .sort_values("o_orderkey", ignore_index=True)
+    )
+    assert out["n_events_7d"].tolist() == [0, 2, 1, 0]
+    assert out["sum_value_e4"].tolist() == [0, 30000, 15000, 0]
+
+
+def test_interval_join_multi_user_no_bleed(ray_session, tmp_path):
+    """Adjacent user ids with out-of-range order dates: the clipped
+    composite cuts must stay inside each user's own block."""
+    n_ev = 5
+    _write(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array(range(2 * n_ev), pa.int64()),
+                "ts": pa.array(
+                    np.array(
+                        [f"2024-03-0{i + 1}" for i in range(n_ev)] * 2,
+                        dtype="datetime64[us]",
+                    )
+                ),
+                "user_id": pa.array([7] * n_ev + [8] * n_ev, pa.int64()),
+                "event_type": pa.array(["click"] * (2 * n_ev)),
+                "value": pa.array([1.0] * (2 * n_ev)),
+                "props": pa.array(["{}"] * (2 * n_ev)),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([0, 1], pa.int64()),
+                "o_custkey": pa.array([8, 7], pa.int64()),
+                "o_orderstatus": pa.array(["O", "O"]),
+                "o_totalprice": pa.array([1.0, 1.0]),
+                # user 8's order predates everything; a naive unclipped
+                # composite would land inside user 7's block
+                "o_orderdate": pa.array(
+                    np.array(["1990-01-01", "2024-03-01"], dtype="datetime64[us]")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT", "1-URGENT"]),
+            }
+        ),
+    )
+    out = (
+        events_after_order(str(tmp_path), days=7)
+        .to_pandas()
+        .sort_values("o_orderkey", ignore_index=True)
+    )
+    assert out["n_events_7d"].tolist() == [0, n_ev]
+
+
+def test_shuffle_join_drops_orderless_lineitems(ray_session, tmp_path):
+    """Inner-join semantics: lineitem rows whose orderkey has no order
+    row contribute nothing (and vice versa for itemless orders)."""
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 99], pa.int64()),
+                "o_custkey": pa.array([7, 7, 7], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 3),
+                "o_totalprice": pa.array([1.0] * 3),
+                "o_orderdate": pa.array(
+                    np.array(["2024-01-01"] * 3, dtype="datetime64[us]")
+                ),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", "2-HIGH", "2-HIGH"]
+                ),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 555], pa.int64()),
+                "l_partkey": pa.array([0] * 4, pa.int64()),
+                "l_suppkey": pa.array([0] * 4, pa.int64()),
+                "l_linenumber": pa.array([1, 2, 1, 1], pa.int32()),
+                "l_quantity": pa.array([1.0] * 4),
+                "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0]),
+                "l_discount": pa.array([0.0, 0.5, 0.0, 0.0]),
+                "l_tax": pa.array([0.0] * 4),
+                "l_returnflag": pa.array(["N", "N", "R", "N"]),
+                "l_linestatus": pa.array(["O"] * 4),
+                "l_shipdate": pa.array(
+                    np.array(["2024-01-02"] * 4, dtype="datetime64[us]")
+                ),
+            }
+        ),
+    )
+    out = (
+        order_priority_revenue(str(tmp_path))
+        .to_pandas()
+        .sort_values(["o_orderpriority", "l_returnflag"], ignore_index=True)
+    )
+    # order 99 has no items, lineitem 555 has no order: both absent
+    assert out["o_orderpriority"].tolist() == ["1-URGENT", "2-HIGH"]
+    assert out["l_returnflag"].tolist() == ["N", "R"]
+    assert out["n_items"].tolist() == [2, 1]
+    assert out["revenue_cents"].tolist() == [2000, 3000]
