@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": textstats.oov_rate,
         "cms_heavy_hitters": textstats.cms_heavy_hitters,  # rows-only (sketch)
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "paragraph_dedup": dedup.paragraph_dedup,
         "dedup_clusters": dedup.dedup_clusters,
         "novel_docs": dedup.novel_docs,
         "embedding_near_dup": dedup.embedding_near_dup,
@@ -552,6 +553,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN a ON a.doc_id = d.doc_id
             LEFT JOIN ba ON ba.doc_id = d.doc_id
+        """,
+        "paragraph_dedup": """
+            WITH p AS (
+                SELECT doc_id, string_split(text, chr(10)) AS paras FROM documents
+            ), e AS (
+                SELECT doc_id, CAST(unnest(range(len(paras))) AS BIGINT) AS pos,
+                       unnest(paras) AS para
+                FROM p
+            ), ne AS (
+                SELECT * FROM e WHERE trim(para) <> ''
+            ), w AS (
+                SELECT doc_id, pos, para,
+                       row_number() OVER (
+                           PARTITION BY para ORDER BY doc_id, pos
+                       ) AS rn
+                FROM ne
+            ), k AS (
+                SELECT doc_id, pos, para FROM w WHERE rn = 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(cn.n, 0) AS BIGINT) AS n_paras,
+                   CAST(COALESCE(ck.n, 0) AS BIGINT) AS n_kept,
+                   COALESCE(agg.txt, '') AS text_kept
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, count(*) AS n FROM ne GROUP BY doc_id) cn
+                   USING (doc_id)
+            LEFT JOIN (SELECT doc_id, count(*) AS n FROM k GROUP BY doc_id) ck
+                   USING (doc_id)
+            LEFT JOIN (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS txt
+                       FROM k GROUP BY doc_id) agg
+                   USING (doc_id)
         """,
         "ngram_jaccard_pairs": f"""
             WITH t AS (

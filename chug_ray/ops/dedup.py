@@ -1029,3 +1029,148 @@ def novel_docs(sf_dir: str, ref_source: str = "src0", num_buckets: int = 64):
         .groupby("bkt")
         .map_groups(filter_bucket, batch_format="pandas")
     )
+
+
+def paragraph_dedup(sf_dir: str, num_buckets: int = 64):
+    """C4-style paragraph-level exact dedup: split every document on
+    newlines, keep each distinct (non-blank) paragraph only at its
+    globally first occurrence (min (doc_id, position)), and reassemble
+    the surviving paragraphs per document in original order.
+
+    Two bounded shuffles, combiner-shaped throughout:
+
+    1. paragraph survivor election — explode to (para, doc_id, pos)
+       with (doc_id, pos) packed into one int64 so "first occurrence"
+       is a plain Min; each batch pre-reduces to one row per distinct
+       paragraph (a paragraph duplicated millions of times ships one
+       row per batch, not per occurrence), then ``groupby(hash(para) %
+       num_buckets)`` elects the min inside the bucket. Paragraph text
+       rides the shuffle exactly once per (batch, distinct para).
+    2. document reassembly — survivors (side 'k') union per-doc
+       paragraph counts (side 'c', one row per doc including zero-para
+       docs) → ``groupby(doc_id % num_buckets)`` → in-group ordered
+       join back to (doc_id, n_paras, n_kept, text_kept).
+
+    Skew note: the hottest possible paragraph costs one row per source
+    batch in its bucket; the hottest document is bounded by its own
+    paragraph count — no group ever holds a corpus-sized set."""
+    import ray.data
+
+    _POS_BITS = 20  # pos < 1M paragraphs per doc; doc_id < 2^43
+
+    def elect_partial(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        paras, packed = [], []
+        for d, text in zip(doc_ids, batch["text"].to_pylist()):
+            assert 0 <= d < (1 << 43), "doc_id overflows the packed key"
+            base = int(d) << _POS_BITS
+            for pos, p in enumerate(text.split("\n")):
+                if p.strip():
+                    paras.append(p)
+                    packed.append(base | pos)
+        if not paras:  # typed empty (from_pandas infers null for empty object)
+            return pa.table(
+                {
+                    "para": pa.array([], pa.string()),
+                    "packed": pa.array([], pa.int64()),
+                    "bkt": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame({"para": paras, "packed": np.array(packed, np.int64)})
+        g = df.groupby("para", as_index=False)["packed"].min()  # combiner
+        bkt = np.array(
+            [
+                int.from_bytes(hashlib.md5(p.encode()).digest()[:4], "big")
+                % num_buckets
+                for p in g["para"]
+            ],
+            np.int64,
+        )
+        return pa.Table.from_pandas(g.assign(bkt=bkt), preserve_index=False)
+
+    def elect(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group("paragraph_dedup(bucket)", None, len(group))
+        g = group.groupby("para", as_index=False)["packed"].min()
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    (g["packed"].to_numpy() >> _POS_BITS).astype(np.int64)
+                ),
+                "pos": pa.array(
+                    (g["packed"].to_numpy() & ((1 << _POS_BITS) - 1)).astype(
+                        np.int64
+                    )
+                ),
+                "para": pa.array(g["para"], pa.string()),
+            }
+        )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = np.array(
+            [
+                sum(1 for p in t.split("\n") if p.strip())
+                for t in batch["text"].to_pylist()
+            ],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids.astype(np.int64)),
+                "pos": pa.array(np.zeros(len(n), np.int64)),
+                "para": pa.array([""] * len(n), pa.string()),
+                "n_paras": pa.array(n),
+                "side": pa.array(["c"] * len(n), pa.string()),
+            }
+        )
+
+    def tag_survivor(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_paras", pa.array(np.zeros(len(batch), np.int64))
+        ).append_column("side", pa.array(["k"] * len(batch), pa.string()))
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "dbkt", pa.array((d % num_buckets).astype(np.int64))
+        )
+
+    def reassemble(group: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            group[group["side"] == "c"]
+            .groupby("doc_id")["n_paras"]
+            .sum()
+            .astype(np.int64)
+        )
+        kept = group[group["side"] == "k"].sort_values(
+            ["doc_id", "pos"], kind="stable"
+        )
+        txt = kept.groupby("doc_id")["para"].agg("\n".join)
+        n_kept = kept.groupby("doc_id")["para"].size().astype(np.int64)
+        out = pd.DataFrame({"n_paras": counts})
+        out["n_kept"] = n_kept.reindex(counts.index, fill_value=0).astype(
+            np.int64
+        )
+        out["text_kept"] = txt.reindex(counts.index, fill_value="")
+        return out.reset_index().rename(columns={"index": "doc_id"})
+
+    survivors = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(elect_partial, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bkt")
+        .map_groups(elect, batch_format="pandas")
+        .map_batches(tag_survivor, batch_format="pyarrow")
+    )
+    counts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        count_partial, batch_format="pyarrow"
+    )
+    return (
+        survivors.union(counts)
+        .map_batches(add_doc_bucket, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("dbkt")
+        .map_groups(reassemble, batch_format="pandas")
+    )

@@ -292,3 +292,50 @@ def test_novel_docs_single_dominant_fingerprint(ray_session, tmp_path):
 
     kept = [r["doc_id"] for r in novel_docs(str(d)).take_all()]
     assert kept == [n]  # only the unique doc survives
+
+
+def test_paragraph_dedup_hot_paragraph_and_blank_docs(ray_session, tmp_path):
+    """A paragraph duplicated across 90% of the corpus must reduce to
+    one shuffle row per source batch (survivor = its first occurrence),
+    blank-only docs must still appear with n_paras = 0, and within-doc
+    repeats keep only the earliest position."""
+    from chug_ray.ops.dedup import paragraph_dedup
+
+    hot = "breaking news everyone copies this line"
+    texts = []
+    for i in range(400):
+        if i == 7:
+            texts.append("   \n\n  ")  # blank-only doc
+        elif i == 11:
+            # within-doc repeat of a unique para
+            texts.append(f"once{i}\nonce{i}\nunique tail {i}")
+        elif i < 360:
+            texts.append(f"{hot}\nunique para {i}")
+        else:
+            texts.append(f"unique para {i}\n{hot}")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(400), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        paragraph_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(out) == 400
+    # blank-only doc present with zeros
+    blank = out[out.doc_id == 7].iloc[0]
+    assert blank.n_paras == 0 and blank.n_kept == 0 and blank.text_kept == ""
+    # hot paragraph survives only in doc 0 (its first occurrence)
+    assert out[out.doc_id == 0].iloc[0].text_kept == f"{hot}\nunique para 0"
+    with_hot = out[out.text_kept.str.contains(hot, regex=False)]
+    assert with_hot.doc_id.tolist() == [0]
+    # within-doc repeat deduped to the earliest position
+    rep = out[out.doc_id == 11].iloc[0]
+    assert rep.n_paras == 3 and rep.n_kept == 2
+    assert rep.text_kept == "once11\nunique tail 11"
+    # every other doc keeps its unique paragraph
+    assert (out[~out.doc_id.isin([7])].n_kept >= 1).all()
