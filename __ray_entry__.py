@@ -271,7 +271,16 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from chug_ray.ops import dedup, knn, relational, sources, textstats, tokenize, window
+    from chug_ray.ops import (
+        dedup,
+        knn,
+        relational,
+        selection,
+        sources,
+        textstats,
+        tokenize,
+        window,
+    )
     from chug_ray.ops import media as media_ops
     from chug_ray.synth import corpus_for_sf_dir
 
@@ -334,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,
         "top_revenue_orders": relational.top_revenue_orders,
         "top_docs_per_group": relational.top_docs_per_group,
+        "decile_bucket": selection.decile_bucket,
         "orders_by_segment": relational.orders_by_segment,
         "order_priority_revenue": relational.order_priority_revenue,
         "region_customer_stats": relational.region_customer_stats,
@@ -786,6 +796,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, lang FROM documents
             WHERE (source = 'src0' AND doc_id % 100 < 70)
                OR (source <> 'src0' AND doc_id % 100 < 30)
+        """,
+        "decile_bucket": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+            FROM documents
         """,
         "top_docs_per_group": """
             WITH r AS (

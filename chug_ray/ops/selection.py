@@ -1,0 +1,222 @@
+"""Distributed exact order statistics + global rank bucketing.
+
+``select_ranks`` computes exact k-th-smallest values of an int64 column
+without a global sort and without ever materializing the column on the
+driver: iterative histogram refinement (the classic distributed
+selection algorithm). Each pass streams the dataset once, counting
+values into ``num_hist_buckets`` sub-ranges per still-unresolved rank;
+the rank's interval narrows ~1000× per pass (≤7 passes for full int64,
+1–3 in practice), and an interval is finalized either when it collapses
+to a single integer or when its population is small enough to pull.
+Driver state is O(ranks × buckets); the pulled tail is ≤ ``cap`` values
+per rank.
+
+``decile_bucket`` uses it for the NTILE shape: exact global decile
+assignment over (n_chars, doc_id) with two streaming passes + a
+broadcast of 9 cutoff values — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def select_ranks(
+    make_ds,
+    ranks: list[int],
+    num_hist_buckets: int = 1024,
+    cap: int = 65536,
+    max_passes: int = 80,
+) -> list[int]:
+    """Exact k-th smallest values (0-based global ranks, duplicates
+    counted) of the int64 column ``z`` of ``make_ds()``.
+
+    ``make_ds`` is called once per pass — hand it a cheap pruned read
+    (re-reading beats materializing at 100 TB). Returns one value per
+    rank, in the order given."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    if not ranks:
+        return []
+    B = num_hist_buckets
+    bounds = make_ds().aggregate(Min("z"), Max("z"), Count())
+    zmin, zmax = bounds["min(z)"], bounds["max(z)"]
+    if zmin is None:
+        raise ValueError("select_ranks on an empty dataset")
+    n_rows = bounds["count()"]
+    bad = [r for r in ranks if not 0 <= r < n_rows]
+    if bad:
+        raise ValueError(f"ranks {bad} out of range for {n_rows} rows")
+    # per-rank state: value is the k-th smallest inside [lo, hi)
+    states = [
+        {"lo": int(zmin), "hi": int(zmax) + 1, "k": int(r), "val": None}
+        for r in ranks
+    ]
+
+    def _width(st) -> int:
+        return max(1, -((st["lo"] - st["hi"]) // B))  # ceil((hi-lo)/B)
+
+    for _ in range(max_passes):
+        active = [
+            i
+            for i, st in enumerate(states)
+            if st["val"] is None and st["hi"] - st["lo"] > 1
+        ]
+        for i, st in enumerate(states):
+            if st["val"] is None and st["hi"] - st["lo"] <= 1:
+                st["val"] = st["lo"]  # single-integer interval: done
+        if not active:
+            break
+        spec = [(i, states[i]["lo"], states[i]["hi"], _width(states[i]))
+                for i in active]
+
+        def hist(batch: pa.Table, spec=spec) -> pa.Table:
+            z = batch["z"].to_numpy(zero_copy_only=False)
+            ri_out, b_out, n_out = [], [], []
+            for i, lo, hi, w in spec:
+                zz = z[(z >= lo) & (z < hi)]
+                if not len(zz):
+                    continue
+                b = np.minimum((zz - lo) // w, B - 1)
+                counts = np.bincount(b, minlength=0)
+                nz = np.nonzero(counts)[0]
+                ri_out.append(np.full(len(nz), i, np.int64))
+                b_out.append(nz.astype(np.int64))
+                n_out.append(counts[nz].astype(np.int64))
+            if not ri_out:
+                return pa.table(
+                    {
+                        "ri": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "ri": pa.array(np.concatenate(ri_out)),
+                    "b": pa.array(np.concatenate(b_out)),
+                    "n": pa.array(np.concatenate(n_out)),
+                }
+            )
+
+        rows = (
+            make_ds()
+            .map_batches(hist, batch_format="pyarrow")
+            .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+            .groupby(["ri", "b"])
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )  # ≤ len(active) × B tiny rows on the driver
+        per_rank: dict[int, np.ndarray] = {}
+        for r in rows:
+            per_rank.setdefault(int(r["ri"]), np.zeros(B, np.int64))[
+                int(r["b"])
+            ] = int(r["n"])
+        for i, lo, hi, w in spec:
+            if i not in per_rank:
+                raise ValueError(
+                    f"rank {ranks[i]} exceeds the dataset's row count"
+                )
+            counts = per_rank[i]
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, states[i]["k"], side="right"))
+            states[i]["k"] -= int(cum[b - 1]) if b else 0
+            states[i]["lo"] = lo + b * w
+            if b < B - 1:
+                states[i]["hi"] = min(hi, lo + (b + 1) * w)
+            # else: last bucket keeps hi (absorbs the ceil-width tail)
+            if counts[b] <= cap:
+                states[i]["val"] = "pull"  # small enough: exact pull next
+    pulls = [
+        (i, states[i]["lo"], states[i]["hi"])
+        for i in range(len(states))
+        if states[i]["val"] == "pull"
+    ]
+    if pulls:
+
+        def collect(batch: pa.Table, pulls=pulls) -> pa.Table:
+            z = batch["z"].to_numpy(zero_copy_only=False)
+            ri_out, z_out = [], []
+            for i, lo, hi in pulls:
+                zz = z[(z >= lo) & (z < hi)]
+                ri_out.append(np.full(len(zz), i, np.int64))
+                z_out.append(zz.astype(np.int64))
+            return pa.table(
+                {
+                    "ri": pa.array(np.concatenate(ri_out)),
+                    "z": pa.array(np.concatenate(z_out)),
+                }
+            )
+
+        rows = make_ds().map_batches(collect, batch_format="pyarrow").take_all()
+        vals: dict[int, list[int]] = {i: [] for i, _, _ in pulls}
+        for r in rows:
+            vals[int(r["ri"])].append(int(r["z"]))
+        for i, _, _ in pulls:
+            states[i]["val"] = int(np.sort(np.array(vals[i]))[states[i]["k"]])
+    unresolved = [i for i, st in enumerate(states) if st["val"] is None]
+    if unresolved:
+        raise RuntimeError(f"select_ranks did not converge for {unresolved}")
+    return [int(st["val"]) for st in states]
+
+
+def ntile_cutoff_ranks(n: int, tiles: int) -> list[int]:
+    """0-based global ranks of the LAST row of tiles 1..tiles-1 under
+    SQL NTILE semantics (first n % tiles tiles get the extra row).
+    Empty trailing tiles repeat the previous cutoff rank."""
+    base, extra = divmod(n, tiles)
+    out, s = [], 0
+    for j in range(1, tiles):
+        s += base + (1 if j <= extra else 0)
+        out.append(max(s - 1, 0))
+    return out
+
+
+def decile_bucket(sf_dir: str, tiles: int = 10):
+    """Exact global NTILE bucketing of documents by (n_chars, doc_id):
+    ``NTILE(tiles) OVER (ORDER BY n_chars, doc_id)`` without a global
+    sort. The tie-broken composite key makes every row's global rank
+    unique, so the tiles-1 exact cutoff values (from ``select_ranks``)
+    turn assignment into a per-row ``searchsorted`` against a
+    broadcast 9-element array — the fact table streams through one
+    vectorized map, no shuffle."""
+    import ray.data
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def composite(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert (nc >= 0).all() and (nc < (1 << 31)).all(), "n_chars range"
+        assert (d >= 0).all() and (d < (1 << 32)).all(), "doc_id range"
+        return pa.table({"z": pa.array((nc << 32) | d)})
+
+    def make_ds():
+        return ray.data.read_parquet(
+            path, columns=["doc_id", "n_chars"]
+        ).map_batches(composite, batch_format="pyarrow")
+
+    n = ray.data.read_parquet(path, columns=["doc_id"]).count()
+    cutoffs = np.array(
+        select_ranks(make_ds, ntile_cutoff_ranks(n, tiles)), np.int64
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = (nc << 32) | d
+        tile = np.searchsorted(cutoffs, z, side="left") + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "n_chars": pa.array(nc),
+                "decile": pa.array(tile.astype(np.int64)),
+            }
+        )
+
+    return ray.data.read_parquet(
+        path, columns=["doc_id", "n_chars"]
+    ).map_batches(assign, batch_format="pyarrow")

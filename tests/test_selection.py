@@ -1,0 +1,96 @@
+"""Unit tests for the distributed exact order-statistics operator
+(chug_ray/ops/selection.py). decile_bucket's NTILE parity vs DuckDB is
+covered by test_oracle_parity.py; here we pin select_ranks against
+numpy sorting under forced multi-pass refinement and degenerate
+distributions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from chug_ray.ops.selection import ntile_cutoff_ranks, select_ranks
+
+
+def _make_ds_factory(values: np.ndarray):
+    import ray.data
+
+    tbl = pa.table({"z": pa.array(values.astype(np.int64))})
+
+    def make_ds():
+        # split into several blocks so histogram partials actually merge
+        return ray.data.from_arrow(tbl).repartition(4)
+
+    return make_ds
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        np.random.default_rng(0).integers(-(10**17), 10**17, size=5000),
+        np.random.default_rng(1).integers(0, 50, size=3000),  # heavy dups
+        np.full(1000, 42),  # single value
+        np.arange(100),  # tiny, dense
+    ],
+    ids=["wide-int64", "heavy-dups", "all-equal", "dense"],
+)
+def test_select_ranks_matches_numpy(ray_session, values):
+    ranks = [0, 1, len(values) // 3, len(values) // 2, len(values) - 1]
+    got = select_ranks(
+        _make_ds_factory(values), ranks, num_hist_buckets=16, cap=32
+    )
+    expected = np.sort(values)[ranks]
+    assert got == [int(v) for v in expected]
+
+
+def test_select_ranks_forced_multipass(ray_session):
+    """Tiny histogram + tiny cap forces several refinement passes over
+    a clustered distribution (all mass in a narrow sliver of int64)."""
+    rng = np.random.default_rng(7)
+    values = (10**15 + rng.integers(0, 1000, size=4000)).astype(np.int64)
+    ranks = [0, 1999, 3999]
+    got = select_ranks(
+        _make_ds_factory(values), ranks, num_hist_buckets=4, cap=8
+    )
+    assert got == [int(v) for v in np.sort(values)[ranks]]
+
+
+def test_select_ranks_rank_out_of_range(ray_session):
+    with pytest.raises(ValueError):
+        select_ranks(
+            _make_ds_factory(np.arange(10)), [10], num_hist_buckets=4, cap=4
+        )
+
+
+def test_ntile_cutoff_ranks():
+    # n=10, tiles=4 → sizes 3,3,2,2 → last ranks 2,5,7
+    assert ntile_cutoff_ranks(10, 4) == [2, 5, 7]
+    # n < tiles: singleton tiles then repeats
+    assert ntile_cutoff_ranks(3, 5) == [0, 1, 2, 2]
+    # exact division
+    assert ntile_cutoff_ranks(20, 4) == [4, 9, 14]
+
+
+def test_decile_bucket_small_corpus(ray_session, tmp_path):
+    """Direct NTILE check on a corpus smaller than the tile count and
+    with heavy n_chars ties (doc_id tiebreak drives assignment)."""
+    import pyarrow.parquet as pq
+
+    from chug_ray.ops.selection import decile_bucket
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(7), pa.int64()),
+            "n_chars": pa.array([5, 5, 5, 5, 1, 1, 9], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        decile_bucket(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # order by (n_chars, doc_id): 4,5,0,1,2,3,6 → tiles 1..7 of 10
+    expect = {4: 1, 5: 2, 0: 3, 1: 4, 2: 5, 3: 6, 6: 7}
+    assert dict(zip(out.doc_id, out.decile)) == expect
