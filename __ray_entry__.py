@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_stats": window.event_type_stats,
         "sessionize": window.sessionize,
         "running_user_totals": window.running_user_totals,
+        "rolling_user_sum": window.rolling_user_sum,
         "asof_last_order": relational.asof_last_order,
         "events_after_order": relational.events_after_order,
         # --- relational / operator inventory demos
@@ -706,6 +707,15 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS running_e4
+            FROM events
+        """,
+        "rolling_user_sum": """
+            SELECT event_id, user_id, ts,
+                   CAST(SUM(CAST(round(value * 10000, 0) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS rolling_e4
             FROM events
         """,
         "asof_last_order": """

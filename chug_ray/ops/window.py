@@ -445,3 +445,165 @@ def running_user_totals(
     return both.materialize().groupby("bkt").map_groups(
         apply, batch_format="pandas"
     )
+
+
+def rolling_user_sum(
+    sf_dir: str, k: int = 3, chunk_hours: int = 24, num_buckets: int = 64
+):
+    """Bounded rolling window — ``SUM(value) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)``
+    — as a two-level chunked pass with **carry-in rows** instead of
+    whole-user groups.
+
+    The lookback is bounded (k-1 rows), so unlike the prefix sum no
+    running offset is needed — only the last k-1 events *before* each
+    (user, time-chunk). Three stages, all bounded:
+
+    1. **tails** (combiner): each batch keeps its last k-1 rows per
+       (user, chunk) — tail(k-1) composes under union, so the shuffle
+       carries ≤ k-1 rows per (user, chunk, batch).
+    2. **carries**: one user-hash shuffle over the tails; per user the
+       chunks chain in order, each chunk's carry-in = tail(k-1) of
+       everything before it (a Python walk, but over ≤ k-1 rows per
+       chunk of *summaries* — the sessionize stitch pattern). Sparse
+       chunks are free: the carry chains across gaps.
+    3. **apply**: events ∪ carry-ins co-shuffle on the (user, chunk)
+       hash bucket; in-group sort + pandas grouped ``rolling(k)`` (C
+       path) computes the window over the carry-prefixed sequence;
+       carry rows are dropped from the output.
+
+    Chunk size trades shuffle fan-out for group width; results are
+    chunk-invariant (tested)."""
+    import pyarrow as pa
+
+    tail = k - 1
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        value_e4 = (
+            np.sign(batch["value"])
+            * np.floor(np.abs(batch["value"].to_numpy()) * 1e4 + 0.5)
+        ).astype(np.int64)
+        chunk = (
+            batch["ts"]
+            .dt.floor(f"{chunk_hours}h")
+            .astype("datetime64[s]")
+            .astype(np.int64)
+        )
+        uid = batch["user_id"].to_numpy()
+        with np.errstate(over="ignore"):
+            bkt = (
+                (uid.astype(np.uint64) * np.uint64(1000003))
+                ^ chunk.to_numpy().astype(np.uint64)
+            ) % num_buckets
+        return batch.assign(
+            value_e4=value_e4, chunk=chunk, bkt=bkt.astype(np.int64)
+        )
+
+    events = (
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+        .map_batches(keyed, batch_format="pandas", batch_size=16384)
+        .materialize()  # consumed by the tails pass AND the apply pass
+    )
+
+    def tail_partial(batch: pd.DataFrame) -> pa.Table:
+        g = (
+            batch.sort_values(["user_id", "chunk", "ts", "event_id"])
+            .groupby(["user_id", "chunk"], group_keys=False)
+            .tail(tail)
+        )
+        out = g[["user_id", "chunk", "ts", "event_id", "value_e4"]].assign(
+            ubkt=(g["user_id"].to_numpy() % num_buckets).astype(np.int64)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def to_carries(group: pd.DataFrame) -> pa.Table:
+        """One user-bucket of chunk tails → carry-in rows keyed to the
+        NEXT nonempty chunk they precede."""
+        g = group.sort_values(["user_id", "chunk", "ts", "event_id"])
+        g = g.groupby(["user_id", "chunk"], group_keys=False).tail(tail)
+        out_user, out_chunk, out_ts, out_eid, out_val = [], [], [], [], []
+        for uid, u in g.groupby("user_id", sort=False):
+            chunks = u["chunk"].unique()  # sorted ascending already
+            ts_a = u["ts"].to_numpy()
+            eid_a = u["event_id"].to_numpy()
+            val_a = u["value_e4"].to_numpy()
+            chunk_a = u["chunk"].to_numpy()
+            carry_idx: list[int] = []  # indices into u of the running tail
+            for c in chunks:
+                cur = np.nonzero(chunk_a == c)[0]
+                if carry_idx:
+                    take = carry_idx[-tail:] if tail > 0 else []
+                    out_user.extend([uid] * len(take))
+                    out_chunk.extend([c] * len(take))
+                    out_ts.extend(ts_a[take])
+                    out_eid.extend(eid_a[take])
+                    out_val.extend(val_a[take])
+                carry_idx = (carry_idx + list(cur))[-tail:] if tail else []
+        uid_arr = np.array(out_user, np.int64)
+        chunk_arr = np.array(out_chunk, np.int64)
+        with np.errstate(over="ignore"):
+            bkt = (
+                (uid_arr.astype(np.uint64) * np.uint64(1000003))
+                ^ chunk_arr.astype(np.uint64)
+            ) % num_buckets
+        return pa.table(
+            {
+                "bkt": pa.array(bkt.astype(np.int64)),
+                "user_id": pa.array(uid_arr),
+                "chunk": pa.array(chunk_arr),
+                "event_id": pa.array(np.array(out_eid, np.int64)),
+                "ts": pa.array(
+                    np.array(out_ts, dtype="datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "value_e4": pa.array(np.array(out_val, np.int64)),
+                "is_carry": pa.array(np.ones(len(uid_arr), np.int8)),
+            }
+        )
+
+    carries = (
+        events.map_batches(tail_partial, batch_format="pandas")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see NOTE)
+        .groupby("ubkt")
+        .map_groups(to_carries, batch_format="pandas")
+    )
+
+    def project_events(batch: pd.DataFrame) -> pa.Table:
+        out = batch[
+            ["bkt", "user_id", "chunk", "event_id", "ts", "value_e4"]
+        ].assign(is_carry=np.int8(0))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def apply(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
+        record_group("rolling_user_sum(bucket)", None, len(group))
+        g = group.sort_values(
+            ["user_id", "chunk", "ts", "event_id", "is_carry"]
+        )
+        # carry rows carry ts from EARLIER chunks, so within a
+        # (user, chunk) group the plain (ts, event_id) order already
+        # places them first; rolling treats them as ordinary lookback
+        roll = (
+            g.groupby(["user_id", "chunk"], group_keys=False)["value_e4"]
+            .rolling(k, min_periods=1)
+            .sum()
+            .reset_index(level=[0, 1], drop=True)
+        )
+        g = g.assign(rolling_e4=roll.astype(np.int64))
+        g = g[g["is_carry"] == 0]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "ts": g["ts"].to_numpy(),
+                "rolling_e4": g["rolling_e4"].to_numpy(np.int64),
+            }
+        )
+
+    both = events.map_batches(project_events, batch_format="pandas").union(
+        carries
+    )
+    return both.materialize().groupby("bkt").map_groups(
+        apply, batch_format="pandas"
+    )

@@ -339,3 +339,57 @@ def test_paragraph_dedup_hot_paragraph_and_blank_docs(ray_session, tmp_path):
     assert rep.text_kept == "once11\nunique tail 11"
     # every other doc keeps its unique paragraph
     assert (out[~out.doc_id.isin([7])].n_kept >= 1).all()
+
+
+def test_rolling_sum_chunk_invariance(ray_session):
+    """The bounded rolling window must be exact for ANY chunking: the
+    carry-in rows replace whatever lookback the chunk cut removed."""
+    from chug_ray.ops.window import rolling_user_sum
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(hours):
+        df = rolling_user_sum(sf, k=3, chunk_hours=hours).to_pandas()
+        return df.sort_values("event_id").reset_index(drop=True)[
+            ["event_id", "rolling_e4"]
+        ]
+
+    a, b, c = run(24), run(6), run(1)
+    assert a.equals(b) and b.equals(c)
+
+
+def test_rolling_sum_sparse_chunks(ray_session, tmp_path):
+    """Events weeks apart (many empty chunks between them): the carry
+    chain must hop the gaps so every window still sees the user's true
+    previous k-1 events."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chug_ray.ops.window import rolling_user_sum
+
+    # one event per 10 days -> every chunk_hours=24 chunk has one event,
+    # separated by 9 empty chunks; plus a burst at the end
+    ts = list(pd.date_range("2024-01-01", periods=8, freq="10D")) + list(
+        pd.date_range("2024-06-01", periods=4, freq="1min")
+    )
+    n = len(ts)
+    vals = np.arange(1, n + 1, dtype=np.float64)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(pd.Series(ts)),
+            "user_id": pa.array(np.full(n, 5, np.int64)),
+            "value": pa.array(vals),
+        }
+    )
+    d = tmp_path / "sparse"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    out = rolling_user_sum(str(d), k=3, chunk_hours=24).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    v_e4 = (vals * 10000).astype(np.int64)
+    expect = [int(v_e4[max(0, i - 2): i + 1].sum()) for i in range(n)]
+    assert out["rolling_e4"].tolist() == expect
