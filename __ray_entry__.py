@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": relational.order_priority_revenue,
         "region_customer_stats": relational.region_customer_stats,
         "customers_without_events": relational.customers_without_events,
+        "customers_with_events": relational.customers_with_events,
         "weighted_union": sources.weighted_union,
         "flatten_props": sources.flatten_props,
         "vqa_prompt": sources.vqa_prompt,
@@ -764,6 +765,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
             FROM customer
             WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events)
+        """,
+        "customers_with_events": """
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+            FROM customer
+            WHERE c_custkey IN (SELECT DISTINCT user_id FROM events)
         """,
         "event_type_stats": """
             SELECT event_type, count(*) AS n,

@@ -725,3 +725,131 @@ def top_docs_per_group(sf_dir: str, k: int = 5):
         .groupby("lang")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def _bloom_hashes(keys: np.ndarray, m: int, n_hashes: int) -> np.ndarray:
+    """(len(keys), n_hashes) bit indices via double hashing of a
+    splitmix64-style mix — pure numpy uint64, no Python loop."""
+    x = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = (x + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h1 = z ^ (z >> np.uint64(31))
+        w = (x ^ np.uint64(0xC2B2AE3D27D4EB4F)) * np.uint64(0xFF51AFD7ED558CCD)
+        h2 = (w ^ (w >> np.uint64(33))) | np.uint64(1)  # odd stride
+        i = np.arange(n_hashes, dtype=np.uint64)
+        return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)).astype(
+            np.int64
+        )
+
+
+def customers_with_events(
+    sf_dir: str, m_bits: int = 1 << 17, n_hashes: int = 4
+):
+    """Bloom-filter semi-join (§2.5 scale pattern): customers with ≥1
+    event, where the big probe side is pre-filtered by a Bloom filter
+    built DISTRIBUTED over the events — the shape that precedes every
+    expensive join at 100 TB.
+
+    1. **build**: each events batch emits its distinct set-bit indices
+       (a per-batch combiner bounded by min(batch, m_bits) rows); one
+       ``groupby(bit)`` dedups them, and the driver pulls ≤ m_bits bit
+       positions — the pull is bounded by the FILTER size (16 KiB here),
+       never by the event count.
+    2. **probe**: the filter broadcasts once (``ray.put``); customers
+       stream through a vectorized k-probe membership test. Survivors
+       are the true members plus Bloom false positives.
+    3. **verify**: the (small) candidate set broadcasts back over the
+       events; a distinct-membership pass confirms exact semantics, so
+       the result matches the SQL semi-join bit-for-bit. At scale this
+       second pass touches only ``user_id`` (pruned read) and its
+       output is bounded by the candidate count."""
+    import ray
+    from ray.data.aggregate import Count
+
+    def bits_partial(batch: pa.Table) -> pa.Table:
+        keys = np.unique(batch["user_id"].to_numpy(zero_copy_only=False))
+        idx = np.unique(_bloom_hashes(keys, m_bits, n_hashes))
+        return pa.table({"bit": pa.array(idx, pa.int64())})
+
+    bit_rows = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(bits_partial, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bit")
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["bit"])
+        .take_all()
+    )
+    bloom = np.zeros(m_bits, dtype=bool)
+    bloom[np.array([r["bit"] for r in bit_rows], np.int64)] = True
+    bloom_ref = ray.put(bloom)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bl = _bcast(bloom_ref)
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        idx = _bloom_hashes(keys, m_bits, n_hashes)
+        hit = bl[idx].all(axis=1)
+        out = batch.filter(pa.array(hit))
+        return pa.table(
+            {
+                "c_custkey": pc.cast(out["c_custkey"], pa.int64()),
+                "c_mktsegment": out["c_mktsegment"],
+            }
+        )
+
+    candidates = _read(
+        sf_dir, "customer", ["c_custkey", "c_mktsegment"]
+    ).map_batches(probe, batch_format="pyarrow")
+
+    # exact verify: confirm candidates against the events (drops Bloom
+    # false positives). The confirm set is bounded by the candidates.
+    cand_keys = np.sort(
+        np.array([r["c_custkey"] for r in candidates.take_all()], np.int64)
+    )
+    cand_ref = ray.put(cand_keys)
+
+    def confirm_partial(batch: pa.Table) -> pa.Table:
+        ck = _bcast(cand_ref)
+        keys = np.unique(batch["user_id"].to_numpy(zero_copy_only=False))
+        if len(ck):
+            pos = np.clip(np.searchsorted(ck, keys), 0, len(ck) - 1)
+            keys = keys[ck[pos] == keys]
+        else:
+            keys = keys[:0]
+        return pa.table({"user_id": pa.array(keys.astype(np.int64))})
+
+    confirmed_rows = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(confirm_partial, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["user_id"])
+        .take_all()
+    )
+    confirmed = np.sort(
+        np.array([r["user_id"] for r in confirmed_rows], np.int64)
+    )
+    conf_ref = ray.put(confirmed)
+
+    def final(batch: pa.Table) -> pa.Table:
+        ck = _bcast(conf_ref)
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        if len(ck):
+            pos = np.clip(np.searchsorted(ck, keys), 0, len(ck) - 1)
+            hit = ck[pos] == keys
+        else:
+            hit = np.zeros(len(keys), bool)
+        out = batch.filter(pa.array(hit))
+        return pa.table(
+            {
+                "c_custkey": pc.cast(out["c_custkey"], pa.int64()),
+                "c_mktsegment": out["c_mktsegment"],
+            }
+        )
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        final, batch_format="pyarrow"
+    )

@@ -175,3 +175,70 @@ def test_shuffle_join_drops_orderless_lineitems(ray_session, tmp_path):
     assert out["l_returnflag"].tolist() == ["N", "R"]
     assert out["n_items"].tolist() == [2, 1]
     assert out["revenue_cents"].tolist() == [2000, 3000]
+
+
+def test_bloom_semi_join_false_positive_pressure(ray_session, tmp_path):
+    """A deliberately tiny Bloom filter (high false-positive rate) must
+    still produce the exact semi-join thanks to the verify pass."""
+    from chug_ray.ops.relational import customers_with_events
+
+    n_cust = 500
+    members = list(range(0, n_cust, 7))  # true members
+    _write(
+        tmp_path,
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n_cust), pa.int64()),
+                "c_name": pa.array([f"c{i}" for i in range(n_cust)]),
+                "c_nationkey": pa.array([0] * n_cust, pa.int32()),
+                "c_acctbal": pa.array([0.0] * n_cust),
+                "c_mktsegment": pa.array(["SEG"] * n_cust),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array(range(len(members)), pa.int64()),
+                "ts": pa.array(
+                    np.array(["2024-01-01"] * len(members), "datetime64[us]")
+                ),
+                "user_id": pa.array(members, pa.int64()),
+                "event_type": pa.array(["click"] * len(members)),
+                "value": pa.array([1.0] * len(members)),
+                "props": pa.array(["{}"] * len(members)),
+            }
+        ),
+    )
+    # 64 bits, 2 hashes, 72 members -> filter saturates (most probes hit)
+    out = (
+        customers_with_events(str(tmp_path), m_bits=64, n_hashes=2)
+        .to_pandas()
+        .sort_values("c_custkey", ignore_index=True)
+    )
+    assert out["c_custkey"].tolist() == members
+
+
+def test_bloom_semi_join_no_events(ray_session, tmp_path):
+    from chug_ray.ops.relational import customers_with_events
+
+    _mini_tables(tmp_path, order_dates=["2024-01-01"], event_ts=["2024-01-01"])
+    _write(
+        tmp_path,
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_name": pa.array(["a", "b"]),
+                "c_nationkey": pa.array([0, 0], pa.int32()),
+                "c_acctbal": pa.array([0.0, 0.0]),
+                "c_mktsegment": pa.array(["S", "S"]),
+            }
+        ),
+    )
+    # events exist but belong to user 7 only: no customer matches
+    out = customers_with_events(str(tmp_path)).to_pandas()
+    assert len(out) == 0
