@@ -296,6 +296,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, media_path, _ = corpus_for_sf_dir(sf_dir)
         return media_ops.imagespec_decode(media_path, "rgba8")
 
+    def _audio_windows(sf_dir: str):
+        _, media_path, _ = corpus_for_sf_dir(sf_dir)
+        return media_ops.audio_window_features(media_path, window=4096)
+
     return {
         # --- text analysis (documents) — SQL-oracled
         "token_count": textstats.token_count,
@@ -345,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": relational.top_revenue_orders,
         "top_docs_per_group": relational.top_docs_per_group,
         "decile_bucket": selection.decile_bucket,
+        "export_tile_stats": selection.export_tile_stats,
         "orders_by_segment": relational.orders_by_segment,
         "order_priority_revenue": relational.order_priority_revenue,
         "region_customer_stats": relational.region_customer_stats,
@@ -372,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_stats": _media_stats,
         "sample_frames": _sample_frames,
         "imagespec_decode": _imagespec_decode,
+        "audio_window_features": _audio_windows,  # rows-only (PCM stand-in)
     }
 
 
@@ -812,6 +818,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, lang FROM documents
             WHERE (source = 'src0' AND doc_id % 100 < 70)
                OR (source <> 'src0' AND doc_id % 100 < 30)
+        """,
+        "export_tile_stats": """
+            WITH t AS (
+                SELECT n_chars,
+                       NTILE(8) OVER (ORDER BY n_chars, doc_id) AS tile
+                FROM documents
+            )
+            SELECT CAST(tile AS BIGINT) AS tile, count(*) AS n_rows,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM t GROUP BY tile
         """,
         "decile_bucket": """
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,

@@ -226,3 +226,85 @@ def imagespec_decode(
         batch_format="pandas",
         batch_size=64,
     )
+
+
+def decode_real_audio(payload: bytes) -> "np.ndarray":
+    """Stub for a real audio codec (soundfile/ffmpeg/torchaudio).
+
+    The sandbox has no audio library; the audio ops interpret the
+    payload bytes as raw 16-bit PCM — a deterministic stand-in behind
+    the same actor/batch/schema plumbing a real decoder would use.
+    Swap this in per-deployment."""
+    raise NotImplementedError(
+        "real audio decoding requires an audio library (e.g. soundfile); "
+        "this environment interprets payloads as raw int16 PCM"
+    )
+
+
+class AudioWindowFeatures:
+    """Actor: "decode" each payload to a waveform (raw int16 PCM read of
+    the payload bytes — the deterministic stand-in; see
+    :func:`decode_real_audio`), then window it and emit per-window
+    energy features. This is the audio analog of the frame-sample
+    stage: large-binary batches stay small, per-payload work is a
+    single vectorized reshape+reduce, and window features come out as
+    integer e-4 units of full-scale so downstream aggregation is exact.
+
+    Output: (media_ref, window_idx, n_samples, rms_e4, peak_e4).
+    """
+
+    def __init__(self, window: int = 1024):
+        # a real deployment loads its codec / VAD / feature model here,
+        # once per actor
+        self.window = window
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        w = self.window
+        refs, widx, nsamp, rms, peak = [], [], [], [], []
+        for ref, payload in zip(batch["media_ref"], batch["payload"]):
+            raw = bytes(payload)
+            samples = np.frombuffer(
+                raw[: len(raw) - (len(raw) % 2)], dtype="<i2"
+            )
+            if not len(samples):
+                continue
+            x = samples.astype(np.float64) / 32768.0
+            n_win = -(-len(x) // w)
+            pad = np.zeros(n_win * w, np.float64)
+            pad[: len(x)] = x
+            frames = pad.reshape(n_win, w)
+            counts = np.minimum(
+                np.full(n_win, w, np.int64),
+                len(x) - w * np.arange(n_win, dtype=np.int64),
+            )
+            # RMS over the REAL samples of each window (zero-pad only
+            # fills the matrix; the divisor is the true count)
+            r = np.sqrt((frames**2).sum(axis=1) / counts)
+            p = np.abs(frames).max(axis=1)
+            refs.extend([ref] * n_win)
+            widx.extend(range(n_win))
+            nsamp.extend(counts.tolist())
+            rms.extend(np.floor(r * 1e4 + 0.5).astype(np.int64).tolist())
+            peak.extend(np.floor(p * 1e4 + 0.5).astype(np.int64).tolist())
+        return pd.DataFrame(
+            {
+                "media_ref": pd.Series(refs, dtype=object),
+                "window_idx": pd.Series(widx, dtype=np.int64),
+                "n_samples": pd.Series(nsamp, dtype=np.int64),
+                "rms_e4": pd.Series(rms, dtype=np.int64),
+                "peak_e4": pd.Series(peak, dtype=np.int64),
+            }
+        )
+
+
+def audio_window_features(media_path: str, window: int = 1024):
+    """Windowed audio feature extraction over a media table (the audio
+    modality's decode→feature stage; payload bytes are the waveform via
+    the deterministic PCM stand-in)."""
+    import ray.data
+
+    return ray.data.read_parquet(media_path).map_batches(
+        AudioWindowFeatures(window),
+        batch_format="pandas",
+        batch_size=64,  # payloads are large binaries — small batches
+    )

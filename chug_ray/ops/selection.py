@@ -186,19 +186,7 @@ def decile_bucket(sf_dir: str, tiles: int = 10):
     import ray.data
 
     path = f"{sf_dir}/documents.parquet"
-
-    def composite(batch: pa.Table) -> pa.Table:
-        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        assert (nc >= 0).all() and (nc < (1 << 31)).all(), "n_chars range"
-        assert (d >= 0).all() and (d < (1 << 32)).all(), "doc_id range"
-        return pa.table({"z": pa.array((nc << 32) | d)})
-
-    def make_ds():
-        return ray.data.read_parquet(
-            path, columns=["doc_id", "n_chars"]
-        ).map_batches(composite, batch_format="pyarrow")
-
+    make_ds = _composite_ds_factory(path)
     n = ray.data.read_parquet(path, columns=["doc_id"]).count()
     cutoffs = np.array(
         select_ranks(make_ds, ntile_cutoff_ranks(n, tiles)), np.int64
@@ -220,3 +208,117 @@ def decile_bucket(sf_dir: str, tiles: int = 10):
     return ray.data.read_parquet(
         path, columns=["doc_id", "n_chars"]
     ).map_batches(assign, batch_format="pyarrow")
+
+
+def export_range_partitioned(
+    sf_dir: str, out_dir: str, tiles: int = 8
+) -> dict:
+    """Range-partitioned export sink: write the documents table as
+    hive-partitioned parquet, one directory per global key range
+    (``tile=1/ … tile=N/`` over the (n_chars, doc_id) order), plus a
+    manifest recording the cutoffs and per-export identity — the
+    "resumable output, one directory per key range" contract.
+
+    The tile boundaries are exact global ranks (``select_ranks``), so
+    the export is a single streaming pass: assign tile via broadcast
+    cutoffs, ``write_parquet(partition_cols=["tile"])``. A re-run with
+    an unchanged input (row count + cutoffs) and complete manifest is a
+    no-op — the resume semantics ``run.py`` applies per input partition,
+    here applied per output key range. Returns the manifest dict."""
+    import json
+    import os
+    import shutil
+
+    import ray.data
+
+    path = f"{sf_dir}/documents.parquet"
+    n = ray.data.read_parquet(path, columns=["doc_id"]).count()
+    cutoffs = select_ranks(
+        _composite_ds_factory(path), ntile_cutoff_ranks(n, tiles)
+    )
+    manifest_path = os.path.join(out_dir, "_MANIFEST.json")
+    ident = {"n_docs": n, "tiles": tiles, "cutoffs": cutoffs}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prev = json.load(f)
+        if {k: prev.get(k) for k in ident} == ident and prev.get("complete"):
+            return prev  # checkpoint hit: identical input, nothing to do
+        shutil.rmtree(out_dir)  # stale export: rebuild
+    elif os.path.exists(out_dir):
+        # files without a manifest = a crashed prior export; appending
+        # would duplicate rows, so rebuild from scratch
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    cut = np.array(cutoffs, np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = (nc << 32) | d
+        tile = (np.searchsorted(cut, z, side="left") + 1).astype(np.int64)
+        return batch.append_column("tile", pa.array(tile))
+
+    ray.data.read_parquet(path).map_batches(
+        assign, batch_format="pyarrow"
+    ).write_parquet(out_dir, partition_cols=["tile"])
+    manifest = {**ident, "complete": True}
+    with open(manifest_path + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.replace(manifest_path + ".tmp", manifest_path)  # atomic publish
+    return manifest
+
+
+def _composite_ds_factory(path: str):
+    import ray.data
+
+    def composite(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert (nc >= 0).all() and (nc < (1 << 31)).all(), "n_chars range"
+        assert (d >= 0).all() and (d < (1 << 32)).all(), "doc_id range"
+        return pa.table({"z": pa.array((nc << 32) | d)})
+
+    def make_ds():
+        return ray.data.read_parquet(
+            path, columns=["doc_id", "n_chars"]
+        ).map_batches(composite, batch_format="pyarrow")
+
+    return make_ds
+
+
+def export_tile_stats(sf_dir: str, tiles: int = 8):
+    """Driver-checkable view of the range-partitioned sink: export (or
+    checkpoint-hit), then read the WRITTEN files back and aggregate per
+    tile — proving the sink's directory layout holds exactly the NTILE
+    ranges the oracle computes from the source table."""
+    import os
+
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    out_dir = os.path.join(
+        "/tmp/chug_ray_export",
+        os.path.basename(os.path.normpath(sf_dir)) + f"_t{tiles}",
+    )
+    export_range_partitioned(sf_dir, out_dir, tiles)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        # hive partition values come back as strings
+        return pa.table(
+            {
+                "tile": pc.cast(pc.cast(batch["tile"], pa.string()), pa.int64()),
+                "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(out_dir, columns=["tile", "n_chars"])
+        .map_batches(norm, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("tile")
+        .aggregate(
+            Count(alias_name="n_rows"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+    )

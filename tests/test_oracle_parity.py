@@ -71,6 +71,7 @@ ROWS_ONLY = [
     "extract_all_valid",
     "media_frame_stats",
     "sample_frames",
+    "audio_window_features",
 ]
 
 

@@ -94,3 +94,59 @@ def test_decile_bucket_small_corpus(ray_session, tmp_path):
     # order by (n_chars, doc_id): 4,5,0,1,2,3,6 → tiles 1..7 of 10
     expect = {4: 1, 5: 2, 0: 3, 1: 4, 2: 5, 3: 6, 6: 7}
     assert dict(zip(out.doc_id, out.decile)) == expect
+
+
+def test_export_range_partitioned_resume(ray_session, tmp_path):
+    """The range-partitioned sink writes one hive dir per tile, the
+    manifest makes identical re-runs a checkpoint hit, and a changed
+    input invalidates + rebuilds."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from chug_ray.ops.selection import export_range_partitioned
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array([f"t{i}" for i in range(40)]),
+            "lang": pa.array(["en"] * 40),
+            "source": pa.array(["s"] * 40),
+            "n_chars": pa.array([i % 11 for i in range(40)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out_dir = str(tmp_path / "export")
+
+    m1 = export_range_partitioned(str(tmp_path), out_dir, tiles=4)
+    assert m1["complete"] and m1["n_docs"] == 40
+    dirs = sorted(d for d in os.listdir(out_dir) if d.startswith("tile="))
+    assert dirs == ["tile=1", "tile=2", "tile=3", "tile=4"]
+    # every tile dir holds exactly 10 rows (40 / 4)
+    back = pq.read_table(out_dir)
+    assert back.num_rows == 40
+    tiles = back["tile"].to_pylist()
+    assert all(tiles.count(str(t)) == 10 or tiles.count(t) == 10
+               for t in (1, 2, 3, 4))
+
+    # checkpoint hit: manifest mtime unchanged, same dict returned
+    mtime = os.path.getmtime(os.path.join(out_dir, "_MANIFEST.json"))
+    m2 = export_range_partitioned(str(tmp_path), out_dir, tiles=4)
+    assert m2 == m1
+    assert os.path.getmtime(os.path.join(out_dir, "_MANIFEST.json")) == mtime
+
+    # input change (one more row) invalidates and rebuilds
+    tbl2 = pa.table(
+        {
+            "doc_id": pa.array(range(41), pa.int64()),
+            "text": pa.array([f"t{i}" for i in range(41)]),
+            "lang": pa.array(["en"] * 41),
+            "source": pa.array(["s"] * 41),
+            "n_chars": pa.array([i % 11 for i in range(41)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl2, str(tmp_path / "documents.parquet"))
+    m3 = export_range_partitioned(str(tmp_path), out_dir, tiles=4)
+    assert m3["n_docs"] == 41
+    assert pq.read_table(out_dir).num_rows == 41
