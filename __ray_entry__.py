@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_tile_stats": selection.export_tile_stats,
         "orders_by_segment": relational.orders_by_segment,
         "order_priority_revenue": relational.order_priority_revenue,
+        "shipping_priority": relational.shipping_priority,
         "region_customer_stats": relational.region_customer_stats,
         "customers_without_events": relational.customers_without_events,
         "customers_with_events": relational.customers_with_events,
@@ -748,6 +749,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1, 2
+        """,
+        "shipping_priority": """
+            SELECT l.l_orderkey,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   o.o_orderdate, o.o_orderpriority
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-03-15'
+              AND l.l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY 1, 3, 4
+            ORDER BY revenue_cents DESC, l_orderkey ASC
+            LIMIT 10
         """,
         "events_after_order": """
             SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,

@@ -853,3 +853,125 @@ def customers_with_events(
     return _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
         final, batch_format="pyarrow"
     )
+
+
+def shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-03-15",
+    k: int = 10,
+    num_buckets: int = 64,
+):
+    """TPC-H Q3-shaped composite: top-k unshipped-revenue orders for one
+    market segment — broadcast semi-join (customer segment keys →
+    orders), then the co-partitioned shuffle join against lineitem with
+    per-order combiner partials, per-bucket local top-k, and a global
+    sort over num_buckets × k rows. Composes the repo's three join
+    shapes in one pipeline the way a real report would."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    cut = pa.scalar(np.datetime64(cutoff, "us"))
+
+    # dimension side: segment customers are a small filtered key set
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = np.asarray(cust["c_custkey"])[
+        np.asarray(cust["c_mktsegment"]) == segment
+    ]
+    keys_ref = ray.put(np.sort(keys.astype(np.int64)))
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["o_orderdate"], cut))
+        ks = _bcast(keys_ref)
+        ckeys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        if len(ks):
+            pos = np.clip(np.searchsorted(ks, ckeys), 0, len(ks) - 1)
+            batch = batch.filter(pa.array(ks[pos] == ckeys))
+        else:
+            batch = batch.slice(0, 0)
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        n = len(batch)
+        return pa.table(
+            {
+                "bucket": pa.array((key % num_buckets).astype(np.int32)),
+                "key": pa.array(key.astype(np.int64)),
+                "side": pa.array(["o"] * n),
+                "o_orderdate": batch["o_orderdate"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "revenue_cents": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def prep_lineitem(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_shipdate"], cut))
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        rev_cents = pc.cast(
+            pc.round(pc.multiply(rev, pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        df = pd.DataFrame(
+            {
+                "key": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "revenue_cents": rev_cents.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("key", as_index=False)["revenue_cents"].sum()  # combiner
+        n = len(g)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (g["key"].to_numpy() % num_buckets).astype(np.int32)
+                ),
+                "key": pa.array(g["key"].to_numpy(np.int64)),
+                "side": pa.array(["l"] * n),
+                "o_orderdate": pa.array(
+                    np.zeros(n, "datetime64[us]"), pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array([""] * n, pa.string()),
+                "revenue_cents": pa.array(
+                    g["revenue_cents"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    def probe(group: pd.DataFrame) -> pd.DataFrame:
+        li = group[group["side"] == "l"]
+        od = group[group["side"] == "o"]
+        rev = li.groupby("key", as_index=False)["revenue_cents"].sum()
+        m = rev.merge(
+            od[["key", "o_orderdate", "o_orderpriority"]], on="key"
+        )
+        m = m.sort_values(
+            ["revenue_cents", "key"], ascending=[False, True]
+        ).head(k)  # local top-k: the global sort sees ≤ buckets × k rows
+        return pd.DataFrame(
+            {
+                "l_orderkey": m["key"].to_numpy(np.int64),
+                "revenue_cents": m["revenue_cents"].to_numpy(np.int64),
+                "o_orderdate": m["o_orderdate"].to_numpy(),
+                "o_orderpriority": m["o_orderpriority"].to_numpy(object),
+            }
+        )
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(prep_lineitem, batch_format="pyarrow", batch_size=65536)
+    return (
+        li.union(orders)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bucket")
+        .map_groups(probe, batch_format="pandas")
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(k)
+    )
