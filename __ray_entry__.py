@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": dedup.paragraph_dedup,
         "dedup_clusters": dedup.dedup_clusters,
         "novel_docs": dedup.novel_docs,
+        "train_test_containment": dedup.train_test_containment,
         "embedding_near_dup": dedup.embedding_near_dup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only
         "minhash_clusters": dedup.minhash_clusters,  # rows-only (approx pairs)
@@ -533,6 +534,27 @@ def oracle_sql() -> dict[str, str]:
                     SELECT 1 FROM documents r
                     WHERE r.source = 'src0' AND md5(r.text) = md5(d.text)
               )
+        """,
+        "train_test_containment": f"""
+            WITH t AS (
+                SELECT doc_id, source, list_distinct({_TOK}) AS toks
+                FROM documents
+            ), ev AS (
+                SELECT doc_id, toks FROM t WHERE source = 'src0'
+            ), tr AS (
+                SELECT toks FROM t WHERE source <> 'src0'
+            ), p AS (
+                SELECT ev.doc_id,
+                       CASE WHEN len(ev.toks) = 0 THEN 0.0
+                            ELSE CAST(len(list_intersect(ev.toks, tr.toks)) AS DOUBLE)
+                                   / len(ev.toks)
+                       END AS cont
+                FROM ev CROSS JOIN tr
+            )
+            SELECT doc_id,
+                   CAST(round(max(cont) * 10000, 0) AS BIGINT) AS max_containment_e4,
+                   CAST(count(*) FILTER (cont >= 0.8) AS BIGINT) AS n_hits
+            FROM p GROUP BY doc_id
         """,
         "repetition_stats": f"""
             WITH t AS (

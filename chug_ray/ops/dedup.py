@@ -1174,3 +1174,137 @@ def paragraph_dedup(sf_dir: str, num_buckets: int = 64):
         .groupby("dbkt")
         .map_groups(reassemble, batch_format="pandas")
     )
+
+
+def train_test_containment(
+    sf_dir: str, eval_source: str = "src0", threshold: float = 0.8
+):
+    """Benchmark-decontamination check: for every *eval* document (the
+    ``eval_source`` rows — the benchmark set), the maximum token-set
+    containment ``|A∩B| / |A|`` over all *train* documents B, plus the
+    count of train docs at-or-over the threshold. Containment (not
+    Jaccard) is the decontamination score: a benchmark question fully
+    quoted inside a long web page has low Jaccard but containment 1.0.
+
+    Scale shape: the eval side is small by assumption (benchmarks are
+    thousands of rows, the corpus is the 100 TB side), so it broadcasts
+    as an **inverted token index** (sorted unique token hashes →
+    postings of eval-doc slots); the train side streams through one
+    ``map_batches`` where each doc's unique token hashes resolve to
+    per-eval-doc intersection counts via one searchsorted + one
+    bincount over gathered postings — no pairwise loop over eval docs,
+    no shuffle over train rows. Per-batch partials (running max + hit
+    count per eval doc, only nonzero rows emitted) reduce in a final
+    Max/Sum aggregate over the tiny eval keyspace."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    import pyarrow.parquet as pq
+
+    # eval side: filter pushdown — only the benchmark rows leave storage
+    ev = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("source", "=", eval_source)],
+    )
+    ev_ids = np.asarray(ev["doc_id"], dtype=np.int64)
+    tok_sets = []
+    for text in ev["text"].to_pylist():
+        toks = _TOKEN_RE.findall(text.lower())
+        th = np.array([_token_hash(t) for t in toks], dtype=np.uint64)
+        tok_sets.append(np.unique(th))
+    sizes = np.array([len(s) for s in tok_sets], dtype=np.int64)
+    # inverted index: token -> eval-doc slots holding it
+    all_tok = np.concatenate(tok_sets) if tok_sets else np.array([], np.uint64)
+    all_doc = np.repeat(np.arange(len(tok_sets), dtype=np.int32), sizes)
+    order = np.argsort(all_tok, kind="stable")
+    tok_sorted = all_tok[order]
+    post_sorted = all_doc[order]
+    uniq_tok, starts = np.unique(tok_sorted, return_index=True)
+    offsets = np.append(starts, len(tok_sorted)).astype(np.int64)
+    index_ref = ray.put((uniq_tok, offsets, post_sorted, sizes, ev_ids))
+
+    def scan_partial(batch: pa.Table) -> pa.Table:
+        from chug_ray.ops.relational import _bcast
+
+        toks_u, offs, posts, sz, ids = _bcast(index_ref)
+        n_ev = len(ids)
+        maxc = np.zeros(n_ev, np.float64)
+        hits = np.zeros(n_ev, np.int64)
+        for text in batch["text"].to_pylist():
+            tt = _TOKEN_RE.findall(text.lower())
+            th = np.unique(
+                np.array(
+                    [_SKETCH_CACHE.setdefault(t, _token_hash(t)) for t in tt],
+                    dtype=np.uint64,
+                )
+            )
+            if not len(th) or not len(toks_u):
+                continue
+            pos = np.searchsorted(toks_u, th)
+            valid = pos < len(toks_u)
+            pos, th_v = pos[valid], th[valid]
+            pos = pos[toks_u[pos] == th_v]
+            if not len(pos):
+                continue
+            # vectorized multi-slice gather of the matched postings
+            s, e = offs[pos], offs[pos + 1]
+            lens = e - s
+            flat = np.repeat(s - np.concatenate(([0], np.cumsum(lens)[:-1])),
+                             lens) + np.arange(lens.sum())
+            counts = np.bincount(posts[flat], minlength=n_ev)
+            cont = np.where(sz > 0, counts / np.maximum(sz, 1), 0.0)
+            maxc = np.maximum(maxc, cont)
+            hits += cont >= threshold
+        nz = np.nonzero((maxc > 0) | (hits > 0))[0]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[nz]),
+                "max_containment": pa.array(maxc[nz], pa.float64()),
+                "n_hits": pa.array(hits[nz], pa.int64()),
+            }
+        )
+
+    zero = pa.table(
+        {
+            "doc_id": pa.array(ev_ids),
+            "max_containment": pa.array(np.zeros(len(ev_ids)), pa.float64()),
+            "n_hits": pa.array(np.zeros(len(ev_ids), np.int64)),
+        }
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cont = batch["max_containment"].to_numpy(zero_copy_only=False)
+        e4 = np.floor(cont * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "max_containment_e4": pa.array(e4),
+                "n_hits": pc.cast(batch["n_hits"], pa.int64()),
+            }
+        )
+
+    def train_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.not_equal(batch["source"], pa.scalar(eval_source))
+        )
+
+    train = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    ).map_batches(train_only, batch_format="pyarrow")
+    return (
+        train.map_batches(scan_partial, batch_format="pyarrow")
+        .union(ray.data.from_arrow(zero))
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("doc_id")
+        .aggregate(
+            Max("max_containment", alias_name="max_containment"),
+            Sum("n_hits", alias_name="n_hits"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )

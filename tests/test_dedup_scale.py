@@ -393,3 +393,39 @@ def test_rolling_sum_sparse_chunks(ray_session, tmp_path):
     v_e4 = (vals * 10000).astype(np.int64)
     expect = [int(v_e4[max(0, i - 2): i + 1].sum()) for i in range(n)]
     assert out["rolling_e4"].tolist() == expect
+
+
+def test_containment_planted_contamination(ray_session, tmp_path):
+    """An eval doc fully quoted inside a long train page must score
+    containment 1.0 even though Jaccard is tiny; disjoint eval docs
+    score 0 and still appear in the output."""
+    from chug_ray.ops.dedup import train_test_containment
+
+    filler = " ".join(f"w{i}" for i in range(300))
+    quoted = "the secret benchmark answer is fourty two"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    quoted,  # eval: fully contained in doc 2
+                    "zq xv jk completely disjoint tokens",  # eval: no hit
+                    f"{filler} {quoted} {filler}",  # train: contains doc 0
+                    "another train doc entirely",  # train
+                ]
+            ),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["src0", "src0", "web", "web"]),
+            "n_chars": pa.array([1, 1, 1, 1], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        train_test_containment(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["max_containment_e4"].tolist()[0] == 10000  # fully quoted
+    assert out["n_hits"].tolist() == [1, 0]
+    assert out["max_containment_e4"].tolist()[1] == 0
