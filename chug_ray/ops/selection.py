@@ -50,6 +50,17 @@ def select_ranks(
     bad = [r for r in ranks if not 0 <= r < n_rows]
     if bad:
         raise ValueError(f"ranks {bad} out of range for {n_rows} rows")
+    if n_rows <= cap:
+        # the whole column fits the pull budget: one pass, no refinement
+        rows = (
+            make_ds()
+            .map_batches(
+                lambda b: pa.table({"z": b["z"]}), batch_format="pyarrow"
+            )
+            .take_all()
+        )
+        z_sorted = np.sort(np.array([r["z"] for r in rows], np.int64))
+        return [int(z_sorted[r]) for r in ranks]
     # per-rank state: value is the k-th smallest inside [lo, hi)
     states = [
         {"lo": int(zmin), "hi": int(zmax) + 1, "k": int(r), "val": None}
