@@ -805,8 +805,9 @@ def customers_with_events(
 
     # exact verify: confirm candidates against the events (drops Bloom
     # false positives). The confirm set is bounded by the candidates.
+    cand_rows = candidates.take_all()
     cand_keys = np.sort(
-        np.array([r["c_custkey"] for r in candidates.take_all()], np.int64)
+        np.array([r["c_custkey"] for r in cand_rows], np.int64)
     )
     cand_ref = ray.put(cand_keys)
 
@@ -829,30 +830,26 @@ def customers_with_events(
         .select_columns(["user_id"])
         .take_all()
     )
-    confirmed = np.sort(
-        np.array([r["user_id"] for r in confirmed_rows], np.int64)
-    )
-    conf_ref = ray.put(confirmed)
+    confirmed = set(int(r["user_id"]) for r in confirmed_rows)
+    # both sets are already bounded and driver-resident — the final
+    # semi-join result is their intersection, no fourth table pass
+    import ray.data
 
-    def final(batch: pa.Table) -> pa.Table:
-        ck = _bcast(conf_ref)
-        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
-        if len(ck):
-            pos = np.clip(np.searchsorted(ck, keys), 0, len(ck) - 1)
-            hit = ck[pos] == keys
-        else:
-            hit = np.zeros(len(keys), bool)
-        out = batch.filter(pa.array(hit))
-        return pa.table(
-            {
-                "c_custkey": pc.cast(out["c_custkey"], pa.int64()),
-                "c_mktsegment": out["c_mktsegment"],
-            }
-        )
-
-    return _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
-        final, batch_format="pyarrow"
+    final = pa.table(
+        {
+            "c_custkey": pa.array(
+                [int(r["c_custkey"]) for r in cand_rows
+                 if int(r["c_custkey"]) in confirmed],
+                pa.int64(),
+            ),
+            "c_mktsegment": pa.array(
+                [r["c_mktsegment"] for r in cand_rows
+                 if int(r["c_custkey"]) in confirmed],
+                pa.string(),
+            ),
+        }
     )
+    return ray.data.from_arrow(final)
 
 
 def shipping_priority(
