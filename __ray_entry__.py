@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": window.sessionize,
         "running_user_totals": window.running_user_totals,
         "rolling_user_sum": window.rolling_user_sum,
+        "hourly_active_users": window.hourly_active_users,
         "asof_last_order": relational.asof_last_order,
         "events_after_order": relational.events_after_order,
         # --- relational / operator inventory demos
@@ -738,6 +739,11 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS running_e4
             FROM events
+        """,
+        "hourly_active_users": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
         """,
         "rolling_user_sum": """
             SELECT event_id, user_id, ts,

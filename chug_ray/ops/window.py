@@ -607,3 +607,85 @@ def rolling_user_sum(
     return both.materialize().groupby("bkt").map_groups(
         apply, batch_format="pandas"
     )
+
+
+def hourly_active_users(sf_dir: str, num_buckets: int = 64):
+    """Exact distinct-count per tumbling window (``COUNT(DISTINCT
+    user_id)`` per hour — the DAU/WAU shape) without ever grouping a
+    whole window:
+
+    1. per-batch combiner: unique (window, user) pairs;
+    2. ``groupby(hash(window, user) % num_buckets)``: each bucket
+       owns a disjoint slice of the (window, user) key space, dedups
+       it exactly, and emits per-window partial counts;
+    3. tiny ``groupby(window)`` sums the disjoint partials — exact.
+
+    A hot window spreads over all buckets (the bucket key includes the
+    user), so no group ever holds a window's full audience."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def pair_partial(batch: pd.DataFrame) -> pa.Table:
+        w = (
+            batch["ts"]
+            .dt.floor("1h")
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {"window": w, "user_id": batch["user_id"].to_numpy()}
+        ).drop_duplicates()
+        uid = df["user_id"].to_numpy()
+        win = df["window"].to_numpy()
+        with np.errstate(over="ignore"):
+            bkt = (
+                (uid.astype(np.uint64) * np.uint64(1000003))
+                ^ win.astype(np.uint64)
+            ) % num_buckets
+        return pa.table(
+            {
+                "bkt": pa.array(bkt.astype(np.int64)),
+                "window": pa.array(win),
+                "user_id": pa.array(uid.astype(np.int64)),
+            }
+        )
+
+    def count_partial(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group("hourly_active_users(bucket)", None, len(group))
+        g = (
+            group.drop_duplicates(["window", "user_id"])
+            .groupby("window", as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "window": pa.array(g["window"].to_numpy(np.int64)),
+                "n_users": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "window_start": pc.cast(
+                    batch["window"].cast(pa.timestamp("us")), pa.timestamp("us")
+                ),
+                "n_users": pc.cast(batch["n_users"], pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["ts", "user_id"])
+        .map_batches(pair_partial, batch_format="pandas")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see NOTE)
+        .groupby("bkt")
+        .map_groups(count_partial, batch_format="pandas")
+        .materialize()  # partials (same reason: shuffle re-executes lazy inputs)
+        .groupby("window")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
