@@ -179,6 +179,15 @@ def main(argv: list[str] | None = None) -> None:
     )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument(
+        "--prev-docs", default=None,
+        help="prior snapshot's docs table: with --prev-out, run an "
+        "INCREMENTAL job (extract only new/changed docs, copy the rest)",
+    )
+    parser.add_argument(
+        "--prev-out", default=None,
+        help="prior snapshot's output root (see --prev-docs)",
+    )
     parser.add_argument("--num-cpus", type=int, default=None)
     args = parser.parse_args(argv)
 
@@ -211,6 +220,19 @@ def main(argv: list[str] | None = None) -> None:
             media_store_path=args.media,
             media_store_mode=args.media_mode,
         )
+        if args.prev_docs and args.prev_out:
+            from chug_ray.incremental import run_incremental
+
+            s = run_incremental(
+                args.docs, args.prev_docs, args.prev_out, args.out, cfg,
+                num_out_partitions=args.partitions or 4,
+            )
+            print(
+                f"done (incremental): {len(s['partitions'])} partitions, "
+                f"{s['n_docs']} docs ({s['n_extracted']} extracted, "
+                f"{s['n_copied']} copied)"
+            )
+            return
         manifests = run_job(
             args.docs,
             args.out,
