@@ -341,6 +341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_totals": window.running_user_totals,
         "rolling_user_sum": window.rolling_user_sum,
         "hourly_active_users": window.hourly_active_users,
+        "user_event_pivot": window.user_event_pivot,
+        "percent_rank_in_lang": textstats.percent_rank_in_lang,
         "asof_last_order": relational.asof_last_order,
         "events_after_order": relational.events_after_order,
         # --- relational / operator inventory demos
@@ -739,6 +741,23 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS running_e4
             FROM events
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_value_e4
+            FROM events GROUP BY user_id
+        """,
+        "percent_rank_in_lang": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(round(PERCENT_RANK() OVER (
+                       PARTITION BY lang ORDER BY n_chars
+                   ) * 10000, 0) AS BIGINT) AS pct_rank_e4
+            FROM documents
         """,
         "hourly_active_users": """
             SELECT date_trunc('hour', ts) AS window_start,

@@ -607,3 +607,81 @@ def cms_heavy_hitters(sf_dir: str, k: int = 20, w: int = 8192, d: int = 4):
             "est_count": pa.array([n for _, n in rows[:k]], pa.int64()),
         }
     )
+
+
+def percent_rank_in_lang(sf_dir: str):
+    """Per-language ``PERCENT_RANK() OVER (PARTITION BY lang ORDER BY
+    n_chars)`` — a rank window WITHOUT any per-group sort or whole-group
+    shuffle: tie-aware rank is a pure function of the per-(lang, value)
+    counts, so phase 1 reuses the value-count combiner (cardinality =
+    distinct values, tiny next to rows), the driver builds per-lang
+    exclusive-cumulative tables (bounded by distinct values — the same
+    assumption chars_quantiles documents), and phase 2 streams the docs
+    through one broadcast ``searchsorted`` map. No shuffle touches the
+    fact table."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    def value_counts(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby(["lang", "n_chars"], as_index=False).agg(
+            n=("n_chars", "size")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    rows = (
+        _docs(sf_dir, ("lang", "n_chars"))
+        .map_batches(value_counts, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    tables: dict[str, tuple] = {}
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["n_chars"], r["n"]))
+    for lang, vc in by_lang.items():
+        vc.sort()
+        values = np.array([v for v, _ in vc], np.int64)
+        counts = np.array([c for _, c in vc], np.int64)
+        cum_before = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        tables[lang] = (values, cum_before, int(counts.sum()))
+    tables_ref = ray.put(tables)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from chug_ray.ops.relational import _bcast
+
+        tb = _bcast(tables_ref)
+        langs = batch["lang"].to_pylist()
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pr = np.zeros(len(nc), np.float64)
+        lang_arr = np.asarray(langs, object)
+        for lang in set(langs):
+            values, cum_before, n = tb[lang]
+            m = lang_arr == lang
+            rank = cum_before[np.searchsorted(values, nc[m])] + 1
+            pr[m] = (rank - 1) / (n - 1) if n > 1 else 0.0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "lang": batch["lang"],
+                "n_chars": pa.array(nc.astype(np.int64)),
+                "pct_rank_e4": pa.array(
+                    np.floor(pr * 10000.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "lang", "n_chars")).map_batches(
+        assign, batch_format="pyarrow"
+    )

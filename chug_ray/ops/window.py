@@ -689,3 +689,60 @@ def hourly_active_users(sf_dir: str, num_buckets: int = 64):
         .aggregate(Sum("n_users", alias_name="n_users"))
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def user_event_pivot(sf_dir: str, num_buckets: int = 64):
+    """Wide (pivot) aggregation: one row per user with per-event-type
+    counts as columns plus the value total — the feature-table shape a
+    per-entity ML pipeline materializes. Per-batch crosstab combiner →
+    one user-hash bucket shuffle over partial rows → in-bucket sum per
+    user; no group ever holds more than its bucket's partials."""
+    import pyarrow as pa
+
+    TYPES = ("click", "error", "purchase", "signup", "view")
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        value_e4 = (
+            np.sign(batch["value"])
+            * np.floor(np.abs(batch["value"].to_numpy()) * 1e4 + 0.5)
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "event_type": batch["event_type"].to_numpy(object),
+                "value_e4": value_e4,
+            }
+        )
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("value_e4", "size"), v=("value_e4", "sum")
+        )
+        wide = g.pivot_table(
+            index="user_id", columns="event_type", values="n",
+            aggfunc="first", fill_value=0,
+        )
+        out = {"user_id": wide.index.to_numpy(np.int64)}
+        for t in TYPES:
+            out[f"n_{t}"] = (
+                wide[t].to_numpy(np.int64) if t in wide
+                else np.zeros(len(wide), np.int64)
+            )
+        tot = g.groupby("user_id")["v"].sum()
+        out["sum_value_e4"] = tot.reindex(wide.index).to_numpy(np.int64)
+        out["bkt"] = (out["user_id"] % num_buckets).astype(np.int64)
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
+        record_group("user_event_pivot(bucket)", None, len(group))
+        cols = [f"n_{t}" for t in TYPES] + ["sum_value_e4"]
+        g = group.groupby("user_id", as_index=False)[cols].sum()
+        return g.astype({c: np.int64 for c in cols + ["user_id"]})
+
+    return (
+        _events(sf_dir, ["user_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see NOTE)
+        .groupby("bkt")
+        .map_groups(merge, batch_format="pandas")
+    )
