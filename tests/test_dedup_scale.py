@@ -429,3 +429,24 @@ def test_containment_planted_contamination(ray_session, tmp_path):
     assert out["max_containment_e4"].tolist()[0] == 10000  # fully quoted
     assert out["n_hits"].tolist() == [1, 0]
     assert out["max_containment_e4"].tolist()[1] == 0
+
+
+def test_bucket_count_invariance_new_ops(ray_session):
+    """Results of the round-3 bucketed ops must not depend on the bucket
+    count (the partitioning knob scales with the cluster, not the data)."""
+    import pandas as pd
+
+    from chug_ray.ops.dedup import paragraph_dedup
+    from chug_ray.ops.window import hourly_active_users
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (paragraph_dedup, hourly_active_users):
+        a = fn(sf, num_buckets=3).to_pandas()
+        b = fn(sf, num_buckets=64).to_pandas()
+        cols = sorted(a.columns)
+        pd.testing.assert_frame_equal(
+            a[cols].sort_values(cols, ignore_index=True),
+            b[cols].sort_values(cols, ignore_index=True),
+            check_dtype=False,
+            check_exact=True,
+        )
