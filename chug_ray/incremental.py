@@ -139,6 +139,9 @@ def _route(payload_ds, status_ds, keep_unchanged: bool, num_buckets: int):
     payload_schema = payload_ds.schema()
     payload_cols = payload_schema.names
     payload_types = dict(zip(payload_schema.names, payload_schema.types))
+    # the union below relies on both sides emitting columns in the same
+    # order; prep_status puts doc_id first, so the payload must too
+    assert payload_cols[0] == "doc_id", payload_cols
 
     def add_flag(batch: pa.Table) -> pa.Table:
         return batch.append_column(
