@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_sum": window.rolling_user_sum,
         "hourly_active_users": window.hourly_active_users,
         "user_event_pivot": window.user_event_pivot,
+        "signup_conversion": window.signup_conversion,
         "percent_rank_in_lang": textstats.percent_rank_in_lang,
         "asof_last_order": relational.asof_last_order,
         "events_after_order": relational.events_after_order,
@@ -741,6 +742,22 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS running_e4
             FROM events
+        """,
+        "signup_conversion": """
+            WITH s AS (
+                SELECT user_id, min(ts) AS signup_ts
+                FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS first_purchase_ts
+                FROM events e JOIN s ON s.user_id = e.user_id
+                           AND e.ts >= s.signup_ts
+                WHERE e.event_type = 'purchase'
+                GROUP BY e.user_id
+            )
+            SELECT CAST(s.user_id AS BIGINT) AS user_id, s.signup_ts,
+                   p.first_purchase_ts,
+                   CAST(p.first_purchase_ts IS NOT NULL AS BIGINT) AS converted
+            FROM s LEFT JOIN p USING (user_id)
         """,
         "user_event_pivot": """
             SELECT user_id,

@@ -746,3 +746,58 @@ def user_event_pivot(sf_dir: str, num_buckets: int = 64):
         .groupby("bkt")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def signup_conversion(sf_dir: str, num_buckets: int = 64):
+    """Funnel analysis: per signed-up user, the first purchase at-or-
+    after their first signup (conversion flag + both timestamps). The
+    funnel event types are a small fraction of the log, so the filter
+    runs at the read (column-pruned, predicate in ``map_batches``) and
+    only (user, ts, kind) triples of signups/purchases shuffle once on
+    the user-hash bucket; the in-group resolution is a vectorized
+    two-cummin pass, no per-user loop."""
+    import pyarrow as pa
+
+    def prep(batch: pd.DataFrame) -> pa.Table:
+        m = batch["event_type"].isin(("signup", "purchase"))
+        df = batch.loc[m, ["user_id", "ts", "event_type"]]
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (df["user_id"].to_numpy() % num_buckets).astype(np.int64)
+                ),
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+                "ts": pa.array(df["ts"].to_numpy("datetime64[us]")),
+                "is_signup": pa.array(
+                    (df["event_type"] == "signup").to_numpy()
+                ),
+            }
+        )
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
+        record_group("signup_conversion(bucket)", None, len(group))
+        s = (
+            group[group["is_signup"]]
+            .groupby("user_id")["ts"]
+            .min()
+            .rename("signup_ts")
+        )
+        p = group[~group["is_signup"]].merge(
+            s, left_on="user_id", right_index=True
+        )
+        p = p[p["ts"] >= p["signup_ts"]]
+        first_p = p.groupby("user_id")["ts"].min()
+        out = s.to_frame()
+        out["first_purchase_ts"] = first_p.reindex(s.index)
+        out["converted"] = out["first_purchase_ts"].notna().astype(np.int64)
+        return out.reset_index().astype({"user_id": np.int64})
+
+    return (
+        _events(sf_dir, ["user_id", "ts", "event_type"])
+        .map_batches(prep, batch_format="pandas")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see NOTE)
+        .groupby("bkt")
+        .map_groups(resolve, batch_format="pandas")
+    )
