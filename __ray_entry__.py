@@ -607,7 +607,11 @@ def oracle_sql() -> dict[str, str]:
                        unnest(paras) AS para
                 FROM p
             ), ne AS (
-                SELECT * FROM e WHERE trim(para) <> ''
+                -- explicit ASCII whitespace set, matching the engine's
+                -- strip(" \\t\\r\\n\\x0b\\x0c") on tab/CR-only lines
+                SELECT * FROM e
+                WHERE trim(para, ' ' || chr(9) || chr(13) || chr(10)
+                                 || chr(11) || chr(12)) <> ''
             ), w AS (
                 SELECT doc_id, pos, para,
                        row_number() OVER (

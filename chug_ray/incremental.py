@@ -37,9 +37,9 @@ import numpy as np
 import pyarrow as pa
 
 from chug_ray.config import ExtractConfig
-from chug_ray.io import PartitionManifest, output_stats
+from chug_ray.io import PartitionManifest, media_store_fp, output_stats
 from chug_ray.pipeline import broadcast_media_meta, build_extract_pipeline
-from chug_ray.schema import SPANS_TYPE
+from chug_ray.run import _config_hash
 
 
 def _doc_fp_batch(batch: pa.Table) -> pa.Table:
@@ -188,15 +188,27 @@ def run_incremental(
 
     import ray.data
 
-    cfg_hash = hashlib.blake2b(cfg.to_json().encode(), digest_size=8).hexdigest()
+    cfg_hash = _config_hash(cfg)
+    media_fp = media_store_fp(cfg.media_store_path)
     prev_manifest_dir = os.path.join(prev_out_root, "_manifests")
     for name in os.listdir(prev_manifest_dir):
         with open(os.path.join(prev_manifest_dir, name)) as f:
-            if json.load(f).get("config_hash") != cfg_hash:
-                raise ValueError(
-                    "config changed since the prior run — the copy path is "
-                    "invalid; run a full job instead"
-                )
+            prev = json.load(f)
+        if prev.get("config_hash") != cfg_hash:
+            raise ValueError(
+                "config changed since the prior run — the copy path is "
+                "invalid; run a full job instead"
+            )
+        # the docs-side span fingerprints cannot see in-place payload
+        # edits in the media store, so a changed store invalidates the
+        # whole copy path (older manifests without the field also fail,
+        # conservatively forcing one full run)
+        if prev.get("media_fp", "") != media_fp:
+            raise ValueError(
+                "media store changed since the prior run — span "
+                "fingerprints cannot prove output reuse is safe; run a "
+                "full job instead"
+            )
     t0 = time.perf_counter()
     new_docs = ray.data.read_parquet(docs_path)
     prev_docs = ray.data.read_parquet(prev_docs_path)
@@ -219,14 +231,7 @@ def run_incremental(
 
     def add_part(batch: pa.Table) -> pa.Table:
         return batch.append_column(
-            "part",
-            pa.array(
-                [
-                    zlib.crc32(str(d).encode()) % num_out_partitions
-                    for d in batch["doc_id"].to_pylist()
-                ],
-                pa.int64(),
-            ),
+            "part", _bkt(batch["doc_id"].to_pylist(), num_out_partitions)
         )
 
     # delta sizes come from the tiny status rows (extraction keeps every
@@ -271,6 +276,7 @@ def run_incremental(
             n_err_docs=n_err,
             n_spans=n_spans,
             wall_time_sec=0.0,
+            media_fp=media_fp,
         )
         m.write(manifest_dir)
         manifests.append(m)

@@ -19,6 +19,7 @@
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -317,6 +318,9 @@ class PartitionManifest:
     wall_time_sec: float = 0.0
     completed_at: float = field(default_factory=time.time)
     engine_version: str = "chug_ray-0.1.0"
+    # content fingerprint of the media payload store the run read (the
+    # docs-side fingerprints cannot see in-place payload edits; this can)
+    media_fp: str = ""
     # per-operator wall time / task / block counts from Dataset.stats()
     stage_metrics: list = field(default_factory=list)
 
@@ -339,6 +343,34 @@ class PartitionManifest:
                 return cls(**json.load(f))
         except (json.JSONDecodeError, TypeError):
             return None  # half-written / stale manifest ⇒ redo the partition
+
+
+def media_store_fp(path: str | None) -> str:
+    """Cheap content fingerprint of a media store: per file, size plus a
+    hash of the parquet footer tail (64 KiB — stats/offsets/created_by
+    change on any rewrite). Catches in-place payload edits that a
+    docs-side span fingerprint cannot see."""
+    if not path:
+        return ""
+    files = (
+        sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    h = hashlib.blake2b(digest_size=8)
+    for f in files:
+        size = os.path.getsize(f)
+        with open(f, "rb") as fh:
+            fh.seek(max(0, size - 65536))
+            tail = fh.read()
+        h.update(os.path.basename(f).encode())
+        h.update(size.to_bytes(8, "little"))
+        h.update(tail)
+    return h.hexdigest()
 
 
 def output_stats(out_dir: str) -> tuple[int, int, int]:

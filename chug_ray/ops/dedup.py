@@ -1057,6 +1057,9 @@ def paragraph_dedup(sf_dir: str, num_buckets: int = 64):
     import ray.data
 
     _POS_BITS = 20  # pos < 1M paragraphs per doc; doc_id < 2^43
+    _WS = " \t\r\n\x0b\x0c"  # explicit ASCII whitespace: matches the
+    # oracle's trim(para, <same chars>) exactly (Python's default strip
+    # also eats unicode spaces, which SQL trim would not)
 
     def elect_partial(batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -1064,8 +1067,17 @@ def paragraph_dedup(sf_dir: str, num_buckets: int = 64):
         for d, text in zip(doc_ids, batch["text"].to_pylist()):
             assert 0 <= d < (1 << 43), "doc_id overflows the packed key"
             base = int(d) << _POS_BITS
-            for pos, p in enumerate(text.split("\n")):
-                if p.strip():
+            lines = text.split("\n")
+            if len(lines) >= (1 << _POS_BITS):
+                raise ValueError(
+                    f"doc {d} has {len(lines)} lines — pos overflows the "
+                    f"packed (doc_id, pos) key ({_POS_BITS} bits)"
+                )
+            for pos, p in enumerate(lines):
+                # blank test strips the explicit ASCII whitespace set so
+                # the SQL oracle (trim over the same chars) agrees on
+                # tab/CR-only lines
+                if p.strip(_WS):
                     paras.append(p)
                     packed.append(base | pos)
         if not paras:  # typed empty (from_pandas infers null for empty object)
@@ -1111,7 +1123,7 @@ def paragraph_dedup(sf_dir: str, num_buckets: int = 64):
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         n = np.array(
             [
-                sum(1 for p in t.split("\n") if p.strip())
+                sum(1 for p in t.split("\n") if p.strip(_WS))
                 for t in batch["text"].to_pylist()
             ],
             np.int64,

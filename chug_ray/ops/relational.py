@@ -635,14 +635,21 @@ def events_after_order(sf_dir: str, days: int = 7, num_buckets: int = 64):
         o_ts = od["ts"].to_numpy("datetime64[us]").astype(np.int64)
         if len(ev):
             # composite (key, ts) → one sortable int64: shift timestamps
-            # to a non-negative offset so key strictly dominates
+            # to a non-negative offset so key strictly dominates. Keys
+            # are rank-compressed per bucket (dense codes over the union
+            # of both sides) so the composite is bounded by
+            # users-per-bucket × time-span, not by the raw id space —
+            # raw 32-bit ids × a month of microseconds would overflow.
+            uniq = np.unique(np.concatenate([ev_key, o_key]))
+            ev_code = np.searchsorted(uniq, ev_key)
+            o_code = np.searchsorted(uniq, o_key)
             t0 = ev_ts.min() - 1  # -1 keeps lo-edge searches in range
             span = np.int64(ev_ts.max() - t0 + window_us + 2)
-            kmax = max(int(ev_key.max()), int(o_key.max()) if len(o_key) else 0)
-            assert (kmax + 1) * span < np.iinfo(np.int64).max, (
-                "composite (user, ts) key overflows int64; shrink buckets"
+            assert len(uniq) * span < np.iinfo(np.int64).max, (
+                "users-per-bucket x time-span overflows int64; raise "
+                "num_buckets or chunk the time axis"
             )
-            comp = ev_key * span + (ev_ts - t0)
+            comp = ev_code * span + (ev_ts - t0)
             order = np.argsort(comp, kind="stable")
             comp = comp[order]
             pref = np.concatenate(
@@ -654,8 +661,8 @@ def events_after_order(sf_dir: str, days: int = 7, num_buckets: int = 64):
             # must not spill into a neighboring user's composite block
             lo_off = np.clip(o_ts - t0, 0, span - 1)
             hi_off = np.clip(o_ts - t0 + window_us, 0, span - 1)
-            lo = np.searchsorted(comp, o_key * span + lo_off, side="left")
-            hi = np.searchsorted(comp, o_key * span + hi_off, side="left")
+            lo = np.searchsorted(comp, o_code * span + lo_off, side="left")
+            hi = np.searchsorted(comp, o_code * span + hi_off, side="left")
             out["n_events_7d"] = (hi - lo).astype(np.int64)
             out["sum_value_e4"] = pref[hi] - pref[lo]
         else:

@@ -19,9 +19,18 @@ broadcast of 9 cutoff values — no shuffle at all.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def _composite_z(batch: pa.Table) -> tuple:
+    """(n_chars << 32) | doc_id — the tie-broken NTILE ordering key.
+    One definition so the range guards hold on every code path."""
+    nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    assert (nc >= 0).all() and (nc < (1 << 31)).all(), "n_chars range"
+    assert (d >= 0).all() and (d < (1 << 32)).all(), "doc_id range"
+    return nc, d, (nc << 32) | d
 
 
 def select_ranks(
@@ -198,15 +207,14 @@ def decile_bucket(sf_dir: str, tiles: int = 10):
 
     path = f"{sf_dir}/documents.parquet"
     make_ds = _composite_ds_factory(path)
+    # footer-metadata count — no data pages are read
     n = ray.data.read_parquet(path, columns=["doc_id"]).count()
     cutoffs = np.array(
         select_ranks(make_ds, ntile_cutoff_ranks(n, tiles)), np.int64
     )
 
     def assign(batch: pa.Table) -> pa.Table:
-        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        z = (nc << 32) | d
+        nc, d, z = _composite_z(batch)
         tile = np.searchsorted(cutoffs, z, side="left") + 1
         return pa.table(
             {
@@ -263,9 +271,7 @@ def export_range_partitioned(
     cut = np.array(cutoffs, np.int64)
 
     def assign(batch: pa.Table) -> pa.Table:
-        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        z = (nc << 32) | d
+        _, _, z = _composite_z(batch)
         tile = (np.searchsorted(cut, z, side="left") + 1).astype(np.int64)
         return batch.append_column("tile", pa.array(tile))
 
@@ -283,11 +289,7 @@ def _composite_ds_factory(path: str):
     import ray.data
 
     def composite(batch: pa.Table) -> pa.Table:
-        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        assert (nc >= 0).all() and (nc < (1 << 31)).all(), "n_chars range"
-        assert (d >= 0).all() and (d < (1 << 32)).all(), "doc_id range"
-        return pa.table({"z": pa.array((nc << 32) | d)})
+        return pa.table({"z": pa.array(_composite_z(batch)[2])})
 
     def make_ds():
         return ray.data.read_parquet(

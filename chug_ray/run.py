@@ -30,6 +30,7 @@ import time
 from chug_ray.config import ExtractConfig
 from chug_ray.io import (
     PartitionManifest,
+    media_store_fp,
     output_stats,
     read_table_dataset,
     write_output_partition,
@@ -114,6 +115,7 @@ def run_job(
     os.makedirs(out_root, exist_ok=True)
     manifest_dir = os.path.join(out_root, "_manifests")
     cfg_hash = _config_hash(cfg)
+    media_fp = media_store_fp(cfg.media_store_path)
     meta_ref = broadcast_media_meta(cfg.media_store_path)
 
     def run_partition(k: int, files: list[str]) -> PartitionManifest:
@@ -135,6 +137,7 @@ def run_job(
             n_spans=n_spans,
             wall_time_sec=time.perf_counter() - t0,
             stage_metrics=stage_summaries(out),
+            media_fp=media_fp,
         )
         manifest.write(manifest_dir)
         return manifest
@@ -149,6 +152,7 @@ def run_job(
                 and existing is not None
                 and existing.config_hash == cfg_hash
                 and existing.input_files == files
+                and existing.media_fp == media_fp
             ):
                 slots.append(existing)  # checkpoint hit — skip
                 continue
@@ -220,6 +224,11 @@ def main(argv: list[str] | None = None) -> None:
             media_store_path=args.media,
             media_store_mode=args.media_mode,
         )
+        if bool(args.prev_docs) != bool(args.prev_out):
+            parser.error(
+                "--prev-docs and --prev-out must be given together "
+                "(half-specified incremental would silently run a full job)"
+            )
         if args.prev_docs and args.prev_out:
             from chug_ray.incremental import run_incremental
 

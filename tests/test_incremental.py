@@ -114,3 +114,29 @@ def test_incremental_rejects_config_change(ray_session, tmp_path):
         run_incremental(
             docs1, docs1, out1, str(tmp_path / "out2"), cfg2
         )
+
+
+def test_incremental_rejects_media_change(ray_session, tmp_path):
+    """In-place media payload edits are invisible to docs-side span
+    fingerprints; the media-store fingerprint must catch them."""
+    v1 = str(tmp_path / "v1")
+    write_corpus_inline(CorpusConfig(seed=5, n_docs=30, skew="test"), v1)
+    docs1 = os.path.join(v1, "documents.parquet")
+    media = os.path.join(v1, "media.parquet")
+    cfg = ExtractConfig(page_sampling="first", seed=0, media_store_path=media)
+    out1 = str(tmp_path / "out1")
+    run_job(docs1, out1, cfg, num_partitions=1)
+    # rewrite the media store in place (same path, same schema)
+    t = pq.read_table(media)
+    payloads = t["payload"].to_pylist()
+    payloads[0] = payloads[0] + b"\x00"
+    pq.write_table(
+        t.set_column(
+            t.schema.get_field_index("payload"),
+            "payload",
+            pa.array(payloads, pa.large_binary()),
+        ),
+        media,
+    )
+    with pytest.raises(ValueError, match="media store changed"):
+        run_incremental(docs1, docs1, out1, str(tmp_path / "out2"), cfg)

@@ -242,3 +242,44 @@ def test_bloom_semi_join_no_events(ray_session, tmp_path):
     # events exist but belong to user 7 only: no customer matches
     out = customers_with_events(str(tmp_path)).to_pandas()
     assert len(out) == 0
+
+
+def test_interval_join_huge_user_ids_no_overflow(ray_session, tmp_path):
+    """Raw 32-bit-scale user ids times a long time span would overflow a
+    naive (id * span) composite; rank compression keeps it bounded."""
+    uid = 3_000_000_000  # beyond int32, realistic web-scale id
+    _write(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array([0, 1], pa.int64()),
+                "ts": pa.array(
+                    np.array(["2024-01-05", "2024-06-20"], "datetime64[us]")
+                ),
+                "user_id": pa.array([uid, uid], pa.int64()),
+                "event_type": pa.array(["click", "click"]),
+                "value": pa.array([1.0, 2.0]),
+                "props": pa.array(["{}", "{}"]),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([0], pa.int64()),
+                "o_custkey": pa.array([uid], pa.int64()),
+                "o_orderstatus": pa.array(["O"]),
+                "o_totalprice": pa.array([1.0]),
+                "o_orderdate": pa.array(
+                    np.array(["2024-01-01"], "datetime64[us]")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"]),
+            }
+        ),
+    )
+    out = events_after_order(str(tmp_path), days=7).to_pandas()
+    assert out["n_events_7d"].tolist() == [1]
+    assert out["sum_value_e4"].tolist() == [10000]
