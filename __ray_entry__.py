@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_active_users": window.hourly_active_users,
         "user_event_pivot": window.user_event_pivot,
         "signup_conversion": window.signup_conversion,
+        "event_transitions": window.event_transitions,
         "percent_rank_in_lang": textstats.percent_rank_in_lang,
         "asof_last_order": relational.asof_last_order,
         "events_after_order": relational.events_after_order,
@@ -746,6 +747,18 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS running_e4
             FROM events
+        """,
+        "event_transitions": """
+            WITH o AS (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, event_type, count(*) AS n
+            FROM o WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
         """,
         "signup_conversion": """
             WITH s AS (

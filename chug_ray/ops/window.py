@@ -801,3 +801,135 @@ def signup_conversion(sf_dir: str, num_buckets: int = 64):
         .groupby("bkt")
         .map_groups(resolve, batch_format="pandas")
     )
+
+
+def event_transitions(sf_dir: str, chunk_hours: int = 24, num_buckets: int = 64):
+    """Sequence analytics — global (prev_type → type) transition counts
+    over each user's time-ordered event stream (the ``LAG() OVER
+    (PARTITION BY user ORDER BY ts)`` shape). Same two-level plan as the
+    rolling window with lookback 1: per-(user, chunk) tails carry each
+    chunk's LAST event to the next nonempty chunk, so cross-chunk
+    transitions are exact without ever grouping a whole user; in-chunk
+    transitions are a vectorized shift inside the bucket; per-batch
+    (prev, type) count partials reduce in a tiny final groupby."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        chunk = (
+            batch["ts"]
+            .dt.floor(f"{chunk_hours}h")
+            .astype("datetime64[s]")
+            .astype(np.int64)
+        )
+        uid = batch["user_id"].to_numpy()
+        with np.errstate(over="ignore"):
+            bkt = (
+                (uid.astype(np.uint64) * np.uint64(1000003))
+                ^ chunk.to_numpy().astype(np.uint64)
+            ) % num_buckets
+        return batch.assign(chunk=chunk, bkt=bkt.astype(np.int64))
+
+    events = (
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(keyed, batch_format="pandas", batch_size=16384)
+        .materialize()  # consumed by the tails pass AND the apply pass
+    )
+
+    def tail_partial(batch: pd.DataFrame) -> pa.Table:
+        g = (
+            batch.sort_values(["user_id", "chunk", "ts", "event_id"])
+            .groupby(["user_id", "chunk"], group_keys=False)
+            .tail(1)
+        )
+        out = g[["user_id", "chunk", "ts", "event_id", "event_type"]].assign(
+            ubkt=(g["user_id"].to_numpy() % num_buckets).astype(np.int64)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def to_carries(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["user_id", "chunk", "ts", "event_id"])
+        g = g.groupby(["user_id", "chunk"], group_keys=False).tail(1)
+        # the chunk's true last row precedes the NEXT nonempty chunk
+        nxt = g.groupby("user_id")["chunk"].shift(-1)
+        keep = nxt.notna()
+        out = g[keep].assign(chunk=nxt[keep].astype(np.int64))
+        uid = out["user_id"].to_numpy()
+        with np.errstate(over="ignore"):
+            bkt = (
+                (uid.astype(np.uint64) * np.uint64(1000003))
+                ^ out["chunk"].to_numpy().astype(np.uint64)
+            ) % num_buckets
+        return pa.table(
+            {
+                "bkt": pa.array(bkt.astype(np.int64)),
+                "user_id": pa.array(uid.astype(np.int64)),
+                "chunk": pa.array(out["chunk"].to_numpy(np.int64)),
+                "event_id": pa.array(out["event_id"].to_numpy(np.int64)),
+                "ts": pa.array(
+                    out["ts"].to_numpy("datetime64[us]"), pa.timestamp("us")
+                ),
+                "event_type": pa.array(out["event_type"].to_numpy(object),
+                                       pa.string()),
+                "is_carry": pa.array(np.ones(len(out), np.int8)),
+            }
+        )
+
+    carries = (
+        events.map_batches(tail_partial, batch_format="pandas")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see NOTE)
+        .groupby("ubkt")
+        .map_groups(to_carries, batch_format="pandas")
+    )
+
+    def project_events(batch: pd.DataFrame) -> pa.Table:
+        out = batch[
+            ["bkt", "user_id", "chunk", "event_id", "ts", "event_type"]
+        ].assign(is_carry=np.int8(0))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def count_pairs(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group("event_transitions(bucket)", None, len(group))
+        g = group.sort_values(
+            ["user_id", "chunk", "ts", "event_id", "is_carry"]
+        )
+        same = (
+            (g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1])
+            & (g["chunk"].to_numpy()[1:] == g["chunk"].to_numpy()[:-1])
+        )
+        cur_real = g["is_carry"].to_numpy()[1:] == 0
+        et = g["event_type"].to_numpy(object)
+        df = pd.DataFrame(
+            {
+                "prev_type": et[:-1][same & cur_real],
+                "event_type": et[1:][same & cur_real],
+            }
+        )
+        c = df.groupby(["prev_type", "event_type"], as_index=False).size()
+        return pa.table(
+            {
+                "prev_type": pa.array(c["prev_type"].to_numpy(object),
+                                      pa.string()),
+                "event_type": pa.array(c["event_type"].to_numpy(object),
+                                       pa.string()),
+                "n": pa.array(c["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n"] = batch["n"].astype(np.int64)
+        return batch
+
+    both = events.map_batches(project_events, batch_format="pandas").union(
+        carries
+    )
+    return (
+        both.materialize()
+        .groupby("bkt")
+        .map_groups(count_pairs, batch_format="pandas")
+        .groupby(["prev_type", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(finalize, batch_format="pandas")
+    )
