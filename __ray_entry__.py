@@ -26,11 +26,9 @@ from chug_ray.ops.textstats import LANG_PROFILES
 # ---------------------------------------------------------------------------
 
 
-def _extract_summary(sf_dir: str, page_sampling: str):
-    """Run the extraction pipeline on the synthesized interleaved corpus
-    for this scale factor; summarize per doc (stable schema, compact)."""
-    import hashlib
-
+def _build_extract_out(sf_dir: str, page_sampling: str):
+    """One definition of the benchmark extraction setup (corpus → config
+    → pipeline) so every entry-point queries the SAME configuration."""
     import ray.data
 
     from chug_ray.config import ExtractConfig
@@ -46,6 +44,15 @@ def _extract_summary(sf_dir: str, page_sampling: str):
         cfg,
         media_meta_ref=broadcast_media_meta(media_path),
     )
+    return out, cfg, docs_path, media_path
+
+
+def _extract_summary(sf_dir: str, page_sampling: str):
+    """Run the extraction pipeline on the synthesized interleaved corpus
+    for this scale factor; summarize per doc (stable schema, compact)."""
+    import hashlib
+
+    out, _, _, _ = _build_extract_out(sf_dir, page_sampling)
 
     def summarize(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -89,18 +96,10 @@ def _extract_parity(sf_dir: str, page_sampling: str):
     import pandas as pd
     import ray.data
 
-    from chug_ray.config import ExtractConfig
-    from chug_ray.pipeline import (
-        _extract_doc_fn,
-        _store_ref_for,
-        broadcast_media_meta,
-        build_extract_pipeline,
-    )
-    from chug_ray.synth import corpus_for_sf_dir
+    from chug_ray.pipeline import _extract_doc_fn, _store_ref_for
 
-    docs_path, media_path, _ = corpus_for_sf_dir(sf_dir)
-    cfg = ExtractConfig(
-        page_sampling=page_sampling, seed=0, media_store_path=media_path
+    pipe_out, cfg, docs_path, media_path = _build_extract_out(
+        sf_dir, page_sampling
     )
 
     def canon_hash(batch: pa.Table) -> pa.Table:
@@ -142,15 +141,9 @@ def _extract_parity(sf_dir: str, page_sampling: str):
 
         return fn
 
-    pipe = (
-        build_extract_pipeline(
-            ray.data.read_parquet(docs_path),
-            cfg,
-            media_meta_ref=broadcast_media_meta(media_path),
-        )
-        .map_batches(canon_hash, batch_format="pyarrow")
-        .map_batches(tag("pipeline"), batch_format="pyarrow")
-    )
+    pipe = pipe_out.map_batches(
+        canon_hash, batch_format="pyarrow"
+    ).map_batches(tag("pipeline"), batch_format="pyarrow")
     oracle = (
         ray.data.read_parquet(docs_path)
         .map_batches(
@@ -192,25 +185,10 @@ def _span_kind_stats(sf_dir: str, page_sampling: str = "all_valid"):
     one tiny groupby(kind). Rows-only (extraction is not SQL); the
     per-doc span content is pinned by the parity queries and goldens."""
     import pyarrow.compute as pc
-    import ray.data
 
-    from chug_ray.config import ExtractConfig
-    from chug_ray.pipeline import broadcast_media_meta, build_extract_pipeline
-    from chug_ray.synth import corpus_for_sf_dir
-
-    docs_path, media_path, _ = corpus_for_sf_dir(sf_dir)
-    cfg = ExtractConfig(
-        page_sampling=page_sampling, seed=0, media_store_path=media_path
-    )
-    out = build_extract_pipeline(
-        ray.data.read_parquet(docs_path),
-        cfg,
-        media_meta_ref=broadcast_media_meta(media_path),
-    )
+    out, _, _, _ = _build_extract_out(sf_dir, page_sampling)
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         spans = batch["spans"]
         flat = spans.combine_chunks().flatten() if isinstance(
             spans, pa.ChunkedArray
@@ -225,17 +203,18 @@ def _span_kind_stats(sf_dir: str, page_sampling: str = "all_valid"):
             )
         kinds = flat.field("kind")
         chars = pc.fill_null(pc.utf8_length(flat.field("text")), 0)
-        df = pd.DataFrame(
+        # pure-Arrow combiner: no Python string objects, no pandas frame
+        g = (
+            pa.table({"kind": kinds, "n_chars": pc.cast(chars, pa.int64())})
+            .group_by("kind")
+            .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        )
+        return pa.table(
             {
-                "kind": kinds.to_pylist(),
-                "n_chars": chars.to_numpy(zero_copy_only=False),
+                "kind": g["kind"],
+                "n_spans": pc.cast(g["n_chars_count"], pa.int64()),
+                "n_chars": pc.cast(g["n_chars_sum"], pa.int64()),
             }
-        )
-        g = df.groupby("kind", as_index=False).agg(
-            n_spans=("n_chars", "size"), n_chars=("n_chars", "sum")
-        )
-        return pa.Table.from_pandas(
-            g[["kind", "n_spans", "n_chars"]], preserve_index=False
         )
 
     from ray.data.aggregate import Sum
@@ -251,6 +230,9 @@ def _span_kind_stats(sf_dir: str, page_sampling: str = "all_valid"):
 
     return (
         out.map_batches(partial, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy
+        # inputs — unpinned, the groupby would run the WHOLE extraction
+        # pipeline twice (window.py NOTE)
         .groupby("kind")
         .aggregate(
             Sum("n_spans", alias_name="n_spans"),

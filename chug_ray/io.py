@@ -45,13 +45,18 @@ def is_lance_dir(path) -> bool:
     )
 
 
-def read_table_dataset(paths, columns=None):
-    """``ray.data`` read of a docs/media table: Lance if available, else Parquet."""
+def read_table_dataset(paths, columns=None, override_num_blocks=None):
+    """``ray.data`` read of a docs/media table: Lance if available, else
+    Parquet. ``override_num_blocks`` pins the block split (one block per
+    input file when set to the file count) — required for
+    bit-reproducible streaming order (see hfds_stream_source)."""
     import ray.data
 
     if HAVE_LANCE and is_lance_dir(paths):
         return ray.data.read_lance(paths, columns=columns)  # pragma: no cover
-    return ray.data.read_parquet(paths, columns=columns)
+    return ray.data.read_parquet(
+        paths, columns=columns, override_num_blocks=override_num_blocks
+    )
 
 
 def read_partition_table(part_dir: str, columns=None):

@@ -145,6 +145,7 @@ def dedup_survivors_join(sf_dir: str, num_partitions: int = 32):
     survivors = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(add_fp, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("fp_md5")
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .drop_columns(["fp_md5"])
@@ -675,7 +676,11 @@ def embedding_near_dup(
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
     )
-    return emb.groupby("label").map_groups(block_pairs, batch_format="pandas")
+    return (
+        emb.materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("label")
+        .map_groups(block_pairs, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -114,6 +114,8 @@ def top_revenue_orders(sf_dir: str, k: int = 10, num_buckets: int = 32):
         .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
+        .materialize()  # the sort also samples its lazy input: pin the
+        # per-bucket top-k so the bucket shuffle runs once (window.py NOTE)
         .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
         .limit(k)
     )

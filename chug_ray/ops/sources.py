@@ -394,6 +394,7 @@ def hfds_stream_source(
     epoch: int = 0,
     buffer_size: int = 2000,
     columns=None,
+    override_num_blocks=None,
 ):
     """Streaming-iterable read of an HF snapshot with the reference's
     ``streaming=True`` shuffle semantics re-expressed for Ray Data
@@ -422,7 +423,11 @@ def hfds_stream_source(
 
     files = hfds_snapshot_files(snapshot_dir, split)
     order = _stream_shard_order(len(files), seed, epoch)
-    ds = read_table_dataset([files[i] for i in order], columns=columns)
+    ds = read_table_dataset(
+        [files[i] for i in order],
+        columns=columns,
+        override_num_blocks=override_num_blocks,
+    )
 
     def buffer_shuffle(batch: pa.Table) -> pa.Table:
         return _buffer_shuffle_block(batch, seed, epoch, buffer_size)

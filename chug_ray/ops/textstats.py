@@ -161,6 +161,8 @@ def top_k_tokens(sf_dir: str, k: int = 20):
 
     return (
         agg.map_batches(finalize, batch_format="pandas")
+        .materialize()  # the sort also samples its lazy input: pin the
+        # aggregate output so the token shuffle runs once (window.py NOTE)
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
     )

@@ -134,3 +134,61 @@ def test_hfds_stream_buffer_block_permutation():
     assert displacement.max() < 32  # reservoir displacement bound
     assert (out != np.arange(len(out))).any()  # actually shuffled
     assert sorted(out.tolist()) == list(range(300))
+
+
+def test_hfds_stream_pipeline_wiring(ray_session, tmp_path):
+    """End-to-end wiring proof (the pure-function tests alone would stay
+    green if the pipeline stopped applying them): with preserve_order
+    and override_num_blocks pinning one block per shard (the docstring's
+    bit-reproducible mode), the streamed order must equal manually
+    composing shard permutation + per-block buffer shuffle with the
+    SAME (seed, epoch) — dropping the shuffle, hardcoding the epoch, or
+    mis-threading args breaks the equality."""
+    import pyarrow as pa
+    import ray
+
+    from chug_ray.ops.sources import (
+        _buffer_shuffle_block,
+        _stream_shard_order,
+        hfds_snapshot_files,
+        hfds_stream_source,
+        make_hfds_snapshot,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(64), pa.int64()),
+            "val": pa.array([f"v{i}" for i in range(64)]),
+        }
+    )
+    src = tmp_path / "docs.parquet"
+    pq.write_table(tbl, str(src))
+    snap = make_hfds_snapshot(str(src), str(tmp_path / "snap"), shards=4)
+    files = hfds_snapshot_files(snap)
+
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        for seed, epoch in ((7, 0), (7, 1), (3, 0)):
+            got = [
+                r["doc_id"]
+                for r in hfds_stream_source(
+                    snap,
+                    seed=seed,
+                    epoch=epoch,
+                    buffer_size=8,
+                    override_num_blocks=len(files),
+                ).take_all()
+            ]
+            want = []
+            for i in _stream_shard_order(len(files), seed, epoch):
+                shard = pq.read_table(files[i])
+                want.extend(
+                    _buffer_shuffle_block(shard, seed, epoch, 8)[
+                        "doc_id"
+                    ].to_pylist()
+                )
+            assert got == want, (seed, epoch)
+    finally:
+        ctx.execution_options.preserve_order = prev

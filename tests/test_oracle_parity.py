@@ -72,6 +72,7 @@ ROWS_ONLY = [
     "media_frame_stats",
     "sample_frames",
     "audio_window_features",
+    "span_kind_stats",
 ]
 
 
