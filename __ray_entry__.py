@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "fingerprint": textstats.fingerprint,
         "tokenize_ids": tokenize.tokenize_ids,
+        "chunk_documents": tokenize.chunk_documents,
+        "pack_sequences": window.pack_sequences,
         "text_targets": tokenize.text_targets,
         # --- dedup — SQL-oracled where expressible
         "exact_dedup": dedup.exact_dedup,
@@ -450,6 +452,37 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g
             LEFT JOIN tr ON g.doc_id = tr.doc_id AND g.pos = tr.pos
             LEFT JOIN pe ON g.doc_id = pe.doc_id
+        """,
+        "chunk_documents": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS toks FROM documents
+            ), c AS (
+                SELECT doc_id, toks,
+                       CAST(ceil(len(toks) / 32.0) AS BIGINT) AS nc
+                FROM t WHERE len(toks) > 0
+            )
+            SELECT c.doc_id, CAST(g.i AS BIGINT) AS chunk_idx,
+                   array_to_string(c.toks[g.i * 32 + 1 : (g.i + 1) * 32], ' ')
+                       AS chunk_text,
+                   CAST(least(len(c.toks) - g.i * 32, 32) AS BIGINT)
+                       AS n_tokens
+            FROM c, LATERAL (SELECT unnest(range(c.nc)) AS i) g(i)
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len({_TOK}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), r AS (
+                SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (
+                           ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                       ) AS running
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor((running - n_tokens) / 512.0) AS BIGINT) AS seq_id
+            FROM r
         """,
         "exact_dedup": """
             SELECT md5(text) AS fp_md5,

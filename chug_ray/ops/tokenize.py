@@ -278,3 +278,39 @@ def text_targets(sf_dir: str, max_len: int = 32, vocab_path: str | None = None):
     return _docs(sf_dir).map_batches(
         TextTargets(src, max_len), batch_format="pyarrow"
     )
+
+
+def chunk_documents(sf_dir: str, max_tokens: int = 32):
+    """Pretraining chunking: explode each document into consecutive
+    ``max_tokens``-token chunks (normalized space-joined text + exact
+    token counts) — the map-only 1→N expansion that precedes sequence
+    packing. Pure ``map_batches``; no shuffle, no state."""
+    import ray.data
+
+    token_re = re.compile(TOKEN_RE)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, idxs, texts, counts = [], [], [], []
+        for d, text in zip(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["text"].to_pylist(),
+        ):
+            toks = token_re.findall(text.lower())
+            for i in range(0, len(toks), max_tokens):
+                piece = toks[i : i + max_tokens]
+                doc_ids.append(int(d))
+                idxs.append(i // max_tokens)
+                texts.append(" ".join(piece))
+                counts.append(len(piece))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "chunk_text": pa.array(texts, pa.string()),
+                "n_tokens": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(explode, batch_format="pyarrow")

@@ -933,3 +933,194 @@ def event_transitions(sf_dir: str, chunk_hours: int = 24, num_buckets: int = 64)
         .aggregate(Sum("n", alias_name="n"))
         .map_batches(finalize, batch_format="pandas")
     )
+
+
+def pack_sequences(
+    sf_dir: str, cap: int = 512, chunk_docs: int = 4096, num_buckets: int = 64
+):
+    """GPT-style sequence packing index: concatenate every document's
+    tokens in doc_id order and cut the stream into ``cap``-token
+    training sequences; each doc is assigned the sequence its first
+    token lands in (``seq_id = floor(exclusive_running / cap)``) — the
+    packed-dataset index map every pretraining pipeline materializes.
+
+    This is a **global** distributed prefix sum (contrast
+    :func:`running_user_totals`, which is per-key): three bounded
+    levels, never a global sort —
+
+    1. per-batch combiner: token-count partial sums per doc-id chunk
+       (``doc_id // chunk_docs``);
+    2. range-partitioned buckets (each owns a contiguous chunk range)
+       finish their chunks' sums and in-bucket exclusive offsets; the
+       driver scans only the ``num_buckets`` bucket totals into bucket
+       offsets (the one driver-side step, 64 ints);
+    3. docs co-shuffle with their chunk offsets; the in-group cumsum +
+       chunk offset + bucket offset is the exact global running total.
+
+    Partitioning assumption: doc_ids are dense-ish so ``chunk_docs``
+    bounds per-chunk rows; skew only widens a chunk's group, never a
+    whole-corpus one."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from chug_ray.ops.tokenize import TOKEN_RE as _TRE
+    import re as _re
+
+    token_re = _re.compile(_TRE)
+    path = f"{sf_dir}/documents.parquet"
+    max_doc = ray.data.read_parquet(path, columns=["doc_id"]).aggregate(
+        Max("doc_id")
+    )["max(doc_id)"]
+    n_chunks = int(max_doc) // chunk_docs + 1
+
+    def rbucket(chunk: np.ndarray) -> np.ndarray:
+        # contiguous chunk ranges per bucket (ordered, for the scan)
+        return np.minimum(
+            chunk * num_buckets // n_chunks, num_buckets - 1
+        ).astype(np.int64)
+
+    def counted(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.array(
+            [len(token_re.findall(t.lower())) for t in batch["text"].to_pylist()],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(n),
+                "chunk": pa.array(ids // chunk_docs),
+            }
+        )
+
+    docs = (
+        ray.data.read_parquet(path, columns=["doc_id", "text"])
+        .map_batches(counted, batch_format="pyarrow")
+        .materialize()  # consumed by the offsets pass AND the apply pass
+    )
+
+    def chunk_partial(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby("chunk", as_index=False)["n_tokens"].sum()
+        chunk = g["chunk"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "chunk": pa.array(chunk),
+                "sum_tokens": pa.array(g["n_tokens"].to_numpy(np.int64)),
+                "rbkt": pa.array(rbucket(chunk)),
+            }
+        )
+
+    def to_offsets(group: pd.DataFrame) -> pa.Table:
+        g = group.groupby("chunk", as_index=False)["sum_tokens"].sum()
+        g = g.sort_values("chunk")
+        csum = g["sum_tokens"].cumsum()
+        return pa.table(
+            {
+                "chunk": pa.array(g["chunk"].to_numpy(np.int64)),
+                # in-bucket EXCLUSIVE offset per chunk
+                "offset": pa.array(
+                    (csum - g["sum_tokens"]).to_numpy().astype(np.int64)
+                ),
+                "rbkt": pa.array(
+                    rbucket(g["chunk"].to_numpy(np.int64))
+                ),
+                "bucket_total": pa.array(
+                    np.full(len(g), int(csum.iloc[-1]) if len(g) else 0,
+                            np.int64)
+                ),
+            }
+        )
+
+    offsets = (
+        docs.map_batches(chunk_partial, batch_format="pandas")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see NOTE)
+        .groupby("rbkt")
+        .map_groups(to_offsets, batch_format="pandas")
+        .materialize()  # consumed twice: bucket totals + the apply union
+    )
+    # the one driver-side step: exclusive scan over num_buckets totals
+    # (per-batch distinct — a block may hold several bucket groups)
+    def bucket_totals(batch: pd.DataFrame) -> pa.Table:
+        g = batch.drop_duplicates("rbkt")[["rbkt", "bucket_total"]]
+        return pa.table(
+            {
+                "rbkt": pa.array(g["rbkt"].to_numpy(np.int64)),
+                "bucket_total": pa.array(
+                    g["bucket_total"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    totals_rows = offsets.map_batches(
+        bucket_totals, batch_format="pandas"
+    ).take_all()
+    btot = {}
+    for r in totals_rows:
+        btot[int(r["rbkt"])] = int(r["bucket_total"])
+    bucket_offsets = np.zeros(num_buckets, np.int64)
+    acc = 0
+    for b in range(num_buckets):
+        bucket_offsets[b] = acc
+        acc += btot.get(b, 0)
+    boff_ref = ray.put(bucket_offsets)
+
+    def project_offsets(batch: pa.Table) -> pa.Table:
+        from chug_ray.ops.relational import _bcast
+
+        boff = _bcast(boff_ref)
+        rb = batch["rbkt"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "chunk": batch["chunk"],
+                "doc_id": pa.array(np.full(batch.num_rows, -1, np.int64)),
+                "n_tokens": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "offset": pa.array(
+                    batch["offset"].to_numpy(zero_copy_only=False) + boff[rb]
+                ),
+                "is_off": pa.array(np.ones(batch.num_rows, np.int8)),
+            }
+        )
+
+    def project_docs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "chunk": batch["chunk"],
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["n_tokens"],
+                "offset": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "is_off": pa.array(np.zeros(batch.num_rows, np.int8)),
+            }
+        )
+
+    def apply(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
+        record_group("pack_sequences(chunk)", None, len(group))
+        off = group[group["is_off"] == 1].set_index("chunk")["offset"]
+        ev = group[group["is_off"] == 0].sort_values(["chunk", "doc_id"])
+        if not len(ev):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "n_tokens": pd.Series([], dtype=np.int64),
+                    "seq_id": pd.Series([], dtype=np.int64),
+                }
+            )
+        run = ev.groupby("chunk")["n_tokens"].cumsum()
+        excl = run - ev["n_tokens"] + ev["chunk"].map(off).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ev["doc_id"].to_numpy(np.int64),
+                "n_tokens": ev["n_tokens"].to_numpy(np.int64),
+                "seq_id": (excl.to_numpy(np.int64) // cap).astype(np.int64),
+            }
+        )
+
+    both = docs.map_batches(project_docs, batch_format="pyarrow").union(
+        offsets.map_batches(project_offsets, batch_format="pyarrow")
+    )
+    return both.materialize().groupby("chunk").map_groups(
+        apply, batch_format="pandas"
+    )
