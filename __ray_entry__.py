@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "dedup_survivors": dedup.dedup_survivors,
         "top_k_tokens": textstats.top_k_tokens,
+        "distinctive_terms": textstats.distinctive_terms,
         "chars_quantiles": textstats.chars_quantiles,
         "repetition_stats": textstats.repetition_stats,
         "clean_text": textstats.clean_text,
@@ -497,6 +498,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
             FROM documents d JOIN s USING (doc_id)
+        """,
+        "distinctive_terms": f"""
+            WITH e AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM e GROUP BY doc_id, token),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            r AS (SELECT t.doc_id, t.token, t.tf, d.df,
+                         row_number() OVER (
+                             PARTITION BY t.doc_id
+                             ORDER BY t.tf DESC, d.df ASC, t.token ASC
+                         ) AS rnk
+                  FROM tf t JOIN df d USING (token))
+            SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 3
         """,
         "top_k_tokens": f"""
             WITH t AS (SELECT unnest({_TOK}) AS token FROM documents),

@@ -687,3 +687,100 @@ def percent_rank_in_lang(sf_dir: str):
     return _docs(sf_dir, ("doc_id", "lang", "n_chars")).map_batches(
         assign, batch_format="pyarrow"
     )
+
+
+def distinctive_terms(sf_dir: str, k: int = 3, num_buckets: int = 64):
+    """TF-IDF-style distinctive terms: per document, the top-``k``
+    tokens ranked by (term frequency DESC, corpus document-frequency
+    ASC, token ASC) — "frequent here, rare everywhere". The classic
+    ``tf * log(N/df)`` score ranks identically at fixed tf as df moves,
+    but its float ties differ in the last ulp between engines; the
+    lexicographic form keeps the semantics and drops the float, so the
+    result is hash-exact vs the SQL oracle.
+
+    Two bucket shuffles, both vectorized in-group:
+      1. the batch combiner explodes docs to distinct
+         ``(doc_id, token, tf)`` rows; shuffle on
+         ``blake2b(token) % B`` and annotate ``df`` = rows-per-token in
+         the group (rows are distinct per (doc, token), and every row
+         of one token lands in ONE bucket, so the in-group count IS the
+         global df). The skew unit is the token — a stopword's df rows
+         fill one bucket; at web scale the relief valve is a broadcast
+         df table for the top vocabulary (cf. :func:`oov_rate`) with the
+         shuffle only for the long tail.
+      2. shuffle on ``doc_id % B``; per-doc top-k via one vectorized
+         sort + ``groupby().head(k)`` inside each bucket.
+    No driver materialization; the df side never leaves the cluster.
+    """
+    import hashlib
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    token_re = re.compile(TOKEN_RE)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        toks: list[str] = []
+        tfs: list[int] = []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            c = Counter(token_re.findall(text.lower()))
+            doc_ids.extend([did] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        buckets = [
+            int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+            )
+            % num_buckets
+            for t in toks
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "tbucket": pa.array(buckets, pa.int64()),
+            }
+        )
+
+    def annotate_df(group: pd.DataFrame) -> pd.DataFrame:
+        df_col = (
+            group.groupby("token")["doc_id"].transform("size").to_numpy()
+        )
+        out = group.assign(
+            df=df_col.astype(np.int64),
+            dbucket=(group["doc_id"].to_numpy() % num_buckets).astype(
+                np.int64
+            ),
+        )
+        return out[["doc_id", "token", "tf", "df", "dbucket"]]
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["doc_id", "tf", "df", "token"],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+            ignore_index=True,
+        )
+        head = g.groupby("doc_id", sort=False).head(k).reset_index(drop=True)
+        head["rnk"] = (
+            head.groupby("doc_id", sort=False).cumcount().to_numpy() + 1
+        ).astype(np.int64)
+        return head[["doc_id", "token", "tf", "df", "rnk"]]
+
+    exploded = (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(explode, batch_format="pyarrow")
+        .materialize()  # partials: the sort shuffle re-executes lazy inputs
+    )
+    with_df = (
+        exploded.groupby("tbucket")
+        .map_groups(annotate_df, batch_format="pandas")
+        .materialize()  # pin phase-1 output before the second shuffle
+    )
+    return with_df.groupby("dbucket").map_groups(topk, batch_format="pandas")
