@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_tile_stats": selection.export_tile_stats,
         "orders_by_segment": relational.orders_by_segment,
         "order_priority_revenue": relational.order_priority_revenue,
+        "regional_supplier_revenue": relational.regional_supplier_revenue,
         "shipping_priority": relational.shipping_priority,
         "region_customer_stats": relational.region_customer_stats,
         "customers_without_events": relational.customers_without_events,
@@ -854,6 +855,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o_orderkey AS BIGINT) AS last_orderkey,
                    o_orderdate AS last_orderdate
             FROM cand WHERE rn = 1
+        """,
+        "regional_supplier_revenue": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
         """,
         "order_priority_revenue": """
             SELECT o.o_orderpriority, l.l_returnflag,

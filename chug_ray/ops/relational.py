@@ -981,3 +981,172 @@ def shipping_priority(
         .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
         .limit(k)
     )
+
+
+def regional_supplier_revenue(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    num_buckets: int = 64,
+):
+    """TPC-H Q5-shaped composite: revenue per supplier nation for one
+    region and order-date year, counting only lineitems whose supplier
+    sits in the *customer's* nation — the join whose filter compares
+    dimension attributes of BOTH fact sides, so neither side can be
+    resolved alone.
+
+    Shape: region→nation is driver-side tiny; supplier→nationkey and
+    customer→nationkey are one ``ray.put`` each (sorted key arrays +
+    aligned values, the :func:`orders_by_segment` bound — at true web
+    scale the customer map graduates to the co-partitioned join,
+    documented there). Both fact sides resolve their own nation inside
+    ``map_batches`` and PRUNE to the region's nations before the
+    shuffle; lineitem pre-aggregates per (orderkey, supp_nation)
+    combiner partials. One hash shuffle on ``orderkey % num_buckets``
+    co-locates each order's partials with its single order row; the
+    in-group probe is a vectorized merge + nation-equality mask. The
+    final groupby is ≤25 nation rows."""
+    import pyarrow.parquet as pq
+    import ray
+
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rkeys = np.asarray(reg["r_regionkey"])[np.asarray(reg["r_name"]) == region]
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    in_region = np.isin(np.asarray(nat["n_regionkey"]), rkeys)
+    region_nations = np.sort(
+        np.asarray(nat["n_nationkey"])[in_region].astype(np.int64)
+    )
+    nation_names = dict(
+        zip(
+            np.asarray(nat["n_nationkey"])[in_region].tolist(),
+            np.asarray(nat["n_name"])[in_region].tolist(),
+        )
+    )
+
+    def _sorted_map(table: str, key: str, val: str):
+        t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=[key, val])
+        k = np.asarray(t[key]).astype(np.int64)
+        v = np.asarray(t[val]).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        return ray.put((k[order], v[order]))
+
+    supp_ref = _sorted_map("supplier", "s_suppkey", "s_nationkey")
+    cust_ref = _sorted_map("customer", "c_custkey", "c_nationkey")
+
+    def _lookup(ref, keys: np.ndarray) -> np.ndarray:
+        ks, vs = _bcast(ref)
+        if len(ks) == 0:
+            return np.full(len(keys), -1, np.int64)
+        pos = np.clip(np.searchsorted(ks, keys), 0, len(ks) - 1)
+        out = vs[pos].copy()
+        out[ks[pos] != keys] = -1
+        return out
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["o_orderdate"], lo),
+                pc.less(batch["o_orderdate"], hi),
+            )
+        )
+        cnat = _lookup(cust_ref, batch["o_custkey"].to_numpy(zero_copy_only=False))
+        keep = np.isin(cnat, region_nations)
+        batch = batch.filter(pa.array(keep))
+        cnat = cnat[keep]
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((key % num_buckets).astype(np.int32)),
+                "key": pa.array(key.astype(np.int64)),
+                "side": pa.array(["o"] * len(batch)),
+                "nationkey": pa.array(cnat),
+                "revenue_cents": pa.array(np.zeros(len(batch), np.int64)),
+            }
+        )
+
+    def prep_lineitem(batch: pa.Table) -> pa.Table:
+        snat = _lookup(supp_ref, batch["l_suppkey"].to_numpy(zero_copy_only=False))
+        keep = np.isin(snat, region_nations)  # prune before the shuffle
+        batch = batch.filter(pa.array(keep))
+        snat = snat[keep]
+        rev = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        rev_cents = pc.cast(
+            pc.round(
+                pc.multiply(rev, pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        df = pd.DataFrame(
+            {
+                "key": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "nationkey": snat,
+                "revenue_cents": rev_cents.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["key", "nationkey"], as_index=False)[
+            "revenue_cents"
+        ].sum()  # combiner: per-(order, supp-nation) partials
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (g["key"].to_numpy() % num_buckets).astype(np.int32)
+                ),
+                "key": pa.array(g["key"].to_numpy(np.int64)),
+                "side": pa.array(["l"] * len(g)),
+                "nationkey": pa.array(g["nationkey"].to_numpy(np.int64)),
+                "revenue_cents": pa.array(
+                    g["revenue_cents"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    def probe(group: pd.DataFrame) -> pd.DataFrame:
+        li = group[group["side"] == "l"]
+        od = group[group["side"] == "o"]
+        m = li[["key", "nationkey", "revenue_cents"]].merge(
+            od[["key", "nationkey"]], on="key", suffixes=("", "_cust")
+        )
+        m = m[m["nationkey"] == m["nationkey_cust"]]
+        return m.groupby("nationkey", as_index=False)["revenue_cents"].sum()
+
+    from ray.data.aggregate import Sum
+
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        prep_orders, batch_format="pyarrow"
+    )
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(prep_lineitem, batch_format="pyarrow", batch_size=65536)
+    agg = (
+        li.union(od)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bucket")
+        .map_groups(probe, batch_format="pandas")
+        .materialize()  # pin the probe output before the final shuffle
+        .groupby("nationkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": [
+                    nation_names[int(k)] for k in batch["nationkey"]
+                ],
+                "revenue_cents": batch["revenue_cents"].to_numpy(np.int64),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")

@@ -437,11 +437,17 @@ def test_bucket_count_invariance_new_ops(ray_session):
     import pandas as pd
 
     from chug_ray.ops.dedup import paragraph_dedup
+    from chug_ray.ops.relational import regional_supplier_revenue
     from chug_ray.ops.textstats import distinctive_terms
     from chug_ray.ops.window import hourly_active_users
 
     sf = "/root/testdata/sf0.001"
-    for fn in (paragraph_dedup, hourly_active_users, distinctive_terms):
+    for fn in (
+        paragraph_dedup,
+        hourly_active_users,
+        distinctive_terms,
+        regional_supplier_revenue,
+    ):
         a = fn(sf, num_buckets=3).to_pandas()
         b = fn(sf, num_buckets=64).to_pandas()
         cols = sorted(a.columns)
