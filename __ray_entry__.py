@@ -282,33 +282,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, media_path, _ = corpus_for_sf_dir(sf_dir)
         return media_ops.audio_window_features(media_path, window=4096)
 
+    # NOTE on ordering: the driver's correctness harness records only the
+    # FIRST 50 dict entries. Entries that have never had a driver row (or
+    # were last checked in r02) lead; long-green entries rotate to the back.
     return {
-        # --- text analysis (documents) — SQL-oracled
-        "token_count": textstats.token_count,
-        "quality_score": textstats.quality_score,
-        "lang_id": textstats.lang_id,
-        "fingerprint": textstats.fingerprint,
+        # --- extraction parity: pipeline vs sequential per-doc oracle,
+        # compared distributed; SQL oracle asserts matched=TRUE per doc
+        "extract_parity_all_valid": lambda sf: _extract_parity(
+            sf, "all_valid"
+        ),
+        "extract_parity_random": lambda sf: _extract_parity(sf, "random"),
+        # --- TPC-H composites + sinks never in a driver window
+        "regional_supplier_revenue": relational.regional_supplier_revenue,
+        "shipping_priority": relational.shipping_priority,
+        "order_priority_revenue": relational.order_priority_revenue,
+        "customers_with_events": relational.customers_with_events,
+        "export_tile_stats": selection.export_tile_stats,
+        "decile_bucket": selection.decile_bucket,
+        "top_docs_per_group": relational.top_docs_per_group,
+        "uniform_sample_k": sources.uniform_sample_k,
+        "hfds_stream_docs": sources.hfds_stream_docs,
+        # --- r02-green, outside r03's window
+        "weighted_union": sources.weighted_union,
+        "flatten_props": sources.flatten_props,
+        "vqa_prompt": sources.vqa_prompt,
+        "hfds_docs": sources.hfds_docs,
+        "stratified_sample": sources.stratified_sample,
+        "orders_by_segment": relational.orders_by_segment,
+        "region_customer_stats": relational.region_customer_stats,
+        "customers_without_events": relational.customers_without_events,
+        # --- extraction pipeline (rows-only; oracle = pytest goldens)
+        "extract_all_valid": lambda sf: _extract_summary(sf, "all_valid"),
+        "extract_first": lambda sf: _extract_summary(sf, "first"),
+        "extract_random": lambda sf: _extract_summary(sf, "random"),
+        "span_kind_stats": _span_kind_stats,  # rows-only (extraction)
+        # --- multimodal plumbing (rows-only)
+        "media_frame_stats": _media_stats,
+        "sample_frames": _sample_frames,
+        "imagespec_decode": _imagespec_decode,
+        "audio_window_features": _audio_windows,  # rows-only (PCM stand-in)
+        # --- new in round 4
+        "substring_dedup": dedup.substring_dedup,
+        "ngram_perplexity": textstats.ngram_perplexity,
+        # --- dedup — SQL-oracled where expressible (r03-green)
+        "exact_dedup": dedup.exact_dedup,
+        "dedup_survivors": dedup.dedup_survivors,
+        "paragraph_dedup": dedup.paragraph_dedup,
+        "dedup_clusters": dedup.dedup_clusters,
+        "novel_docs": dedup.novel_docs,
+        "train_test_containment": dedup.train_test_containment,
+        "embedding_near_dup": dedup.embedding_near_dup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # --- joins / relational (r03-green)
+        "asof_last_order": relational.asof_last_order,
+        "events_after_order": relational.events_after_order,
+        "pricing_summary": relational.pricing_summary,
+        "top_revenue_orders": relational.top_revenue_orders,
+        # --- tokenize / packing (r03-green)
         "tokenize_ids": tokenize.tokenize_ids,
         "chunk_documents": tokenize.chunk_documents,
         "pack_sequences": window.pack_sequences,
         "text_targets": tokenize.text_targets,
-        # --- dedup — SQL-oracled where expressible
-        "exact_dedup": dedup.exact_dedup,
-        "dedup_survivors": dedup.dedup_survivors,
-        "top_k_tokens": textstats.top_k_tokens,
         "distinctive_terms": textstats.distinctive_terms,
+        # --- stream-shaped (events; r03-green)
+        "sessionize": window.sessionize,
+        "event_transitions": window.event_transitions,
+        "user_event_pivot": window.user_event_pivot,
+        "signup_conversion": window.signup_conversion,
+        # ------- entries below are outside the driver's 50-entry window;
+        # ------- all r03-green (or rows-only sketches pinned by pytest)
+        "token_count": textstats.token_count,
+        "quality_score": textstats.quality_score,
+        "lang_id": textstats.lang_id,
+        "fingerprint": textstats.fingerprint,
+        "top_k_tokens": textstats.top_k_tokens,
         "chars_quantiles": textstats.chars_quantiles,
         "repetition_stats": textstats.repetition_stats,
         "clean_text": textstats.clean_text,
         "approx_distinct_tokens": textstats.approx_distinct_tokens,  # rows-only (sketch)
         "oov_rate": textstats.oov_rate,
         "cms_heavy_hitters": textstats.cms_heavy_hitters,  # rows-only (sketch)
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "paragraph_dedup": dedup.paragraph_dedup,
-        "dedup_clusters": dedup.dedup_clusters,
-        "novel_docs": dedup.novel_docs,
-        "train_test_containment": dedup.train_test_containment,
-        "embedding_near_dup": dedup.embedding_near_dup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only
         "minhash_clusters": dedup.minhash_clusters,  # rows-only (approx pairs)
         "simhash": textstats.simhash,  # rows-only
@@ -322,55 +375,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": window.tumbling_window,
         "hopping_window": window.hopping_window,
         "event_type_stats": window.event_type_stats,
-        "sessionize": window.sessionize,
         "running_user_totals": window.running_user_totals,
         "rolling_user_sum": window.rolling_user_sum,
         "hourly_active_users": window.hourly_active_users,
-        "user_event_pivot": window.user_event_pivot,
-        "signup_conversion": window.signup_conversion,
-        "event_transitions": window.event_transitions,
         "percent_rank_in_lang": textstats.percent_rank_in_lang,
-        "asof_last_order": relational.asof_last_order,
-        "events_after_order": relational.events_after_order,
         # --- relational / operator inventory demos
         "filter_project": relational.filter_project,
         "explode_tokens": relational.explode_tokens,
         "docs_by_lang_source": relational.docs_by_lang_source,
-        "pricing_summary": relational.pricing_summary,
-        "top_revenue_orders": relational.top_revenue_orders,
-        "top_docs_per_group": relational.top_docs_per_group,
-        "decile_bucket": selection.decile_bucket,
-        "export_tile_stats": selection.export_tile_stats,
-        "orders_by_segment": relational.orders_by_segment,
-        "order_priority_revenue": relational.order_priority_revenue,
-        "regional_supplier_revenue": relational.regional_supplier_revenue,
-        "shipping_priority": relational.shipping_priority,
-        "region_customer_stats": relational.region_customer_stats,
-        "customers_without_events": relational.customers_without_events,
-        "customers_with_events": relational.customers_with_events,
-        "weighted_union": sources.weighted_union,
-        "flatten_props": sources.flatten_props,
-        "vqa_prompt": sources.vqa_prompt,
-        "hfds_docs": sources.hfds_docs,
-        "hfds_stream_docs": sources.hfds_stream_docs,
-        "stratified_sample": sources.stratified_sample,
-        "uniform_sample_k": sources.uniform_sample_k,
-        # --- extraction pipeline (rows-only; oracle = pytest goldens)
-        "extract_all_valid": lambda sf: _extract_summary(sf, "all_valid"),
-        "extract_first": lambda sf: _extract_summary(sf, "first"),
-        "extract_random": lambda sf: _extract_summary(sf, "random"),
-        # --- extraction parity: pipeline vs sequential per-doc oracle,
-        # compared distributed; SQL oracle asserts matched=TRUE per doc
-        "extract_parity_random": lambda sf: _extract_parity(sf, "random"),
-        "span_kind_stats": _span_kind_stats,  # rows-only (extraction)
-        "extract_parity_all_valid": lambda sf: _extract_parity(
-            sf, "all_valid"
-        ),
-        # --- multimodal plumbing (rows-only)
-        "media_frame_stats": _media_stats,
-        "sample_frames": _sample_frames,
-        "imagespec_decode": _imagespec_decode,
-        "audio_window_features": _audio_windows,  # rows-only (PCM stand-in)
     }
 
 
@@ -666,6 +678,80 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS txt
                        FROM k GROUP BY doc_id) agg
                    USING (doc_id)
+        """,
+        "substring_dedup": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS toks FROM documents
+            ), w AS (
+                SELECT doc_id,
+                       CAST(unnest(range(len(toks) - 5 + 1)) AS BIGINT) AS pos,
+                       toks
+                FROM t WHERE len(toks) >= 5
+            ), wg AS (
+                -- md5 of the space-joined 5-gram: matches the engine's key
+                SELECT doc_id, pos,
+                       md5(array_to_string(toks[pos + 1 : pos + 5], ' ')) AS g
+                FROM w
+            ), m AS (
+                SELECT g, min(doc_id * 1048576 + pos) AS mn FROM wg GROUP BY g
+            ), dup AS (
+                SELECT wg.doc_id, wg.pos
+                FROM wg JOIN m ON wg.g = m.g
+                WHERE wg.doc_id * 1048576 + wg.pos > m.mn
+            ), cov AS (
+                SELECT DISTINCT dup.doc_id, dup.pos + o.off AS tpos
+                FROM dup CROSS JOIN (SELECT unnest(range(5)) AS off) o
+            ), e AS (
+                SELECT doc_id, unnest(toks) AS tok,
+                       CAST(unnest(range(len(toks))) AS BIGINT) AS tpos
+                FROM t
+            ), kept AS (
+                SELECT e.doc_id, e.tok, e.tpos
+                FROM e LEFT JOIN cov
+                  ON e.doc_id = cov.doc_id AND e.tpos = cov.tpos
+                WHERE cov.doc_id IS NULL
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST(greatest(len(t.toks) - 5 + 1, 0) AS BIGINT) AS n_windows,
+                   CAST(COALESCE(dc.n, 0) AS BIGINT) AS n_dup_windows,
+                   CAST(COALESCE(kc.n, 0) AS BIGINT) AS n_kept,
+                   COALESCE(kc.txt, '') AS text_kept
+            FROM t
+            LEFT JOIN (SELECT doc_id, count(*) AS n FROM dup GROUP BY doc_id) dc
+                   USING (doc_id)
+            LEFT JOIN (SELECT doc_id, count(*) AS n,
+                              string_agg(tok, ' ' ORDER BY tpos) AS txt
+                       FROM kept GROUP BY doc_id) kc
+                   USING (doc_id)
+        """,
+        "ngram_perplexity": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS toks FROM documents
+            ), b0 AS (
+                SELECT doc_id,
+                       unnest(toks[1 : len(toks) - 1]) AS w1,
+                       unnest(toks[2 : len(toks)]) AS w2
+                FROM t WHERE len(toks) >= 2
+            ), b AS (
+                SELECT doc_id, w1 || ' ' || w2 AS bg FROM b0
+            ), c AS (
+                SELECT bg, count(*) AS cnt FROM b GROUP BY bg
+            ), topm AS (
+                SELECT bg, cnt FROM c ORDER BY cnt DESC, bg LIMIT 5000
+            ), sc AS (
+                SELECT b.doc_id,
+                       count(*) AS n_bigrams,
+                       count(topm.bg) AS n_hits,
+                       COALESCE(sum(CAST(floor(log2(topm.cnt)) AS BIGINT)), 0)
+                         AS log2_score
+                FROM b LEFT JOIN topm USING (bg) GROUP BY b.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(sc.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(COALESCE(sc.log2_score, 0) AS BIGINT) AS log2_score
+            FROM documents d LEFT JOIN sc USING (doc_id)
         """,
         "ngram_jaccard_pairs": f"""
             WITH t AS (

@@ -89,9 +89,14 @@ def _status_dataset(new_docs, prev_docs, num_buckets: int):
             index="doc_id", columns="side", values="fp", aggfunc="first"
         )
         n = piv.get("n")
-        if n is None:  # bucket holds only removed docs
-            return pd.DataFrame({"doc_id": [], "unchanged": []}).astype(
-                {"doc_id": object, "unchanged": np.int8}
+        if n is None:  # bucket holds only removed docs — typed empty
+            # (an empty object-dtype frame infers a null Arrow column
+            # that fails schema unification against string doc_id blocks)
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "unchanged": pa.array([], pa.int8()),
+                }
             )
         o = piv.get("o")
         unchanged = (
@@ -192,6 +197,12 @@ def run_incremental(
     media_fp = media_store_fp(cfg.media_store_path)
     prev_manifest_dir = os.path.join(prev_out_root, "_manifests")
     for name in os.listdir(prev_manifest_dir):
+        # only partition manifests carry config_hash/media_fp; summary
+        # files (incremental.json) must not fail validation, or chaining
+        # a second incremental run off an incremental output always
+        # raises even when nothing changed
+        if not (name.startswith("part-") and name.endswith(".json")):
+            continue
         with open(os.path.join(prev_manifest_dir, name)) as f:
             prev = json.load(f)
         if prev.get("config_hash") != cfg_hash:
@@ -225,7 +236,15 @@ def run_incremental(
         for d in os.listdir(prev_out_root)
         if d.startswith("part-") and not d.endswith(".tmp")
     )
-    prev_out = ray.data.read_parquet(prev_parts)
+    # expand to files: read_parquet treats a multi-element path list as
+    # file paths (a dir list only happens to work when it has one entry)
+    prev_files = [
+        os.path.join(p, f)
+        for p in prev_parts
+        for f in sorted(os.listdir(p))
+        if f.endswith(".parquet")
+    ]
+    prev_out = ray.data.read_parquet(prev_files)
     copied = _route(prev_out, status, keep_unchanged=True,
                     num_buckets=num_buckets)
 

@@ -1325,3 +1325,213 @@ def train_test_containment(
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def substring_dedup(sf_dir: str, k: int = 5, num_buckets: int = 64):
+    """Exact substring-level dedup at k-token-window granularity — the
+    ExactSubstr family (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better") re-expressed shuffle-native: instead of a
+    monolithic suffix array, every k-token window hashes to a 128-bit
+    key and the *globally first* occurrence of each window wins; every
+    other occurrence marks its k token positions for removal, and each
+    document is reassembled from its surviving tokens.
+
+    Reference anchor: the reference engine has no substring dedup; the
+    packed-Min election machinery mirrors :func:`paragraph_dedup`
+    (chug_ray/ops/dedup.py) one level finer.
+
+    Scale shape (two bounded shuffles, loser-split combiner):
+
+    1. window election — each batch tokenizes its docs, hashes every
+       k-gram (md5, so the SQL oracle can reproduce the key exactly;
+       at 100 TB the 128-bit space keeps collisions ≈ (n²/2)·2⁻¹²⁸ ≈ 0),
+       and *locally resolves intra-batch duplicates*: for a gram seen
+       twice in one batch, only the min-packed occurrence enters the
+       gram shuffle (side 's'); the rest are already-proven duplicates
+       and short-circuit to the doc shuffle as (doc_id, pos) loser rows
+       (side 'd'). The hottest possible gram therefore costs one
+       shuffle row per batch, not per occurrence — same skew bound as
+       paragraph_dedup's combiner.
+    2. global election — ``groupby(hash(gkey) % num_buckets)`` groups
+       the batch-minima; within a gram, every row except the global min
+       decodes its packed (doc_id, pos) and joins the loser stream.
+    3. reassembly — losers ∪ (doc_id, text) rows, bucketed by
+       ``doc_id % num_buckets``; each doc re-tokenizes once, masks the
+       union of [pos, pos+k) over its loser windows, and emits the
+       surviving tokens. Group size is bounded by docs-per-bucket ×
+       (text + its own loser rows) — no corpus-sized group.
+
+    Output: (doc_id, n_tokens, n_windows, n_dup_windows, n_kept,
+    text_kept) — integer-exact, hash-comparable against the DuckDB
+    window/LATERAL oracle at the same fixed k."""
+    import ray.data
+
+    _POS_BITS = 20  # pos < 1M windows per doc; doc_id < 2^43
+
+    def _win_partial(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # side 's': one row per distinct gram in this batch (min packed)
+        best: dict[bytes, int] = {}
+        # side 'd': intra-batch losers, resolved without shuffling
+        l_doc, l_pos = [], []
+        for d, text in zip(doc_ids, batch["text"].to_pylist()):
+            assert 0 <= d < (1 << 43), "doc_id overflows the packed key"
+            toks = _TOKEN_RE.findall(text.lower())
+            n = len(toks)
+            if n - k + 1 >= (1 << _POS_BITS):
+                raise ValueError(
+                    f"doc {d} has {n} tokens — window pos overflows the "
+                    f"packed (doc_id, pos) key ({_POS_BITS} bits)"
+                )
+            base = int(d) << _POS_BITS
+            for pos in range(n - k + 1):
+                g = hashlib.md5(" ".join(toks[pos : pos + k]).encode()).digest()
+                packed = base | pos
+                prev = best.get(g)
+                if prev is None:
+                    best[g] = packed
+                elif packed < prev:  # displaced batch-min is a loser
+                    best[g] = packed
+                    l_doc.append(prev >> _POS_BITS)
+                    l_pos.append(prev & ((1 << _POS_BITS) - 1))
+                else:
+                    l_doc.append(int(d))
+                    l_pos.append(pos)
+        gkeys = [g.hex() for g in best]  # hex: matches DuckDB md5()
+        bkt = [
+            int.from_bytes(g[:4], "big") % num_buckets for g in best
+        ]
+        side = ["s"] * len(best) + ["d"] * len(l_doc)
+        return pa.table(
+            {
+                "side": pa.array(side, pa.string()),
+                "gkey": pa.array(gkeys + [""] * len(l_doc), pa.string()),
+                "packed": pa.array(
+                    list(best.values()) + [0] * len(l_doc), pa.int64()
+                ),
+                "bkt": pa.array(bkt + [-1] * len(l_doc), pa.int64()),
+                "doc_id": pa.array([0] * len(best) + l_doc, pa.int64()),
+                "pos": pa.array([0] * len(best) + l_pos, pa.int64()),
+            }
+        )
+
+    def _take_side(want: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.equal(batch["side"], pa.scalar(want)))
+
+        return fn
+
+    def _elect(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group("substring_dedup(bucket)", None, len(group))
+        mins = group.groupby("gkey")["packed"].transform("min")
+        losers = group.loc[group["packed"] > mins, "packed"].to_numpy(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    (losers >> _POS_BITS).astype(np.int64)
+                ),
+                "pos": pa.array(
+                    (losers & ((1 << _POS_BITS) - 1)).astype(np.int64)
+                ),
+            }
+        )
+
+    def _doc_rows(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "pos": pa.array(np.full(len(d), -1, np.int64)),
+                "text": batch["text"],
+                "side": pa.array(["t"] * len(d), pa.string()),
+            }
+        )
+
+    def _tag_loser(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pos": batch["pos"],
+                "text": pa.array([""] * len(batch), pa.string()),
+                "side": pa.array(["d"] * len(batch), pa.string()),
+            }
+        )
+
+    def _add_doc_bucket(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "dbkt", pa.array((d % num_buckets).astype(np.int64))
+        )
+
+    def _reassemble(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group("substring_dedup(doc)", None, len(group))
+        texts = group[group["side"] == "t"]
+        dup_pos = group[group["side"] == "d"].groupby("doc_id")["pos"]
+        dups = {d: p.to_numpy(np.int64) for d, p in dup_pos}
+        out_id, out_nt, out_nw, out_nd, out_nk, out_txt = (
+            [], [], [], [], [], []
+        )
+        for d, text in zip(
+            texts["doc_id"].to_numpy(np.int64), texts["text"]
+        ):
+            toks = _TOKEN_RE.findall(text.lower())
+            n = len(toks)
+            pos = dups.get(d, np.empty(0, np.int64))
+            covered = np.zeros(n, bool)
+            for p in pos:
+                covered[p : p + k] = True
+            kept = [t for t, c in zip(toks, covered) if not c]
+            out_id.append(int(d))
+            out_nt.append(n)
+            out_nw.append(max(n - k + 1, 0))
+            out_nd.append(len(pos))
+            out_nk.append(len(kept))
+            out_txt.append(" ".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_tokens": pa.array(out_nt, pa.int64()),
+                "n_windows": pa.array(out_nw, pa.int64()),
+                "n_dup_windows": pa.array(out_nd, pa.int64()),
+                "n_kept": pa.array(out_nk, pa.int64()),
+                "text_kept": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    partials = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_win_partial, batch_format="pyarrow")
+        .materialize()  # split point: both sides read it without recompute
+    )
+    global_losers = (
+        partials.map_batches(_take_side("s"), batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bkt")
+        .map_groups(_elect, batch_format="pandas")
+    )
+    local_losers = partials.map_batches(
+        _take_side("d"), batch_format="pyarrow"
+    ).map_batches(
+        lambda b: b.select(["doc_id", "pos"]), batch_format="pyarrow"
+    )
+    losers = local_losers.union(global_losers).map_batches(
+        _tag_loser, batch_format="pyarrow"
+    )
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _doc_rows, batch_format="pyarrow"
+    )
+    return (
+        losers.union(docs)
+        .map_batches(_add_doc_bucket, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("dbkt")
+        .map_groups(_reassemble, batch_format="pandas")
+    )

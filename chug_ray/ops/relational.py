@@ -647,7 +647,9 @@ def events_after_order(sf_dir: str, days: int = 7, num_buckets: int = 64):
             o_code = np.searchsorted(uniq, o_key)
             t0 = ev_ts.min() - 1  # -1 keeps lo-edge searches in range
             span = np.int64(ev_ts.max() - t0 + window_us + 2)
-            assert len(uniq) * span < np.iinfo(np.int64).max, (
+            # guard in Python ints: the np.int64 product would itself
+            # wrap negative at the very scale being guarded against
+            assert int(len(uniq)) * int(span) < np.iinfo(np.int64).max, (
                 "users-per-bucket x time-span overflows int64; raise "
                 "num_buckets or chunk the time axis"
             )
@@ -978,6 +980,7 @@ def shipping_priority(
         .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("bucket")
         .map_groups(probe, batch_format="pandas")
+        .materialize()  # pin before sort: quantile sampling re-executes lazy inputs
         .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
         .limit(k)
     )

@@ -264,8 +264,17 @@ def export_range_partitioned(
             return prev  # checkpoint hit: identical input, nothing to do
         shutil.rmtree(out_dir)  # stale export: rebuild
     elif os.path.exists(out_dir):
-        # files without a manifest = a crashed prior export; appending
-        # would duplicate rows, so rebuild from scratch
+        # No manifest: either a crashed prior export (only tile=*/
+        # partition dirs present — safe to rebuild) or a mis-pointed
+        # out_dir holding unrelated data (refuse; deleting it silently
+        # would destroy user files).
+        entries = os.listdir(out_dir)
+        if entries and not all(e.startswith("tile=") for e in entries):
+            raise ValueError(
+                f"refusing to overwrite {out_dir}: it contains entries "
+                "that are not export artifacts (tile=*/ dirs or "
+                "_MANIFEST.json); clear it explicitly and rerun"
+            )
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     cut = np.array(cutoffs, np.int64)

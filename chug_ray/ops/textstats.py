@@ -784,3 +784,117 @@ def distinctive_terms(sf_dir: str, k: int = 3, num_buckets: int = 64):
         .materialize()  # pin phase-1 output before the second shuffle
     )
     return with_df.groupby("dbucket").map_groups(topk, batch_format="pandas")
+
+
+def ngram_perplexity(sf_dir: str, m: int = 5000):
+    """CCNet-style n-gram LM quality score (the second half of the
+    CCNet filter; :func:`oov_rate` is the first): build a distributed
+    bigram count table over the corpus, broadcast the top-``m`` rows,
+    and score every document by how "expected" its bigrams are.
+
+    Integer-exact by construction: the per-bigram log-probability
+    surrogate is ``floor(log2(count))`` — computed on the Ray side as
+    ``count.bit_length() - 1`` (pure integer, no libm at all) and on
+    the DuckDB side as ``floor(log2(count))``, which are provably equal
+    for counts < 2³² (log2 of an exact power of two is exact; for any
+    other integer the true value sits ≥ 2⁻³² away from an integer while
+    double log2 errs < 2⁻⁵⁰). A float ``ln``-based perplexity would
+    differ in the last ulp between engines and break hash-equality.
+
+    Scale shape: phase 1 is the :func:`top_k_tokens` combiner at bigram
+    granularity — the shuffle carries one row per (bigram, batch), so
+    the hottest bigram ("of the" × 10⁹) costs one row per batch, and
+    the top-``m`` cut is a sort+limit over the already-aggregated
+    table. Phase 2 is one ``ray.put`` of the (sorted bigram array,
+    log2-score array) pair and a per-batch ``searchsorted`` — no second
+    shuffle. Ties at the table boundary break (count desc, bigram asc),
+    pinned in both engines.
+
+    Output: (doc_id, n_bigrams, n_hits, log2_score) — higher score =
+    more in-vocabulary bigram mass = lower LM surprise."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(TOKEN_RE)
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            toks = token_re.findall(text.lower())
+            c.update(
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            )
+        return pa.table(
+            {
+                "bg": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n"] = batch["n"].astype(np.int64)
+        return batch
+
+    top = (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(bigram_partial, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bg")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(finalize, batch_format="pandas")
+        .materialize()  # pin the aggregate before the sort's sampling pass
+        .sort(["n", "bg"], descending=[True, False])
+        .limit(m)
+        .take_all()
+    )
+    from chug_ray.telemetry import record_group
+
+    record_group("ngram_perplexity(table)", None, len(top))
+    bgs = np.array([r["bg"] for r in top], dtype=object)
+    order = np.argsort(bgs)
+    bgs = bgs[order]
+    # floor(log2(count)) without floats: bit_length - 1
+    log2s = np.array(
+        [int(top[i]["n"]).bit_length() - 1 for i in order], np.int64
+    )
+    table_ref = ray.put((bgs, log2s))
+
+    def score(batch: pa.Table) -> pa.Table:
+        v, s = ray.get(table_ref)
+        n_bg = np.empty(batch.num_rows, np.int64)
+        n_hit = np.empty(batch.num_rows, np.int64)
+        sc = np.empty(batch.num_rows, np.int64)
+        for i, text in enumerate(batch["text"].to_pylist()):
+            toks = token_re.findall(text.lower())
+            if len(toks) < 2:
+                n_bg[i] = n_hit[i] = sc[i] = 0
+                continue
+            bg = np.array(
+                [f"{a} {b}" for a, b in zip(toks, toks[1:])], dtype=object
+            )
+            n_bg[i] = len(bg)
+            if len(v):
+                pos = np.searchsorted(v, bg)
+                pos[pos >= len(v)] = len(v) - 1
+                hit = v[pos] == bg
+                n_hit[i] = int(hit.sum())
+                sc[i] = int(s[pos[hit]].sum())
+            else:
+                n_hit[i] = sc[i] = 0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": pa.array(n_bg),
+                "n_hits": pa.array(n_hit),
+                "log2_score": pa.array(sc),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        score, batch_format="pyarrow"
+    )

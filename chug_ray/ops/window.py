@@ -929,6 +929,7 @@ def event_transitions(sf_dir: str, chunk_hours: int = 24, num_buckets: int = 64)
         both.materialize()
         .groupby("bkt")
         .map_groups(count_pairs, batch_format="pandas")
+        .materialize()  # pin before the trailing groupby's sort shuffle
         .groupby(["prev_type", "event_type"])
         .aggregate(Sum("n", alias_name="n"))
         .map_batches(finalize, batch_format="pandas")

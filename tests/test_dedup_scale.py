@@ -457,3 +457,108 @@ def test_bucket_count_invariance_new_ops(ray_session):
             check_dtype=False,
             check_exact=True,
         )
+
+
+def test_substring_dedup_hot_window_and_edge_docs(ray_session, tmp_path):
+    """A 5-gram duplicated across most of the corpus must keep only its
+    first occurrence; docs shorter than k have zero windows and keep
+    all tokens; within-doc repeats dedup to the earliest position."""
+    from chug_ray.ops.dedup import substring_dedup
+
+    hot = "alpha beta gamma delta epsilon"  # the hot 5-gram
+    texts = []
+    for i in range(300):
+        if i == 3:
+            texts.append("tiny doc")  # n < k: no windows
+        elif i == 9:
+            texts.append("")  # empty doc
+        elif i == 12:
+            # hot gram twice within one doc + unique tail
+            texts.append(f"{hot} {hot} tail{i} t{i}b t{i}c t{i}d t{i}e")
+        elif i < 200:
+            texts.append(f"{hot} unique{i} u{i}b u{i}c u{i}d")
+        else:
+            texts.append(f"unique{i} u{i}b u{i}c u{i}d {hot}")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(300), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        substring_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(out) == 300
+    # short/empty docs: zero windows, everything kept
+    tiny = out[out.doc_id == 3].iloc[0]
+    assert tiny.n_windows == 0 and tiny.text_kept == "tiny doc"
+    empty = out[out.doc_id == 9].iloc[0]
+    assert empty.n_tokens == 0 and empty.text_kept == ""
+    # the hot gram's tokens survive only in doc 0
+    first = out[out.doc_id == 0].iloc[0]
+    assert first.text_kept.startswith(hot)
+    assert first.n_dup_windows == 0
+    later = out[(out.doc_id > 0) & (out.doc_id < 200) & (out.doc_id != 3)
+                & (out.doc_id != 9) & (out.doc_id != 12)]
+    assert not later.text_kept.str.contains("alpha", regex=False).any()
+    # each later doc lost exactly the 5 hot tokens, kept its unique ones
+    assert (later.n_kept == later.n_tokens - 5).all()
+    # within-doc repeat: second occurrence removed too
+    rep = out[out.doc_id == 12].iloc[0]
+    assert rep.n_dup_windows >= 1
+    assert "alpha" not in rep.text_kept
+    assert "tail12" in rep.text_kept
+    # telemetry recorded both bucketed stages
+    from chug_ray import telemetry
+
+    snap = telemetry.snapshot()
+    assert "substring_dedup(bucket)" in snap
+    assert "substring_dedup(doc)" in snap
+
+
+def test_ngram_perplexity_hot_bigram_and_table_cut(ray_session, tmp_path):
+    """The hottest bigram must cost one shuffle row per batch (combiner
+    shape — asserted indirectly: the run completes and the table is
+    bounded by m), scores are pure-integer (bit_length), and docs made
+    of out-of-table bigrams score zero."""
+    from chug_ray.ops.textstats import ngram_perplexity
+
+    texts = []
+    for i in range(300):
+        if i == 5:
+            texts.append("solo")  # < 2 tokens: zero bigrams
+        elif i < 250:
+            texts.append("the cat " * 40)  # hot bigrams
+        else:
+            texts.append(f"rare{i} pair{i}")  # unique bigram each
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(300), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        ngram_perplexity(str(tmp_path), m=2)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(out) == 300
+    solo = out[out.doc_id == 5].iloc[0]
+    assert solo.n_bigrams == 0 and solo.log2_score == 0
+    hot = out[out.doc_id == 0].iloc[0]
+    # "the cat"×40 → bigrams: the-cat (40/doc × 249 docs = 9960),
+    # cat-the (39/doc × 249 = 9711): both table slots known
+    assert hot.n_bigrams == 79 and hot.n_hits == 79
+    # integer log2: floor(log2(9960)) = 13, floor(log2(9711)) = 13
+    assert hot.log2_score == 40 * 13 + 39 * 13
+    # rare docs: their unique bigram is out-of-table (m=2 cut)
+    rare = out[out.doc_id >= 250]
+    assert (rare.n_hits == 0).all() and (rare.log2_score == 0).all()
+    from chug_ray import telemetry
+
+    snap = telemetry.snapshot()
+    assert "ngram_perplexity(table)" in snap

@@ -140,3 +140,72 @@ def test_incremental_rejects_media_change(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="media store changed"):
         run_incremental(docs1, docs1, out1, str(tmp_path / "out2"), cfg)
+
+
+def test_incremental_chains_off_incremental_output(ray_session, tmp_path):
+    """A second incremental run whose --prev-out is itself an
+    incremental output must validate cleanly: the summary manifest
+    (incremental.json, which carries no media_fp) must be skipped by
+    the prev-manifest validation loop."""
+    v1 = str(tmp_path / "v1")
+    write_corpus_inline(CorpusConfig(seed=7, n_docs=40, skew="test"), v1)
+    docs1 = os.path.join(v1, "documents.parquet")
+    media = os.path.join(v1, "media.parquet")
+    cfg = ExtractConfig(page_sampling="first", seed=0, media_store_path=media)
+    out1 = str(tmp_path / "out1")
+    run_job(docs1, out1, cfg, num_partitions=1)
+
+    # v2: edit one doc
+    t = pq.read_table(docs1)
+    rows = t.to_pylist()
+    rows[0] = {
+        **rows[0],
+        "spans": list(rows[0]["spans"] or [])
+        + [{"kind": "text", "text": "v2", "media_ref": "", "offset": 99}],
+    }
+    v2 = str(tmp_path / "v2")
+    os.makedirs(v2)
+    docs2 = os.path.join(v2, "documents.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=t.schema), docs2)
+    out2 = str(tmp_path / "out2")
+    s2 = run_incremental(docs2, docs1, out1, out2, cfg)
+    assert s2["n_extracted"] == 1
+
+    # v3: identical to v2 — chain the incremental off the incremental
+    v3 = str(tmp_path / "v3")
+    os.makedirs(v3)
+    docs3 = os.path.join(v3, "documents.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=t.schema), docs3)
+    out3 = str(tmp_path / "out3")
+    s3 = run_incremental(docs3, docs2, out2, out3, cfg)
+    assert s3["n_extracted"] == 0
+    assert s3["n_copied"] == len(rows)
+    got = _canon(read_output(out3))
+    want = _canon(read_output(out2))
+    assert got == want
+
+
+def test_incremental_removed_only_bucket_schema(ray_session, tmp_path):
+    """A hash bucket containing only removed docs yields an empty
+    classify frame; it must be typed (string doc_id) so Arrow schema
+    unification with non-empty buckets succeeds."""
+    v1 = str(tmp_path / "v1")
+    write_corpus_inline(CorpusConfig(seed=9, n_docs=24, skew="test"), v1)
+    docs1 = os.path.join(v1, "documents.parquet")
+    media = os.path.join(v1, "media.parquet")
+    cfg = ExtractConfig(page_sampling="first", seed=0, media_store_path=media)
+    out1 = str(tmp_path / "out1")
+    run_job(docs1, out1, cfg, num_partitions=1)
+
+    # v2 removes half the docs; with many buckets some buckets are
+    # removed-only, exercising the typed-empty branch
+    t = pq.read_table(docs1)
+    rows = [r for i, r in enumerate(t.to_pylist()) if i % 2 == 0]
+    v2 = str(tmp_path / "v2")
+    os.makedirs(v2)
+    docs2 = os.path.join(v2, "documents.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=t.schema), docs2)
+    out2 = str(tmp_path / "out2")
+    s2 = run_incremental(docs2, docs1, out1, out2, cfg, num_buckets=64)
+    assert s2["n_extracted"] == 0
+    assert s2["n_docs"] == len(rows)

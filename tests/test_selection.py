@@ -150,3 +150,38 @@ def test_export_range_partitioned_resume(ray_session, tmp_path):
     m3 = export_range_partitioned(str(tmp_path), out_dir, tiles=4)
     assert m3["n_docs"] == 41
     assert pq.read_table(out_dir).num_rows == 41
+
+
+def test_export_refuses_unrelated_out_dir(ray_session, tmp_path):
+    """A manifest-less out_dir holding non-export files must be
+    refused, not silently rmtree'd."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from chug_ray.ops.selection import export_range_partitioned
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": pa.array([f"t{i}" for i in range(8)]),
+            "lang": pa.array(["en"] * 8),
+            "source": pa.array(["s"] * 8),
+            "n_chars": pa.array([i for i in range(8)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out_dir = str(tmp_path / "precious")
+    os.makedirs(out_dir)
+    with open(os.path.join(out_dir, "notes.txt"), "w") as f:
+        f.write("user data")
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        export_range_partitioned(str(tmp_path), out_dir, tiles=2)
+    assert os.path.exists(os.path.join(out_dir, "notes.txt"))
+
+    # crashed-export shape (tile=* dirs, no manifest) still rebuilds
+    out2 = str(tmp_path / "crashed")
+    os.makedirs(os.path.join(out2, "tile=1"))
+    m = export_range_partitioned(str(tmp_path), out2, tiles=2)
+    assert m["complete"] and m["n_docs"] == 8
