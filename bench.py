@@ -45,6 +45,20 @@ def _consume(result) -> int:
     return result.count()
 
 
+# samples taken above this 1-min load average are auto-flagged: on this
+# shared box external load is the dominant variance source (BASELINE.md
+# control table), and a flagged sample documents itself instead of
+# needing prose caveats
+LOAD_FLAG_THRESHOLD = 0.5 * (os.cpu_count() or 32)
+
+
+def _load_avg() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        return -1.0
+
+
 def _run_headline(sf_dir: str, seed: int = 0, limit: int | None = None) -> dict:
     """The headline job: full extraction pipeline (all_valid) over the
     synthetic interleaved corpus for this sf, consumed to completion.
@@ -52,11 +66,13 @@ def _run_headline(sf_dir: str, seed: int = 0, limit: int | None = None) -> dict:
     import ray.data
 
     from chug_ray.config import ExtractConfig
+    from chug_ray.io import table_has_column
     from chug_ray.pipeline import broadcast_media_meta, build_extract_pipeline
     from chug_ray.synth import corpus_for_sf_dir
 
     docs_path, media_path, ccfg = corpus_for_sf_dir(sf_dir)
     cfg = ExtractConfig(page_sampling="all_valid", seed=seed, media_store_path=media_path)
+    load0 = _load_avg()
     t0 = time.perf_counter()
     docs = ray.data.read_parquet(docs_path)
     if limit is not None:
@@ -64,11 +80,23 @@ def _run_headline(sf_dir: str, seed: int = 0, limit: int | None = None) -> dict:
     out = build_extract_pipeline(
         docs,
         cfg,
-        media_meta_ref=broadcast_media_meta(media_path),
+        # span_pages-carrying corpora classify from the batch itself;
+        # only legacy tables need the media-meta broadcast
+        media_meta_ref=(
+            None
+            if table_has_column(docs_path, "span_pages")
+            else broadcast_media_meta(media_path)
+        ),
     )
     n = out.count()
     secs = time.perf_counter() - t0
-    return {"n_docs": n, "secs": secs, "docs_per_sec": n / secs if secs else 0.0}
+    return {
+        "n_docs": n,
+        "secs": secs,
+        "docs_per_sec": n / secs if secs else 0.0,
+        "load_avg": load0,
+        "load_flagged": bool(load0 > LOAD_FLAG_THRESHOLD),
+    }
 
 
 def _bench_queries(
@@ -199,10 +227,21 @@ def _scaling_main(sf_dir: str, lo: int, hi: int, repeats: int = 2) -> None:
         "docs_per_sec": {str(lo): round(thr_lo, 2), str(hi): round(thr_hi, 2)},
         "secs": {str(lo): round(results[lo]["secs"], 2),
                  str(hi): round(results[hi]["secs"], 2)},
+        "load_avg": {str(lo): results[lo].get("load_avg"),
+                     str(hi): results[hi].get("load_avg")},
+        "load_flagged": {str(lo): results[lo].get("load_flagged"),
+                         str(hi): results[hi].get("load_flagged")},
         "n_docs": results[hi]["n_docs"],
     }
     print(json.dumps(line))
     _record_scaling(line, lo, hi)
+    # machine-readable artifact: the efficiency claim as a data file
+    # (VERDICT r3 task #5), not BASELINE.md prose
+    out_json = os.environ.get(
+        "GRAFT_SCALING_OUT", os.path.join(REPO, "SCALING_r04.json")
+    )
+    with open(out_json, "w") as f:
+        json.dump(line, f, indent=1)
 
 
 def _record_scaling(line: dict, lo: int, hi: int) -> None:
@@ -285,6 +324,11 @@ def main() -> None:
             "docs_per_sec": round(head["docs_per_sec"], 2),
             "n_docs": head["n_docs"],
             "headline_samples_sec": [round(s["secs"], 3) for s in samples],
+            "headline_samples_load_avg": [s["load_avg"] for s in samples],
+            "headline_samples_load_flagged": [
+                s["load_flagged"] for s in samples
+            ],
+            "load_flag_threshold": round(LOAD_FLAG_THRESHOLD, 1),
         }))
     finally:
         ray.shutdown()

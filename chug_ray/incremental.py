@@ -227,9 +227,17 @@ def run_incremental(
 
     changed_docs = _route(new_docs, status, keep_unchanged=False,
                           num_buckets=num_buckets)
+    # span_pages-carrying tables classify from the batch itself; only
+    # legacy tables need the driver-side media-meta broadcast
+    from chug_ray.io import table_has_column
+
     extracted = build_extract_pipeline(
         changed_docs, cfg,
-        media_meta_ref=broadcast_media_meta(cfg.media_store_path),
+        media_meta_ref=(
+            None
+            if table_has_column(docs_path, "span_pages")
+            else broadcast_media_meta(cfg.media_store_path)
+        ),
     )
     prev_parts = sorted(
         os.path.join(prev_out_root, d)

@@ -68,8 +68,14 @@ def ingest_ocr_batch(batch: pa.Table, line_break: str = "\n") -> pa.Table:
             anno = json.loads(raw) if raw else {}
         except json.JSONDecodeError:
             anno = {}
+        spans = ocr_anno_to_spans(anno, line_break)
         rows.append(
-            {"doc_id": doc_id, "spans": ocr_anno_to_spans(anno, line_break)}
+            {
+                "doc_id": doc_id,
+                "spans": spans,
+                # OCR ingest produces text spans only: unit decode cost
+                "span_pages": [1] * len(spans),
+            }
         )
     return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
 

@@ -45,6 +45,22 @@ def is_lance_dir(path) -> bool:
     )
 
 
+def table_has_column(path, name: str) -> bool:
+    """Footer-only schema probe (no data read): does the table at
+    ``path`` (parquet file/dir or Lance dataset) carry ``name``?"""
+    if is_lance_dir(path):  # pragma: no cover - lance absent in sandbox
+        if not HAVE_LANCE:
+            raise RuntimeError(
+                f"{path} is a Lance dataset but lance is not importable"
+            )
+        import lance as _lance
+
+        return name in _lance.dataset(path).schema.names
+    import pyarrow.dataset as pads
+
+    return name in pads.dataset(path, format="parquet").schema.names
+
+
 def read_table_dataset(paths, columns=None, override_num_blocks=None):
     """``ray.data`` read of a docs/media table: Lance if available, else
     Parquet. ``override_num_blocks`` pins the block split (one block per

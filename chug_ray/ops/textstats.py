@@ -16,6 +16,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 TOKEN_RE = "[a-z0-9]+"
+
+# Distinct-value-domain cap for the broadcast-cum-table window ops
+# (chars_quantiles, percent_rank_in_lang). Their scale contract is
+# "cardinality = distinct values, tiny next to row count"; this cap
+# makes that assumption checked, not assumed: ~4M (value, count) rows
+# ≈ 64 MB of driver/group memory. Past it, fail loudly — the fix is a
+# coarser value domain (bucketize) or a sort-based rank, not a silent
+# multi-GB driver table.
+VALUE_DOMAIN_CAP = 4_000_000
 PUNCT_RE = r"[.,;:!?]"
 
 # language-ID stopword profiles; scores are whole-token match counts.
@@ -244,6 +253,17 @@ def chars_quantiles(sf_dir: str, ps=(25, 50, 75, 95, 99)):
     def quantiles(group: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        from chug_ray.telemetry import record_group
+
+        record_group("chars_quantiles(lang)", group["lang"].iloc[0], len(group))
+        if len(group) > VALUE_DOMAIN_CAP:
+            raise ValueError(
+                f"chars_quantiles: lang {group['lang'].iloc[0]!r} has "
+                f"{len(group)} distinct n_chars values (> "
+                f"{VALUE_DOMAIN_CAP}); the value-count rank shortcut "
+                "assumes a small value domain — bucketize the values or "
+                "use a sort-based quantile instead"
+            )
         g = group.sort_values("n_chars")
         values = g["n_chars"].to_numpy()
         cum = g["n"].to_numpy().cumsum()
@@ -639,14 +659,28 @@ def percent_rank_in_lang(sf_dir: str):
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    rows = (
+    agg = (
         _docs(sf_dir, ("lang", "n_chars"))
         .map_batches(value_counts, batch_format="pyarrow")
         .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby(["lang", "n_chars"])
         .aggregate(Sum("n", alias_name="n"))
-        .take_all()
+        .materialize()
     )
+    # guard the "domain is tiny" assumption BEFORE pulling it to the
+    # driver: count() on the materialized aggregate is metadata-only
+    n_domain = agg.count()
+    from chug_ray.telemetry import record_group
+
+    record_group("percent_rank_in_lang(domain)", None, n_domain)
+    if n_domain > VALUE_DOMAIN_CAP:
+        raise ValueError(
+            f"percent_rank_in_lang: {n_domain} distinct (lang, n_chars) "
+            f"pairs (> {VALUE_DOMAIN_CAP}); the broadcast rank table "
+            "assumes a small value domain — bucketize the values or use "
+            "a sort-based window instead"
+        )
+    rows = agg.take_all()
     tables: dict[str, tuple] = {}
     by_lang: dict[str, list] = {}
     for r in rows:

@@ -126,22 +126,65 @@ def _build_store(cfg: ExtractConfig, data=None):
 
 
 def make_classifier(meta_ref, threshold: int):
-    """Vectorized cost estimator. ``meta_ref`` is a ``ray.put`` handle to
-    the (small) page-count side data as a pair of *sorted numpy arrays*
-    (refs, n_pages) — broadcast once, cached per worker process.
+    """Vectorized cost estimator.
 
-    Cost = Σ over spans (media → payload page count via searchsorted,
-    else 1), computed with flattened Arrow child arrays + a numpy
-    segment-sum — no Python loop over rows, no per-block dict decode."""
+    Default path (docs tables carrying a ``span_pages`` column — every
+    table this engine ingests or synthesizes): cost = Σ span_pages,
+    read straight from the batch with one list-flatten + numpy
+    segment-sum. Nothing driver-resident, nothing broadcast — the
+    O(n_media) media-meta arrays of rounds 1–3 are gone.
+
+    Legacy fallback (tables without the column, or rows where it is
+    null): ``meta_ref`` is a ``ray.put`` handle to the page-count side
+    data as a pair of *sorted numpy arrays* (refs, n_pages) — broadcast
+    once, cached per worker process; cost = Σ over spans (media →
+    payload page count via searchsorted, else 1)."""
     import numpy as np
 
     media_kind_set = pa.array(sorted(ex.MEDIA_KINDS))
 
+    def _cost_from_span_pages(batch: pa.Table, n: int):
+        """Per-doc cost from the in-batch span_pages column; returns
+        (costs, valid_mask) — rows with a null list fall to legacy."""
+        col = batch["span_pages"].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+        valid = ~np.asarray(col.is_null())
+        lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        lengths = np.nan_to_num(
+            lengths.astype(np.float64), nan=0
+        ).astype(np.int64)
+        span_lens = pc.list_value_length(batch["spans"]).to_numpy(
+            zero_copy_only=False
+        )
+        span_lens = np.nan_to_num(
+            span_lens.astype(np.float64), nan=0
+        ).astype(np.int64)
+        bad = valid & (lengths != span_lens)
+        if bad.any():
+            i = int(np.flatnonzero(bad)[0])
+            raise ValueError(
+                f"doc {batch['doc_id'][i].as_py()!r}: span_pages length "
+                f"{lengths[i]} != spans length {span_lens[i]}"
+            )
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        costs = np.zeros(n, dtype=np.int64)
+        parent = np.repeat(np.arange(n)[valid], lengths[valid])
+        np.add.at(costs, parent, flat.astype(np.int64))
+        return costs, valid
+
     def classify(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        pre_costs = None
+        if "span_pages" in batch.column_names:
+            pre_costs, valid = _cost_from_span_pages(batch, n)
+            if valid.all():
+                return batch.append_column(
+                    "est_cost", pa.array(pre_costs.astype(np.int32), pa.int32())
+                )
         spans_col = batch["spans"].combine_chunks()
         if isinstance(spans_col, pa.ChunkedArray):  # single-chunk after combine
             spans_col = spans_col.chunk(0)
-        n = len(batch)
         lengths = pc.list_value_length(spans_col).to_numpy(zero_copy_only=False)
         lengths = np.nan_to_num(lengths.astype(np.float64), nan=0).astype(np.int64)
         flat = pc.list_flatten(spans_col)
@@ -167,6 +210,10 @@ def make_classifier(meta_ref, threshold: int):
             costs = np.zeros(n, dtype=np.int64)
             np.add.at(costs, parent, cost_per_span)
             costs = costs.astype(np.int32)
+        if pre_costs is not None:  # mixed table: in-batch counts win per row
+            costs = np.where(valid, pre_costs, costs.astype(np.int64)).astype(
+                np.int32
+            )
         return batch.append_column("est_cost", pa.array(costs, pa.int32()))
 
     return classify

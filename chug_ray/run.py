@@ -33,6 +33,7 @@ from chug_ray.io import (
     media_store_fp,
     output_stats,
     read_table_dataset,
+    table_has_column,
     write_output_partition,
 )
 from chug_ray.pipeline import broadcast_media_meta, build_extract_pipeline
@@ -116,12 +117,22 @@ def run_job(
     manifest_dir = os.path.join(out_root, "_manifests")
     cfg_hash = _config_hash(cfg)
     media_fp = media_store_fp(cfg.media_store_path)
-    meta_ref = broadcast_media_meta(cfg.media_store_path)
+    groups = plan_partitions(docs_path, num_partitions)
+    # default path: the docs table carries span_pages, the classifier
+    # reads cost from the batch, nothing O(n_media) sits on the driver.
+    # Legacy tables (no column) fall back to the broadcast side data.
+    has_span_pages = table_has_column(groups[0][0], "span_pages")
+    meta_ref = (
+        None if has_span_pages else broadcast_media_meta(cfg.media_store_path)
+    )
+    doc_cols = ["doc_id", "spans"] + (
+        ["span_pages"] if has_span_pages else []
+    )
 
     def run_partition(k: int, files: list[str]) -> PartitionManifest:
         pid = f"part-{k:05d}"
         t0 = time.perf_counter()
-        docs = read_table_dataset(files, columns=["doc_id", "spans"])
+        docs = read_table_dataset(files, columns=doc_cols)
         out = build_extract_pipeline(docs, cfg, media_meta_ref=meta_ref)
         part_dir = os.path.join(out_root, pid)
         write_output_partition(out, part_dir)
@@ -144,7 +155,7 @@ def run_job(
 
     slots: list = []  # (k, manifest-or-future), submission order
     with ThreadPoolExecutor(max_workers=max(1, overlap)) as pool:
-        for k, files in enumerate(plan_partitions(docs_path, num_partitions)):
+        for k, files in enumerate(groups):
             pid = f"part-{k:05d}"
             existing = PartitionManifest.load(manifest_dir, pid)
             if (

@@ -24,6 +24,12 @@ DOC_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
         ("spans", SPANS_TYPE),
+        # per-span decode cost (media spans: payload page count; others: 1),
+        # parallel to `spans`. Written at ingest so the classifier reads
+        # cost from the batch itself — no driver-resident media-meta
+        # broadcast. Legacy tables without this column fall back to
+        # broadcast_media_meta (pipeline.py).
+        ("span_pages", pa.list_(pa.int32())),
     ]
 )
 

@@ -134,14 +134,18 @@ def make_doc(cfg: CorpusConfig, index: int):
     doc_id = f"{arch}-{index:08d}"
     rng = rng_for(cfg.seed, doc_id)
     spans: list[dict] = []
+    span_pages: list[int] = []
     media: list[dict] = []
     offset = 0
 
-    def add(kind: str, text: str = "", media_ref: str = "") -> None:
+    def add(
+        kind: str, text: str = "", media_ref: str = "", n_pages: int = 1
+    ) -> None:
         nonlocal offset
         spans.append(
             {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
         )
+        span_pages.append(n_pages)
         offset += rng.randint(1, 4)  # strictly increasing, gappy
 
     def add_media(kind: str, payload: bytes, n_pages: int) -> str:
@@ -165,11 +169,11 @@ def make_doc(cfg: CorpusConfig, index: int):
         else:
             pages = _pdf_pages(rng, rng.randint(1, 16))
         ref = add_media("pdf", spdf.encode(pages), len(pages))
-        add("pdf", "", ref)
+        add("pdf", "", ref, n_pages=len(pages))
     elif arch == "tiff":
         frames = _simg_frames(rng, rng.randint(2, 5))
         ref = add_media("image", simg.encode(frames), len(frames))
-        add("image", "", ref)
+        add("image", "", ref, n_pages=len(frames))
     elif arch == "mixed":
         for _ in range(rng.randint(2, 6) * cfg.span_scale):
             k = rng.choice(("text", "text", "html", "pdf", "image"))
@@ -179,10 +183,14 @@ def make_doc(cfg: CorpusConfig, index: int):
                 add("html", _html_source(rng))
             elif k == "pdf":
                 pages = _pdf_pages(rng, rng.randint(1, 4))
-                add("pdf", "", add_media("pdf", spdf.encode(pages), len(pages)))
+                add("pdf", "",
+                    add_media("pdf", spdf.encode(pages), len(pages)),
+                    n_pages=len(pages))
             else:
                 frames = _simg_frames(rng, rng.randint(1, 3))
-                add("image", "", add_media("image", simg.encode(frames), len(frames)))
+                add("image", "",
+                    add_media("image", simg.encode(frames), len(frames)),
+                    n_pages=len(frames))
     elif arch == "missing":
         variant = rng.randint(0, 2)
         if variant == 0:
@@ -194,11 +202,15 @@ def make_doc(cfg: CorpusConfig, index: int):
     elif arch == "corrupt":
         pages = _pdf_pages(rng, rng.randint(1, 8))
         payload = _corrupt(rng, spdf.encode(pages))
-        add("pdf", "", add_media("pdf", payload, len(pages)))
+        # the media table records the intended page count even for the
+        # corrupt payload; span_pages matches it so the classifier split
+        # is identical to the legacy broadcast path
+        add("pdf", "", add_media("pdf", payload, len(pages)),
+            n_pages=len(pages))
     else:  # pragma: no cover
         raise AssertionError(arch)
 
-    return {"doc_id": doc_id, "spans": spans}, media
+    return {"doc_id": doc_id, "spans": spans, "span_pages": span_pages}, media
 
 
 def docs_table(cfg: CorpusConfig, indices) -> pa.Table:

@@ -65,7 +65,11 @@ def test_incremental_equals_full_rerun(ray_session, tmp_path):
                     "offset": len(spans),
                 }
             )
-            r = {**r, "spans": spans}
+            r = {
+                **r,
+                "spans": spans,
+                "span_pages": list(r["span_pages"] or []) + [1],
+            }
         v2_rows.append(r)
     added = []
     for i in range(17, 33, 4):
@@ -162,6 +166,7 @@ def test_incremental_chains_off_incremental_output(ray_session, tmp_path):
         **rows[0],
         "spans": list(rows[0]["spans"] or [])
         + [{"kind": "text", "text": "v2", "media_ref": "", "offset": 99}],
+        "span_pages": list(rows[0]["span_pages"] or []) + [1],
     }
     v2 = str(tmp_path / "v2")
     os.makedirs(v2)

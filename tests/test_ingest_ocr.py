@@ -63,7 +63,7 @@ def test_ingest_batch_and_pipeline(ray_session):
         }
     )
     tbl = ingest_ocr_batch(batch)
-    assert tbl.schema.names == ["doc_id", "spans"]
+    assert tbl.schema.names == ["doc_id", "spans", "span_pages"]
 
     # malformed json → doc retained with zero spans
     bad = pa.table(

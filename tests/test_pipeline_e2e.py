@@ -218,3 +218,66 @@ def test_run_job_overlap_matches_sequential(ray_session, t1_corpus, tmp_path):
         )
 
     assert rows(seq_out) == rows(ovl_out)
+
+
+def test_span_pages_path_no_broadcast_and_identical(
+    ray_session, t1_corpus, tmp_path, monkeypatch
+):
+    """Default path: docs tables carry span_pages, the classifier reads
+    cost from the batch, and run_job never builds the O(n_media)
+    driver-resident media-meta broadcast. A legacy table (column
+    dropped) must take the broadcast path and produce bit-identical
+    output."""
+    import os
+
+    import chug_ray.run as runmod
+
+    _, docs_path, media_path = t1_corpus
+    cfg = ExtractConfig(
+        page_sampling="random", seed=0, media_store_path=media_path
+    )
+
+    calls = []
+    orig = runmod.broadcast_media_meta
+    monkeypatch.setattr(
+        runmod,
+        "broadcast_media_meta",
+        lambda p: (calls.append(p), orig(p))[1],
+    )
+    out_new = str(tmp_path / "out_new")
+    run_job(docs_path, out_new, cfg, num_partitions=2)
+    assert not calls, "broadcast built despite span_pages column"
+
+    legacy_docs = str(tmp_path / "legacy_documents.parquet")
+    t = pq.read_table(docs_path)
+    assert "span_pages" in t.schema.names
+    pq.write_table(t.drop_columns(["span_pages"]), legacy_docs)
+    out_old = str(tmp_path / "out_old")
+    run_job(legacy_docs, out_old, cfg, num_partitions=2)
+    assert calls, "legacy table must fall back to the broadcast"
+
+    a = canonical(read_output(out_new).to_pylist())
+    b = canonical(read_output(out_old).to_pylist())
+    problems = diff(a, b)
+    assert not problems, "\n".join(problems)
+
+
+def test_classifier_rejects_misaligned_span_pages(ray_session, tmp_path):
+    """span_pages shorter/longer than spans is corrupt input: loud
+    plan-time-ish failure, not silently wrong costs."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from chug_ray.pipeline import make_classifier
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["a"]),
+            "spans": pa.array(
+                [[{"kind": "text", "text": "x", "media_ref": "", "offset": 0}]]
+            ),
+            "span_pages": pa.array([[1, 2]], pa.list_(pa.int32())),
+        }
+    )
+    with _pytest.raises(ValueError, match="span_pages length"):
+        make_classifier(None, 8)(batch)

@@ -53,3 +53,41 @@ def test_oversize_group_logs_warning(ray_session, caplog):
         telemetry.record_group("demo_op", "hot-key", telemetry.WARN_ROWS + 1)
     assert any("demo_op" in r.message and "hot-key" in r.message
                for r in caplog.records)
+
+
+def test_value_domain_cap_forces_loud_failure(ray_session, tmp_path, monkeypatch):
+    """The broadcast-cum-table ops must refuse (not silently build a
+    giant driver table) when the distinct value domain exceeds the cap,
+    and must report the domain cardinality to telemetry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from chug_ray import telemetry
+    from chug_ray.ops import textstats
+
+    n = 64
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array(["en"] * n),
+            "n_chars": pa.array(range(100, 100 + n), pa.int64()),  # all distinct
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    monkeypatch.setattr(textstats, "VALUE_DOMAIN_CAP", 10)
+    with pytest.raises(ValueError, match="distinct .lang, n_chars. pairs"):
+        textstats.percent_rank_in_lang(str(tmp_path))
+    with pytest.raises((ValueError, Exception)) as ei:
+        textstats.chars_quantiles(str(tmp_path)).take_all()
+    assert "distinct n_chars values" in str(ei.value)
+
+    snap = {}
+    for _ in range(20):  # reports are fire-and-forget; allow drain
+        snap = telemetry.snapshot()
+        if "percent_rank_in_lang(domain)" in snap:
+            break
+        time.sleep(0.25)
+    assert "percent_rank_in_lang(domain)" in snap
+    assert snap["percent_rank_in_lang(domain)"]["max_group_rows"] >= n
