@@ -324,6 +324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 4
         "substring_dedup": dedup.substring_dedup,
         "ngram_perplexity": textstats.ngram_perplexity,
+        "c4_filter": textstats.c4_filter,
+        "large_quantity_orders": relational.large_quantity_orders,
+        "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
         # --- dedup — SQL-oracled where expressible (r03-green)
         "exact_dedup": dedup.exact_dedup,
         "dedup_survivors": dedup.dedup_survivors,
@@ -752,6 +755,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(sc.n_hits, 0) AS BIGINT) AS n_hits,
                    CAST(COALESCE(sc.log2_score, 0) AS BIGINT) AS log2_score
             FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        "c4_filter": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '\\b(the|and|of|a|to)\\b')) AS BIGINT) AS n_stop,
+                       {_lang_scores_sql()},
+                       md5(text) AS fp
+                FROM documents
+            ), q AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN n_tokens >= 10 AND n_stop > 0
+                            THEN 1 ELSE 0 END AS BIGINT) AS keep_quality,
+                       CAST(CASE WHEN score_en >= score_fr
+                                  AND score_en >= score_de
+                                  AND score_en >= score_es
+                            THEN 1 ELSE 0 END AS BIGINT) AS keep_lang,
+                       fp
+                FROM s
+            ), w AS (
+                SELECT fp, min(doc_id) AS keeper FROM q GROUP BY fp
+            )
+            SELECT q.doc_id, q.keep_quality, q.keep_lang,
+                   CAST(CASE WHEN q.doc_id = w.keeper THEN 1 ELSE 0 END
+                        AS BIGINT) AS keep_dedup,
+                   CAST(q.keep_quality * q.keep_lang *
+                        (CASE WHEN q.doc_id = w.keeper THEN 1 ELSE 0 END)
+                        AS BIGINT) AS keep
+            FROM q JOIN w USING (fp)
+        """,
+        "large_quantity_orders": """
+            WITH t AS (
+                SELECT l_orderkey AS o_orderkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                         AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+            )
+            SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, t.total_qty
+            FROM t JOIN orders o USING (o_orderkey)
+        """,
+        "cheapest_supplier_per_part": """
+            WITH l AS (
+                SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                       CAST(round(l_extendedprice * (1 - l_discount)
+                                  / l_quantity * 100) AS BIGINT) AS unit_cents
+                FROM lineitem
+            ), r AS (
+                SELECT p_partkey, s_suppkey, unit_cents,
+                       row_number() OVER (
+                           PARTITION BY p_partkey
+                           ORDER BY unit_cents, s_suppkey
+                       ) AS rn
+                FROM l
+            )
+            SELECT r.p_partkey, CAST(r.s_suppkey AS BIGINT) AS s_suppkey,
+                   s.s_name, r.unit_cents
+            FROM r JOIN supplier s USING (s_suppkey) WHERE rn = 1
         """,
         "ngram_jaccard_pairs": f"""
             WITH t AS (

@@ -1153,3 +1153,195 @@ def regional_supplier_revenue(
         )
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def large_quantity_orders(sf_dir: str, threshold: int = 150, num_buckets: int = 64):
+    """TPC-H Q18-shaped composite (large-volume customers): orders whose
+    total lineitem quantity exceeds ``threshold``, joined back to the
+    order header — the GROUP BY → HAVING → join-back-to-detail shape.
+
+    Scale shape: phase 1 is a per-batch per-orderkey quantity combiner
+    (one row per (orderkey, batch)) → native Sum groupby; the HAVING cut
+    happens in the aggregate output (tiny: only qualifying keys
+    survive). Phase 2 joins the small qualifying set back to orders via
+    a co-partitioned bucket shuffle (side-tagged union) — no broadcast
+    needed, but the shuffle only carries the order header columns, never
+    lineitem rows. Output: (o_orderkey, o_custkey, o_orderdate,
+    total_qty), integer-exact."""
+    from ray.data.aggregate import Sum
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "q": pc.cast(batch["l_quantity"], pa.int64()).to_numpy(),
+            }
+        )
+        g = df.groupby("o_orderkey", as_index=False)["q"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def having(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["q"], pa.scalar(threshold)))
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "total_qty": pc.cast(batch["q"], pa.int64()),
+                "o_custkey": pa.array([0] * len(batch), pa.int64()),
+                "o_orderdate": pa.array(
+                    [None] * len(batch), pa.timestamp("us")
+                ),
+                "side": pa.array(["q"] * len(batch), pa.string()),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "total_qty": pa.array([0] * len(batch), pa.int64()),
+                "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                "o_orderdate": batch["o_orderdate"],
+                "side": pa.array(["o"] * len(batch), pa.string()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bkt", pa.array((k % num_buckets).astype(np.int64))
+        )
+
+    def join_back(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group("large_quantity_orders(bucket)", None, len(group))
+        q = group[group["side"] == "q"][["o_orderkey", "total_qty"]]
+        o = group[group["side"] == "o"][
+            ["o_orderkey", "o_custkey", "o_orderdate"]
+        ]
+        j = q.merge(o, on="o_orderkey", how="inner")
+        return pa.table(
+            {
+                "o_orderkey": pa.array(j["o_orderkey"].to_numpy(np.int64)),
+                "o_custkey": pa.array(j["o_custkey"].to_numpy(np.int64)),
+                "o_orderdate": pa.Array.from_pandas(
+                    j["o_orderdate"], type=pa.timestamp("us")
+                ),
+                "total_qty": pa.array(j["total_qty"].to_numpy(np.int64)),
+            }
+        )
+
+    qualifying = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow", batch_size=65536)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("o_orderkey")
+        .aggregate(Sum("q", alias_name="q"))
+        .map_batches(having, batch_format="pyarrow")
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    return (
+        qualifying.union(orders)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bkt")
+        .map_groups(join_back, batch_format="pandas")
+    )
+
+
+def cheapest_supplier_per_part(sf_dir: str, num_buckets: int = 64):
+    """TPC-H Q2-core-shaped ARGMIN join (this corpus has no partsupp
+    table, so the fact side is lineitem): for every part, the supplier
+    offering the minimum effective unit price
+    ``round(extendedprice·(1−discount)/quantity · 100)`` cents, ties
+    broken by the smaller suppkey — the distributed argmin-per-group
+    shape (SQL: ROW_NUMBER() OVER (PARTITION BY part ORDER BY price,
+    supp) = 1).
+
+    Scale shape: a per-batch per-part argmin combiner (one row per
+    (partkey, batch), the hottest part costs one row per batch) → one
+    ``groupby(partkey % num_buckets)`` bucket shuffle → in-group
+    vectorized argmin via lexsort. The supplier name resolves from a
+    broadcast (supplier is a dimension table: one ``ray.put`` of sorted
+    keys, searchsorted probe per batch)."""
+    import ray
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).take_all()
+    s_keys = np.array([r["s_suppkey"] for r in sup], np.int64)
+    s_names = np.array([r["s_name"] for r in sup], object)
+    order = np.argsort(s_keys)
+    sup_ref = ray.put((s_keys[order], s_names[order]))
+
+    def argmin_partial(batch: pa.Table) -> pa.Table:
+        # same op order as the SQL oracle's expression, and pc.round's
+        # half_towards_infinity == DuckDB round() (np.round would
+        # banker's-round the exact .5 boundaries differently)
+        unit = pc.multiply(
+            pc.divide(
+                pc.multiply(
+                    batch["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                ),
+                batch["l_quantity"],
+            ),
+            pa.scalar(100.0),
+        )
+        unit_cents = pc.cast(
+            pc.round(unit, round_mode="half_towards_infinity"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "p_partkey": batch["l_partkey"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "s_suppkey": batch["l_suppkey"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "unit_cents": unit_cents,
+            }
+        )
+        # in-batch argmin with the (price, suppkey) tie-break
+        df = df.sort_values(
+            ["p_partkey", "unit_cents", "s_suppkey"], kind="stable"
+        ).drop_duplicates("p_partkey")
+        df["bkt"] = df["p_partkey"].to_numpy(np.int64) % num_buckets
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def argmin_final(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group("cheapest_supplier(bucket)", None, len(group))
+        g = group.sort_values(
+            ["p_partkey", "unit_cents", "s_suppkey"], kind="stable"
+        ).drop_duplicates("p_partkey")
+        keys, names = _bcast(sup_ref)
+        sk = g["s_suppkey"].to_numpy(np.int64)
+        idx = np.searchsorted(keys, sk)
+        idx = np.clip(idx, 0, len(keys) - 1)
+        hit = keys[idx] == sk
+        resolved = np.where(hit, names[idx], None)
+        return pa.table(
+            {
+                "p_partkey": pa.array(g["p_partkey"].to_numpy(np.int64)),
+                "s_suppkey": pa.array(sk),
+                "s_name": pa.array(resolved, pa.string()),
+                "unit_cents": pa.array(g["unit_cents"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_suppkey", "l_quantity",
+             "l_extendedprice", "l_discount"],
+        )
+        .map_batches(argmin_partial, batch_format="pyarrow", batch_size=65536)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bkt")
+        .map_groups(argmin_final, batch_format="pandas")
+    )

@@ -932,3 +932,148 @@ def ngram_perplexity(sf_dir: str, m: int = 5000):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def c4_filter(sf_dir: str, num_buckets: int = 64):
+    """C4-style corpus-filter composite — the full keep/drop decision a
+    pretraining pipeline makes per document, as one dataflow: quality
+    heuristics (token/stopword thresholds) ∧ language gate (English by
+    the stopword-profile ID) ∧ exact-dedup election (min doc_id per
+    distinct text wins). This is the flagship "would this doc enter the
+    training set?" operator; the per-signal columns stay visible so a
+    user can audit WHY a doc dropped.
+
+    Scale shape: the quality/lang signals are map-only (pa.compute
+    kernels, no shuffle). The dedup flag costs two bounded shuffles:
+    (1) fp election — per-batch distinct-(fp, min doc_id) combiner rows
+    (the hottest duplicate text ships one row per batch) →
+    ``groupby(hash(fp) % num_buckets)`` elects the global min per fp
+    and emits only winner (doc_id) rows; (2) doc merge — winner rows
+    union the per-doc signal rows, ``groupby(doc_id % num_buckets)``,
+    in-group membership mark. No broadcast of the (corpus-sized)
+    survivor set, no full-text second pass — fp rides the shuffles,
+    text does not."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    def signals(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        n_tokens = pc.cast(_count_re(low, TOKEN_RE), pa.int64())
+        n_stop = pc.cast(_count_re(low, r"\b(the|and|of|a|to)\b"), pa.int64())
+        keep_quality = (
+            pc.and_(pc.greater_equal(n_tokens, 10), pc.greater(n_stop, 0))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        scores = {}
+        for lang in LANG_ORDER:
+            pat = r"\b(" + "|".join(LANG_PROFILES[lang]) + r")\b"
+            scores[lang] = _count_re(low, pat).to_numpy(zero_copy_only=False)
+        mat = np.stack([scores[lang] for lang in LANG_ORDER], axis=1)
+        keep_lang = (np.argmax(mat, axis=1) == 0).astype(np.int64)  # 'en'
+        fps = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "keep_quality": pa.array(keep_quality),
+                "keep_lang": pa.array(keep_lang),
+                "fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    def elect_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "fp": batch["fp"].to_pylist(),
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("fp", as_index=False)["doc_id"].min()  # combiner
+        bkt = np.array(
+            [
+                int.from_bytes(hashlib.md5(f.encode()).digest()[:4], "big")
+                % num_buckets
+                for f in g["fp"]
+            ],
+            np.int64,
+        )
+        return pa.Table.from_pandas(g.assign(bkt=bkt), preserve_index=False)
+
+    def elect(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group("c4_filter(fp bucket)", None, len(group))
+        winners = group.groupby("fp")["doc_id"].min().to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(winners),
+                "keep_quality": pa.array(np.zeros(len(winners), np.int64)),
+                "keep_lang": pa.array(np.zeros(len(winners), np.int64)),
+                "side": pa.array(["w"] * len(winners), pa.string()),
+            }
+        )
+
+    def tag_signal(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "keep_quality": batch["keep_quality"],
+                "keep_lang": batch["keep_lang"],
+                "side": pa.array(["s"] * len(batch), pa.string()),
+            }
+        )
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "dbkt", pa.array((d % num_buckets).astype(np.int64))
+        )
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group("c4_filter(doc bucket)", None, len(group))
+        s = group[group["side"] == "s"]
+        winners = set(
+            group.loc[group["side"] == "w", "doc_id"].to_numpy(np.int64)
+        )
+        d = s["doc_id"].to_numpy(np.int64)
+        kd = np.fromiter((x in winners for x in d), bool, len(d)).astype(
+            np.int64
+        )
+        kq = s["keep_quality"].to_numpy(np.int64)
+        kl = s["keep_lang"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "keep_quality": pa.array(kq),
+                "keep_lang": pa.array(kl),
+                "keep_dedup": pa.array(kd),
+                "keep": pa.array(kq & kl & kd),
+            }
+        )
+
+    sig = (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(signals, batch_format="pyarrow")
+        .materialize()  # split point: signals feed both the election and the merge
+    )
+    winners = (
+        sig.map_batches(elect_partial, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bkt")
+        .map_groups(elect, batch_format="pandas")
+    )
+    return (
+        sig.map_batches(tag_signal, batch_format="pyarrow")
+        .union(winners)
+        .map_batches(add_doc_bucket, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("dbkt")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -562,3 +562,58 @@ def test_ngram_perplexity_hot_bigram_and_table_cut(ray_session, tmp_path):
 
     snap = telemetry.snapshot()
     assert "ngram_perplexity(table)" in snap
+
+
+def test_c4_filter_hot_duplicate_and_signals(ray_session, tmp_path):
+    """The composite keep decision: the hottest duplicate text keeps
+    only its min-doc_id copy, non-English and low-quality docs drop,
+    and the per-signal columns expose why."""
+    from chug_ray.ops.textstats import c4_filter
+
+    good = ("the cat and the dog of the house went to the market and "
+            "bought a fish of great size")
+    texts, ids = [], []
+    for i in range(200):
+        if i == 5:
+            texts.append("le chat et le chien les deux vont au marche "
+                         "et le jour est long et les amis sont la")  # fr
+        elif i == 9:
+            texts.append("tiny")  # fails quality
+        elif i < 150:
+            texts.append(good)  # hot duplicate
+        else:
+            texts.append(f"{good} unique tail {i}")
+        ids.append(i)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        c4_filter(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(out) == 200
+    # the hot duplicate survives only at doc 0
+    dups = out[(out.doc_id < 150) & ~out.doc_id.isin([5, 9])]
+    assert dups[dups.doc_id == 0].keep.tolist() == [1]
+    assert (dups[dups.doc_id > 0].keep == 0).all()
+    assert (dups[dups.doc_id > 0].keep_dedup == 0).all()
+    assert (dups.keep_quality == 1).all() and (dups.keep_lang == 1).all()
+    # french doc: quality fine, lang gate drops it
+    fr = out[out.doc_id == 5].iloc[0]
+    assert fr.keep_lang == 0 and fr.keep == 0
+    # tiny doc: quality gate drops it
+    tiny = out[out.doc_id == 9].iloc[0]
+    assert tiny.keep_quality == 0 and tiny.keep == 0
+    # unique good docs all keep
+    uniq = out[out.doc_id >= 150]
+    assert (uniq.keep == 1).all()
+    from chug_ray import telemetry
+
+    snap = telemetry.snapshot()
+    assert "c4_filter(fp bucket)" in snap
+    assert "c4_filter(doc bucket)" in snap

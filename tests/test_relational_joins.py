@@ -283,3 +283,80 @@ def test_interval_join_huge_user_ids_no_overflow(ray_session, tmp_path):
     out = events_after_order(str(tmp_path), days=7).to_pandas()
     assert out["n_events_7d"].tolist() == [1]
     assert out["sum_value_e4"].tolist() == [10000]
+
+
+def test_large_quantity_orders_threshold_edges(ray_session, tmp_path):
+    """HAVING boundary: totals exactly at the threshold are excluded;
+    join-back resolves the order header for every qualifying key."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chug_ray.ops.relational import large_quantity_orders
+
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 3, 3, 3], pa.int64()),
+            "l_quantity": pa.array([100.0, 50.0, 150.0, 60.0, 60.0, 31.0]),
+        }
+    )
+    od = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([11, 12, 13], pa.int64()),
+            "o_orderdate": pa.array(
+                [np.datetime64("1995-01-01", "us")] * 3, pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(od, str(tmp_path / "orders.parquet"))
+    out = (
+        large_quantity_orders(str(tmp_path), threshold=150)
+        .to_pandas()
+        .sort_values("o_orderkey", ignore_index=True)
+    )
+    # order 1: 150 == threshold -> excluded; order 2: 150 -> excluded;
+    # order 3: 151 -> included
+    assert out.o_orderkey.tolist() == [3]
+    assert out.total_qty.tolist() == [151]
+    assert out.o_custkey.tolist() == [13]
+
+
+def test_cheapest_supplier_argmin_tiebreak(ray_session, tmp_path):
+    """Equal unit prices break to the smaller suppkey, across batch
+    boundaries (the in-batch combiner must not pre-commit a loser)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chug_ray.ops.relational import cheapest_supplier_per_part
+
+    # part 1: supp 9 at 2.00/unit then supp 3 at the same price -> 3 wins
+    # part 2: strictly cheaper later row wins regardless of suppkey
+    li = pa.table(
+        {
+            "l_partkey": pa.array([1, 1, 2, 2], pa.int64()),
+            "l_suppkey": pa.array([9, 3, 1, 8], pa.int64()),
+            "l_quantity": pa.array([5.0, 10.0, 1.0, 2.0]),
+            "l_extendedprice": pa.array([10.0, 20.0, 9.0, 10.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+        }
+    )
+    sup = pa.table(
+        {
+            "s_suppkey": pa.array([1, 3, 8, 9], pa.int64()),
+            "s_name": pa.array(["s1", "s3", "s8", "s9"]),
+        }
+    )
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(sup, str(tmp_path / "supplier.parquet"))
+    out = (
+        cheapest_supplier_per_part(str(tmp_path))
+        .to_pandas()
+        .sort_values("p_partkey", ignore_index=True)
+    )
+    assert out.p_partkey.tolist() == [1, 2]
+    assert out.s_suppkey.tolist() == [3, 8]  # tie->min key; then cheaper
+    assert out.unit_cents.tolist() == [200, 500]
+    assert out.s_name.tolist() == ["s3", "s8"]
