@@ -327,6 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_filter": textstats.c4_filter,
         "large_quantity_orders": relational.large_quantity_orders,
         "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
+        "gopher_filter": textstats.gopher_filter,
+        "rollup_revenue": relational.rollup_revenue,
+        "bm25_search": textstats.bm25_search,
         # --- dedup — SQL-oracled where expressible (r03-green)
         "exact_dedup": dedup.exact_dedup,
         "dedup_survivors": dedup.dedup_survivors,
@@ -404,6 +407,72 @@ def _lang_scores_sql() -> str:
             f"len(regexp_extract_all(lower(text), '{pat}')) AS score_{lang}"
         )
     return ", ".join(parts)
+
+
+def _gopher_stop_sql() -> str:
+    from chug_ray.ops.textstats import GOPHER_STOPWORDS
+
+    terms = [
+        f"(CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _bm25_oracle_sql(k: int = 10) -> str:
+    """BM25 oracle with the exact expression tree the Ray op evaluates
+    (same association order), so the doubles are bit-identical."""
+    from chug_ray.ops.textstats import BM25_QUERIES
+
+    terms = sorted({t for q in BM25_QUERIES for t in q})
+    tf_cols = ",\n                       ".join(
+        f"CAST(len(regexp_extract_all(lower(text), '\\b{t}\\b')) AS DOUBLE)"
+        f" AS tf_{t}"
+        for t in terms
+    )
+    per_query = []
+    for qi, q in enumerate(BM25_QUERIES):
+        contribs = " + ".join(
+            f"(ln(1 + (g.n_docs - f.df_{t} + 0.5) / (f.df_{t} + 0.5))"
+            f" * ((tf_{t} * 2.2)"
+            f" / (tf_{t} + 1.2 * (0.25 + 0.75 * dl / (g.tot / g.n_docs)))))"
+            for t in q
+        )
+        hits = " + ".join(
+            f"(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)" for t in q
+        )
+        per_query.append(f"""
+            SELECT query_id, doc_id, rank, round(score, 4) AS score FROM (
+                SELECT CAST({qi} AS BIGINT) AS query_id, doc_id, score,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                            AS BIGINT) AS rank
+                FROM (SELECT doc_id, ({contribs}) AS score,
+                             ({hits}) AS n_hits
+                      FROM d CROSS JOIN g CROSS JOIN f) WHERE n_hits > 0
+            ) WHERE rank <= {k}""")
+    df_cols = ", ".join(
+        f"(SELECT count(*) FROM documents"
+        f" WHERE regexp_matches(lower(text), '\\b{t}\\b')) AS df_{t}"
+        for t in terms
+    )
+    union = "\n            UNION ALL".join(per_query)
+    return f"""
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                            AS DOUBLE) AS dl,
+                       {tf_cols}
+                FROM documents
+            ), g AS (
+                SELECT count(*) AS n_docs,
+                       sum(CAST(len(regexp_extract_all(lower(text),
+                           '[a-z0-9]+')) AS BIGINT)) AS tot
+                FROM documents
+            ), f AS (
+                SELECT {df_cols}
+            )
+            {union}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -815,6 +884,66 @@ def oracle_sql() -> dict[str, str]:
                    s.s_name, r.unit_cents
             FROM r JOIN supplier s USING (s_suppkey) WHERE rn = 1
         """,
+        "gopher_filter": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(len({_TOK}) AS BIGINT) AS n_words,
+                       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]'))
+                            AS BIGINT) AS word_chars,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '[a-z0-9]*[a-z][a-z0-9]*')) AS BIGINT)
+                            AS n_alpha_words,
+                       CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                            AS BIGINT) AS n_symbols,
+                       CAST(len(regexp_extract_all(text, '\\n')) + 1
+                            AS BIGINT) AS n_lines,
+                       CAST(len(regexp_extract_all(text, '(?m)^[ \\t]*[-*]'))
+                            AS BIGINT) AS n_bullet_lines,
+                       CAST(len(regexp_extract_all(text, '(?m)\\.\\.\\.$'))
+                            AS BIGINT) AS n_ellipsis_lines,
+                       {_gopher_stop_sql()} AS n_stop_distinct
+                FROM documents
+            ), k AS (
+                SELECT *,
+                       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                            THEN 1 ELSE 0 END AS BIGINT) AS keep_words,
+                       CAST(CASE WHEN word_chars >= 3 * n_words
+                                  AND word_chars <= 10 * n_words
+                            THEN 1 ELSE 0 END AS BIGINT) AS keep_mean_wl,
+                       CAST(CASE WHEN 10 * n_symbols <= n_words
+                            THEN 1 ELSE 0 END AS BIGINT) AS keep_symbol,
+                       CAST(CASE WHEN 10 * n_bullet_lines <= 9 * n_lines
+                            THEN 1 ELSE 0 END AS BIGINT) AS keep_bullet,
+                       CAST(CASE WHEN 10 * n_ellipsis_lines <= 3 * n_lines
+                            THEN 1 ELSE 0 END AS BIGINT) AS keep_ellipsis,
+                       CAST(CASE WHEN 5 * n_alpha_words >= 4 * n_words
+                            THEN 1 ELSE 0 END AS BIGINT) AS keep_alpha,
+                       CAST(CASE WHEN n_stop_distinct >= 2
+                            THEN 1 ELSE 0 END AS BIGINT) AS keep_stop
+                FROM s
+            )
+            SELECT doc_id, n_words, word_chars, n_alpha_words, n_symbols,
+                   n_lines, n_bullet_lines, n_ellipsis_lines, n_stop_distinct,
+                   keep_words, keep_mean_wl, keep_symbol, keep_bullet,
+                   keep_ellipsis, keep_alpha, keep_stop,
+                   keep_words * keep_mean_wl * keep_symbol * keep_bullet
+                     * keep_ellipsis * keep_alpha * keep_stop AS keep
+            FROM k
+        """,
+        "rollup_revenue": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(GROUPING(l_returnflag) + GROUPING(l_linestatus)
+                        AS BIGINT) AS lvl,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                        AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "bm25_search": _bm25_oracle_sql(),
         "ngram_jaccard_pairs": f"""
             WITH t AS (
                 SELECT doc_id, lang, source, list_distinct({_TOK}) AS toks

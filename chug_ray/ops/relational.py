@@ -1340,3 +1340,90 @@ def cheapest_supplier_per_part(sf_dir: str, num_buckets: int = 64):
         .groupby("bkt")
         .map_groups(argmin_final, batch_format="pandas")
     )
+
+
+def rollup_revenue(sf_dir: str):
+    """Multi-granularity ROLLUP aggregate — GROUP BY ROLLUP(l_returnflag,
+    l_linestatus) over lineitem: finest cells, per-flag subtotals and the
+    grand total in one result, with a ``lvl`` column (0 finest, 1
+    subtotal, 2 grand) and 'ALL' standing in for rolled-up keys.
+
+    Reference anchor: no reference counterpart (chug has no relational
+    layer); extends the aggregation family (pricing_summary) with the
+    grouping-sets shape every reporting pipeline needs.
+
+    Scale shape: ONE distributed combiner groupby at the finest
+    granularity (integer-cents partials, exactly pricing_summary's
+    machinery); the coarser levels are derived from the finest *result*,
+    which is bounded by the attribute domain (|returnflag| × |linestatus|
+    enum cells — a few rows at any corpus size), so the trailing
+    ``repartition(1)`` touches a constant-size table, never the facts.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        revenue_cents = pc.cast(
+            pc.round(pc.multiply(disc_price, pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pc.cast(batch["l_quantity"], pa.int64()),
+                "revenue_cents": revenue_cents,
+            }
+        )
+
+    finest = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity",
+             "l_extendedprice", "l_discount"],
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        # single block: the finest table is attribute-domain-sized
+        df = df.copy()
+        for col in ("sum_qty", "revenue_cents", "count_order"):
+            df[col] = df[col].astype(np.int64)
+        df["lvl"] = np.int64(0)
+        sub = df.groupby("l_returnflag", as_index=False)[
+            ["sum_qty", "revenue_cents", "count_order"]
+        ].sum()
+        sub["l_linestatus"] = "ALL"
+        sub["lvl"] = np.int64(1)
+        grand = pd.DataFrame(
+            {
+                "l_returnflag": ["ALL"],
+                "l_linestatus": ["ALL"],
+                "sum_qty": [df["sum_qty"].sum()],
+                "revenue_cents": [df["revenue_cents"].sum()],
+                "count_order": [df["count_order"].sum()],
+                "lvl": [np.int64(2)],
+            }
+        )
+        cols = ["l_returnflag", "l_linestatus", "lvl",
+                "sum_qty", "revenue_cents", "count_order"]
+        out = pd.concat([df[cols], sub[cols], grand[cols]], ignore_index=True)
+        for col in ("lvl", "sum_qty", "revenue_cents", "count_order"):
+            out[col] = out[col].astype(np.int64)
+        return out
+
+    return finest.repartition(1).map_batches(
+        roll, batch_format="pandas", batch_size=None
+    )

@@ -1077,3 +1077,256 @@ def c4_filter(sf_dir: str, num_buckets: int = 64):
         .groupby("dbkt")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# Gopher rule set (Rae et al. 2021, "Scaling Language Models: ... Gopher",
+# table A1) — re-expressed integer-exact so the keep decision is
+# hash-comparable against a SQL oracle: every ratio threshold r is the
+# cross-multiplied integer inequality (e.g. mean word length >= 3 becomes
+# word_chars >= 3 * n_words).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(sf_dir: str):
+    """Gopher-rules corpus quality filter — the published heuristic
+    battery (word count bounds, mean word length, symbol-to-word ratio,
+    bullet/ellipsis line ratios, alphabetic-word fraction, >=2 distinct
+    stop words), one keep flag per rule plus the conjunction, all
+    integer-exact.
+
+    Reference anchor: the reference engine has no quality filter; this
+    extends the corpus-filter family (quality_score, c4_filter) with the
+    published Gopher rule set.
+
+    Scale shape: map-only — every signal is a non-overlapping RE2 count
+    (pa.compute count_substring_regex) over the text column; no shuffle,
+    no state, streams at any scale. The same RE2 patterns run verbatim in
+    the DuckDB oracle, so match semantics are engine-identical.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        low = pc.utf8_lower(batch["text"])
+        n_words = _count_re(low, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.int64)
+        word_chars = _count_re(low, "[a-z0-9]").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_alpha = (
+            _count_re(low, "[a-z0-9]*[a-z][a-z0-9]*")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_sym = (
+            _count_re(batch["text"], r"#|\.\.\.")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_nl = _count_re(batch["text"], "\n").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_lines = n_nl + 1
+        n_bullet = (
+            _count_re(batch["text"], r"(?m)^[ \t]*[-*]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_ellip = (
+            _count_re(batch["text"], r"(?m)\.\.\.$")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_stop = np.zeros(len(batch), np.int64)
+        for w in GOPHER_STOPWORDS:
+            n_stop += (
+                _count_re(low, rf"\b{w}\b").to_numpy(zero_copy_only=False) > 0
+            ).astype(np.int64)
+
+        keep_words = ((n_words >= 50) & (n_words <= 100_000)).astype(np.int64)
+        keep_mean_wl = (
+            (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
+        ).astype(np.int64)
+        keep_symbol = (10 * n_sym <= n_words).astype(np.int64)
+        keep_bullet = (10 * n_bullet <= 9 * n_lines).astype(np.int64)
+        keep_ellipsis = (10 * n_ellip <= 3 * n_lines).astype(np.int64)
+        keep_alpha = (5 * n_alpha >= 4 * n_words).astype(np.int64)
+        keep_stop = (n_stop >= 2).astype(np.int64)
+        keep = (
+            keep_words
+            * keep_mean_wl
+            * keep_symbol
+            * keep_bullet
+            * keep_ellipsis
+            * keep_alpha
+            * keep_stop
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words),
+                "word_chars": pa.array(word_chars),
+                "n_alpha_words": pa.array(n_alpha),
+                "n_symbols": pa.array(n_sym),
+                "n_lines": pa.array(n_lines),
+                "n_bullet_lines": pa.array(n_bullet),
+                "n_ellipsis_lines": pa.array(n_ellip),
+                "n_stop_distinct": pa.array(n_stop),
+                "keep_words": pa.array(keep_words),
+                "keep_mean_wl": pa.array(keep_mean_wl),
+                "keep_symbol": pa.array(keep_symbol),
+                "keep_bullet": pa.array(keep_bullet),
+                "keep_ellipsis": pa.array(keep_ellipsis),
+                "keep_alpha": pa.array(keep_alpha),
+                "keep_stop": pa.array(keep_stop),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+# BM25 retrieval (Robertson/Okapi, k1=1.2, b=0.75) over the documents
+# table for a fixed deterministic query set. Terms drawn from the synth
+# corpus vocabulary; one rare term ("dup") exercises the idf contrast.
+BM25_QUERIES = (
+    ("hash", "join"),
+    ("stream", "filter", "window"),
+    ("dup", "merge"),
+)
+
+
+def bm25_search(sf_dir: str, k: int = 10):
+    """BM25 top-k retrieval — scores every document against each fixed
+    query and returns the k best per query (rank, score) — the lexical
+    search primitive of a training-data curation stack (e.g. quality
+    anchoring, targeted corpus probes).
+
+    Reference anchor: no reference counterpart; extends the text-analysis
+    family with classic sparse retrieval.
+
+    Scale shape (one bounded shuffle + one map pass):
+
+    1. stats pass — per-batch combiner rows: one row per query term
+       (partial document frequency) plus one totals row (doc count,
+       token count); ``groupby(term)`` sums ≤ |terms|+1 rows per batch,
+       and the driver pulls only that |terms|+1-row table (bounded by
+       the query set, not the corpus).
+    2. scoring pass — idf/avgdl ride into the closure (a few floats);
+       per-batch tf via RE2 counts, vectorized BM25, and a local top-k
+       prune so each batch ships ≤ k rows per query into the final
+       per-query selection (``groupby(query_id).map_groups``), the same
+       partial-top-k shape as knn_bruteforce.
+
+    Float parity: every arithmetic step mirrors the DuckDB oracle's
+    expression tree (same association order, same libm log), so the
+    doubles are bit-identical and ranking agrees exactly; scores are
+    rounded to 4 decimals only at the output edge.
+    """
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    terms = sorted({t for q in BM25_QUERIES for t in q})
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        n_tok = int(
+            _count_re(low, TOKEN_RE).to_numpy(zero_copy_only=False).sum()
+        )
+        rows_t, rows_df = [], []
+        for t in terms:
+            hit = (
+                _count_re(low, rf"\b{t}\b").to_numpy(zero_copy_only=False) > 0
+            )
+            rows_t.append(t)
+            rows_df.append(int(hit.sum()))
+        return pa.table(
+            {
+                "term": pa.array(rows_t + [""], pa.string()),
+                "df": pa.array(rows_df + [0], pa.int64()),
+                "n_docs": pa.array([0] * len(terms) + [len(batch)], pa.int64()),
+                "n_tokens": pa.array([0] * len(terms) + [n_tok], pa.int64()),
+            }
+        )
+
+    stats = (
+        _docs(sf_dir)
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs
+        .groupby("term")
+        .aggregate(
+            Sum("df", alias_name="df"),
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .take_all()  # bounded: |query terms| + 1 rows
+    )
+    n_docs = sum(r["n_docs"] for r in stats)
+    tot_tokens = sum(r["n_tokens"] for r in stats)
+    avgdl = tot_tokens / n_docs  # double, same expression as the oracle
+    df_map = {r["term"]: r["df"] for r in stats if r["term"]}
+    idf = {
+        t: math.log(1 + (n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5))
+        for t in terms
+    }
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        dl = (
+            _count_re(low, TOKEN_RE)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = {
+            t: _count_re(low, rf"\b{t}\b")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            for t in terms
+        }
+        out_q, out_d, out_s = [], [], []
+        for qi, q in enumerate(BM25_QUERIES):
+            score = np.zeros(len(dl), np.float64)
+            hits = np.zeros(len(dl), np.int64)
+            for t in q:  # fixed order == the oracle's left-assoc sum
+                contrib = idf[t] * (
+                    (tf[t] * 2.2)
+                    / (tf[t] + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                )
+                score = score + contrib
+                hits += (tf[t] > 0).astype(np.int64)
+            mask = hits > 0
+            s, d = score[mask], doc_id[mask]
+            order = np.lexsort((d, -s))[:k]  # local top-k prune
+            out_q.extend([qi] * len(order))
+            out_d.extend(d[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score_raw": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def final_topk(group: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        s = group["score_raw"].to_numpy(np.float64)
+        d = group["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((d, -s))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    group["query_id"].to_numpy(np.int64)[order]
+                ),
+                "doc_id": pa.array(d[order]),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "score": pa.array(np.round(s[order], 4)),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(score_partial, batch_format="pyarrow")
+        .materialize()  # partials before the shuffle
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
