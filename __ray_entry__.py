@@ -330,6 +330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": textstats.gopher_filter,
         "rollup_revenue": relational.rollup_revenue,
         "bm25_search": textstats.bm25_search,
+        "mad_outliers": textstats.mad_outliers,
+        "weighted_sample_k": textstats.weighted_sample_k,
         # --- dedup — SQL-oracled where expressible (r03-green)
         "exact_dedup": dedup.exact_dedup,
         "dedup_survivors": dedup.dedup_survivors,
@@ -944,6 +946,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "bm25_search": _bm25_oracle_sql(),
+        "mad_outliers": """
+            WITH m AS (
+                SELECT lang, quantile_disc(n_chars, 0.5) AS med
+                FROM documents GROUP BY lang
+            ), a AS (
+                SELECT d.lang,
+                       quantile_disc(abs(d.n_chars - m.med), 0.5) AS mad
+                FROM documents d JOIN m USING (lang) GROUP BY d.lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   CAST(m.med AS BIGINT) AS med,
+                   CAST(a.mad AS BIGINT) AS mad,
+                   CAST(CASE WHEN abs(d.n_chars - m.med) > 3 * a.mad
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+            FROM documents d JOIN m USING (lang) JOIN a ON d.lang = a.lang
+        """,
+        "weighted_sample_k": """
+            WITH s AS (
+                SELECT doc_id, n_chars,
+                       ln((CAST((CAST(doc_id AS HUGEINT) * 2654435761)
+                                % 4294967296 AS DOUBLE) + 0.5) / 4294967296)
+                         / CAST(n_chars AS DOUBLE) AS skey
+                FROM documents
+            )
+            SELECT CAST(row_number() OVER (ORDER BY skey DESC, doc_id)
+                        AS BIGINT) AS rank,
+                   doc_id, n_chars, round(skey, 8) AS sample_key
+            FROM s ORDER BY skey DESC, doc_id LIMIT 20
+        """,
         "ngram_jaccard_pairs": f"""
             WITH t AS (
                 SELECT doc_id, lang, source, list_distinct({_TOK}) AS toks

@@ -1330,3 +1330,171 @@ def bm25_search(sf_dir: str, k: int = 10):
         .groupby("query_id")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+def mad_outliers(sf_dir: str):
+    """Per-language robust outlier flag — |n_chars − median| > 3·MAD,
+    with median and MAD both *discrete* (quantile_disc semantics:
+    sorted value at ceil(0.5·n)−1), so the whole rule is integer-exact.
+
+    Reference anchor: no reference counterpart; extends the corpus
+    statistics family (chars_quantiles) into per-group robust filtering
+    — the standard length-outlier gate of a curation pipeline.
+
+    Scale shape: ONE (lang, n_chars) value-count combiner shuffle
+    (chars_quantiles' machinery — cardinality = distinct values, capped
+    by VALUE_DOMAIN_CAP with loud failure); median and MAD are derived
+    per lang from the count table (MAD's |v−med| re-aggregation happens
+    on the same domain-bounded counts, no second corpus pass); the
+    per-lang (med, mad) table — bounded by |langs| — rides into the
+    flagging map's closure. Two corpus passes total, nothing
+    corpus-sized on the driver.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def value_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby(["lang", "n_chars"], as_index=False).agg(
+            n=("n_chars", "size")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = (
+        _docs(sf_dir, ("lang", "n_chars"))
+        .map_batches(value_counts, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded: distinct (lang, value) cells (capped below)
+    )
+    if len(counts) > VALUE_DOMAIN_CAP * 8:
+        raise ValueError(
+            f"mad_outliers: {len(counts)} distinct (lang, n_chars) cells "
+            f"exceed the value-domain assumption — bucketize first"
+        )
+
+    def _disc_median(values: np.ndarray, ns: np.ndarray) -> int:
+        order = np.argsort(values, kind="stable")
+        v, c = values[order], ns[order]
+        cum = c.cumsum()
+        total = int(cum[-1])
+        idx = max(0, math.ceil(0.5 * total) - 1)
+        return int(v[np.searchsorted(cum, idx + 1)])
+
+    stats = {}
+    cdf = pd.DataFrame(counts)
+    for lang, g in cdf.groupby("lang"):
+        vals = g["n_chars"].to_numpy(np.int64)
+        ns = g["n"].to_numpy(np.int64)
+        med = _disc_median(vals, ns)
+        dev = pd.DataFrame({"d": np.abs(vals - med), "n": ns}).groupby(
+            "d", as_index=False
+        )["n"].sum()
+        mad = _disc_median(
+            dev["d"].to_numpy(np.int64), dev["n"].to_numpy(np.int64)
+        )
+        stats[lang] = (med, mad)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        med = np.array([stats[l][0] for l in langs], np.int64)
+        mad = np.array([stats[l][1] for l in langs], np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_chars": pa.array(x),
+                "med": pa.array(med),
+                "mad": pa.array(mad),
+                "is_outlier": pa.array(
+                    (np.abs(x - med) > 3 * mad).astype(np.int64)
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "lang", "n_chars")).map_batches(
+        flag, batch_format="pyarrow"
+    )
+
+
+def weighted_sample_k(sf_dir: str, k: int = 20):
+    """Deterministic weighted sampling WITHOUT replacement (A-ES /
+    Efraimidis-Spirakis): each doc draws a keyed uniform u from a
+    multiplicative hash of doc_id, scores ln(u)/weight (weight =
+    n_chars), and the k largest scores win — the distributed, seedable
+    version of 'sample k docs proportionally to length'.
+
+    Reference anchor: the reference's sampling is shard-level
+    (weighted resample/union, ops/sources.py); this adds the row-level
+    weighted-k primitive a curation pipeline uses for audits and
+    eval-set draws.
+
+    Scale shape: map-only scoring + per-batch partial top-k (each batch
+    ships ≤ k rows) + one constant-key final selection — the
+    knn_bruteforce shape; nothing corpus-sized moves.
+
+    Float parity: u = ((doc_id·2654435761 mod 2³²) + 0.5) / 2³² and the
+    ln(u)/w expression mirror the DuckDB oracle term-for-term, so
+    ranking agrees bit-exactly (uint64 wraparound and HUGEINT agree
+    mod 2³²).
+    """
+    import numpy as np
+    import pandas as pd
+
+    M = np.uint64(2654435761)
+    MOD = np.uint64(4294967296)
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = (d * M) % MOD  # == exact product mod 2^32 (2^32 | 2^64)
+        u = (h.astype(np.float64) + 0.5) / 4294967296.0
+        skey = np.log(u) / w
+        order = np.lexsort(
+            (d.astype(np.int64), -skey)
+        )[:k]  # local top-k prune
+        return pa.table(
+            {
+                "doc_id": pa.array(d[order].astype(np.int64)),
+                "n_chars": pa.array(
+                    batch["n_chars"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[order]
+                ),
+                "skey": pa.array(skey[order]),
+                "one": pa.array(np.zeros(len(order), np.int64)),
+            }
+        )
+
+    def final_topk(group: pd.DataFrame) -> pa.Table:
+        s = group["skey"].to_numpy(np.float64)
+        d = group["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((d, -s))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "doc_id": pa.array(d[order]),
+                "n_chars": pa.array(
+                    group["n_chars"].to_numpy(np.int64)[order]
+                ),
+                "sample_key": pa.array(np.round(s[order], 8)),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ("doc_id", "n_chars"))
+        .map_batches(score_partial, batch_format="pyarrow")
+        .materialize()  # partials before the shuffle
+        .groupby("one")
+        .map_groups(final_topk, batch_format="pandas")
+    )
