@@ -98,3 +98,89 @@ def test_cms_heavy_hitters_bounds(ray_session):
     for tok, true_n in exact.items():
         assert est[tok] >= true_n, (tok, est[tok], true_n)
         assert est[tok] <= true_n + max(50, 0.01 * n_total), (tok, est[tok], true_n)
+
+
+def test_mad_outliers_domain_cap(ray_session, tmp_path, monkeypatch):
+    """mad_outliers must fail loudly (not silently build a giant driver
+    table) when the (lang, n_chars) cell count exceeds the domain cap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from chug_ray.ops import textstats
+
+    n = 64
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array(range(100, 100 + n), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(textstats, "VALUE_DOMAIN_CAP", 4)
+    with pytest.raises(ValueError, match="value-domain"):
+        textstats.mad_outliers(str(tmp_path))
+
+
+def test_weighted_sample_prefers_heavy_docs(ray_session, tmp_path):
+    """A-ES sampling is weight-proportional: with 90% light docs (w=10)
+    and 10% heavy docs (w=10000), the heavy minority must dominate the
+    top-k draw. Deterministic (keyed hash), so the assertion is exact
+    for this fixture, not flaky."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chug_ray.ops.textstats import weighted_sample_k
+
+    n = 500
+    w = [10000 if i % 10 == 0 else 10 for i in range(n)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array(w, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = weighted_sample_k(str(tmp_path), k=20).take_all()
+    assert len(out) == 20
+    heavy = sum(1 for r in out if r["n_chars"] == 10000)
+    # heavy docs are 10% of the corpus but carry ~99% of total weight
+    assert heavy >= 16, f"only {heavy}/20 heavy docs sampled"
+    # ranks are 1..k and keys are non-increasing
+    ranks = [r["rank"] for r in out]
+    assert sorted(ranks) == list(range(1, 21))
+    keys = [r["sample_key"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert all(a >= b for a, b in zip(keys, keys[1:]))
+
+
+def test_bm25_rare_term_dominates(ray_session):
+    """The 'dup merge' query contains one rare term (dup); docs that
+    actually contain 'dup' must outrank docs that only match the common
+    term, and every returned doc must contain at least one query term."""
+    import duckdb
+
+    from chug_ray.ops.textstats import bm25_search
+
+    sf = "/root/testdata/sf0.001"
+    out = [r for r in bm25_search(sf).take_all() if r["query_id"] == 2]
+    assert len(out) == 10
+    con = duckdb.connect()
+    dup_docs = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM '{sf}/documents.parquet' "
+            "WHERE regexp_matches(lower(text), '\\bdup\\b')"
+        ).fetchall()
+    }
+    assert dup_docs, "fixture lost its rare term"
+    top = sorted(out, key=lambda r: r["rank"])
+    # with ~29 'dup' occurrences in 500 docs, idf(dup) >> idf(merge):
+    # the top ranks must all be dup-containing docs
+    n_lead = min(len(dup_docs), 5)
+    assert all(r["doc_id"] in dup_docs for r in top[:n_lead]), top[:n_lead]
