@@ -1343,16 +1343,19 @@ def substring_dedup(sf_dir: str, k: int = 5, num_buckets: int = 64):
     Scale shape (two bounded shuffles, loser-split combiner):
 
     1. window election — each batch tokenizes its docs, hashes every
-       k-gram (md5, so the SQL oracle can reproduce the key exactly;
-       at 100 TB the 128-bit space keeps collisions ≈ (n²/2)·2⁻¹²⁸ ≈ 0),
-       and *locally resolves intra-batch duplicates*: for a gram seen
-       twice in one batch, only the min-packed occurrence enters the
-       gram shuffle (side 's'); the rest are already-proven duplicates
-       and short-circuit to the doc shuffle as (doc_id, pos) loser rows
-       (side 'd'). The hottest possible gram therefore costs one
-       shuffle row per batch, not per occurrence — same skew bound as
-       paragraph_dedup's combiner.
-    2. global election — ``groupby(hash(gkey) % num_buckets)`` groups
+       k-gram with TWO independent 64-bit polynomial hashes over cached
+       blake2b-64 token hashes (vectorized sliding windows — no
+       per-window Python; ≈128-bit combined key space keeps distinct-
+       gram collisions ≈ (n²/2)·2⁻¹²⁸ ≈ 0 at 100 TB; the key never
+       leaves the engine, so the SQL oracle matches by gram identity,
+       not key value), and *locally resolves intra-batch duplicates*
+       via one lexsort: for a gram seen twice in one batch, only the
+       min-packed occurrence enters the gram shuffle (side 's'); the
+       rest are already-proven duplicates and short-circuit to the doc
+       shuffle as (doc_id, pos) loser rows (side 'd'). The hottest
+       possible gram therefore costs one shuffle row per batch, not per
+       occurrence — same skew bound as paragraph_dedup's combiner.
+    2. global election — ``groupby(g1 % num_buckets)`` groups
        the batch-minima; within a gram, every row except the global min
        decodes its packed (doc_id, pos) and joins the loser stream.
     3. reassembly — losers ∪ (doc_id, text) rows, bucketed by
@@ -1368,50 +1371,130 @@ def substring_dedup(sf_dir: str, k: int = 5, num_buckets: int = 64):
 
     _POS_BITS = 20  # pos < 1M windows per doc; doc_id < 2^43
 
+    # two independent polynomial hashes (vectorized): multiplier powers
+    # A^(k-1-j), B^(k-1-j) mod 2^64; the second runs over splitmix64-mixed
+    # token hashes so the pair behaves as a ~128-bit gram key
+    _A, _B = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
+    _MULT_A = np.array(
+        [pow(_A, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64
+    )
+    _MULT_B = np.array(
+        [pow(_B, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64
+    )
+
+    def _mix64(x: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer, vectorized uint64
+        with np.errstate(over="ignore"):
+            x = (x + np.uint64(0x9E3779B97F4A7C15))
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return x ^ (x >> np.uint64(31))
+
     def _win_partial(batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        # side 's': one row per distinct gram in this batch (min packed)
-        best: dict[bytes, int] = {}
-        # side 'd': intra-batch losers, resolved without shuffling
-        l_doc, l_pos = [], []
-        for d, text in zip(doc_ids, batch["text"].to_pylist()):
-            assert 0 <= d < (1 << 43), "doc_id overflows the packed key"
+        import pandas as pd
+
+        swv = np.lib.stride_tricks.sliding_window_view
+        # one pass: tokenize per doc (inherent), then everything batch-level
+        all_toks: list[str] = []
+        lens_l, dids_l = [], []
+        for d, text in zip(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["text"].to_pylist(),
+        ):
             toks = _TOKEN_RE.findall(text.lower())
-            n = len(toks)
-            if n - k + 1 >= (1 << _POS_BITS):
+            all_toks.extend(toks)
+            lens_l.append(len(toks))
+            dids_l.append(int(d))
+        lens = np.array(lens_l, np.int64)
+        dids = np.array(dids_l, np.int64)
+        if len(dids):
+            assert dids.min() >= 0 and dids.max() < (1 << 43), (
+                "doc_id overflows the packed key"
+            )
+            if int((lens - k + 1).max()) >= (1 << _POS_BITS):
+                bad = dids[np.argmax(lens)]
                 raise ValueError(
-                    f"doc {d} has {n} tokens — window pos overflows the "
-                    f"packed (doc_id, pos) key ({_POS_BITS} bits)"
+                    f"doc {bad} has {int(lens.max())} tokens — window pos "
+                    f"overflows the packed (doc_id, pos) key ({_POS_BITS} bits)"
                 )
-            base = int(d) << _POS_BITS
-            for pos in range(n - k + 1):
-                g = hashlib.md5(" ".join(toks[pos : pos + k]).encode()).digest()
-                packed = base | pos
-                prev = best.get(g)
-                if prev is None:
-                    best[g] = packed
-                elif packed < prev:  # displaced batch-min is a loser
-                    best[g] = packed
-                    l_doc.append(prev >> _POS_BITS)
-                    l_pos.append(prev & ((1 << _POS_BITS) - 1))
-                else:
-                    l_doc.append(int(d))
-                    l_pos.append(pos)
-        gkeys = [g.hex() for g in best]  # hex: matches DuckDB md5()
-        bkt = [
-            int.from_bytes(g[:4], "big") % num_buckets for g in best
-        ]
-        side = ["s"] * len(best) + ["d"] * len(l_doc)
+        th_all = np.empty(len(all_toks), np.uint64)
+        if all_toks:
+            # hash only DISTINCT tokens (cached per process); factorize is
+            # the vectorized token→code map
+            codes, uniques = pd.factorize(np.array(all_toks, dtype=object))
+            uh = np.array(
+                [_SKETCH_CACHE.setdefault(t, _token_hash(t)) for t in uniques],
+                dtype=np.uint64,
+            )
+            th_all = uh[codes]
+        if len(th_all) >= k:
+            with np.errstate(over="ignore"):
+                g1_all = (swv(th_all, k) * _MULT_A[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+                g2_all = (swv(_mix64(th_all), k) * _MULT_B[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+            # keep only windows that don't cross a doc boundary
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            npos = np.maximum(lens - k + 1, 0)
+            wpos = np.arange(int(npos.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(npos)[:-1]]), npos
+            )
+            widx = np.repeat(starts, npos) + wpos
+            g1, g2 = g1_all[widx], g2_all[widx]
+            packed = (np.repeat(dids, npos) << _POS_BITS) + wpos
+        else:
+            g1 = np.empty(0, np.uint64)
+            g2 = np.empty(0, np.uint64)
+            packed = np.empty(0, np.int64)
+        # intra-batch election in one lexsort: first (g1, g2) occurrence
+        # by packed order wins side 's'; the rest short-circuit as 'd'
+        order = np.lexsort((packed, g2, g1))
+        g1, g2, packed = g1[order], g2[order], packed[order]
+        win = np.ones(len(g1), bool)
+        if len(g1):
+            win[1:] = (g1[1:] != g1[:-1]) | (g2[1:] != g2[:-1])
+        lose = ~win
+        n_w, n_l = int(win.sum()), int(lose.sum())
+        side = ["s"] * n_w + ["d"] * n_l
         return pa.table(
             {
                 "side": pa.array(side, pa.string()),
-                "gkey": pa.array(gkeys + [""] * len(l_doc), pa.string()),
-                "packed": pa.array(
-                    list(best.values()) + [0] * len(l_doc), pa.int64()
+                "g1": pa.array(
+                    np.concatenate(
+                        [g1[win].view(np.int64), np.zeros(n_l, np.int64)]
+                    )
                 ),
-                "bkt": pa.array(bkt + [-1] * len(l_doc), pa.int64()),
-                "doc_id": pa.array([0] * len(best) + l_doc, pa.int64()),
-                "pos": pa.array([0] * len(best) + l_pos, pa.int64()),
+                "g2": pa.array(
+                    np.concatenate(
+                        [g2[win].view(np.int64), np.zeros(n_l, np.int64)]
+                    )
+                ),
+                "packed": pa.array(
+                    np.concatenate([packed[win], np.zeros(n_l, np.int64)])
+                ),
+                "bkt": pa.array(
+                    np.concatenate(
+                        [
+                            (g1[win] % np.uint64(num_buckets)).astype(np.int64),
+                            np.full(n_l, -1, np.int64),
+                        ]
+                    )
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(
+                        [np.zeros(n_w, np.int64), packed[lose] >> _POS_BITS]
+                    )
+                ),
+                "pos": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(n_w, np.int64),
+                            packed[lose] & np.int64((1 << _POS_BITS) - 1),
+                        ]
+                    )
+                ),
             }
         )
 
@@ -1427,18 +1510,19 @@ def substring_dedup(sf_dir: str, k: int = 5, num_buckets: int = 64):
         from chug_ray.telemetry import record_group
 
         record_group("substring_dedup(bucket)", None, len(group))
-        mins = group.groupby("gkey")["packed"].transform("min")
-        losers = group.loc[group["packed"] > mins, "packed"].to_numpy(
-            np.int64
-        )
+        g1 = group["g1"].to_numpy(np.int64)
+        g2 = group["g2"].to_numpy(np.int64)
+        packed = group["packed"].to_numpy(np.int64)
+        order = np.lexsort((packed, g2, g1))
+        g1, g2, packed = g1[order], g2[order], packed[order]
+        lose = np.zeros(len(g1), bool)
+        if len(g1):
+            lose[1:] = (g1[1:] == g1[:-1]) & (g2[1:] == g2[:-1])
+        losers = packed[lose]
         return pa.table(
             {
-                "doc_id": pa.array(
-                    (losers >> _POS_BITS).astype(np.int64)
-                ),
-                "pos": pa.array(
-                    (losers & ((1 << _POS_BITS) - 1)).astype(np.int64)
-                ),
+                "doc_id": pa.array(losers >> _POS_BITS),
+                "pos": pa.array(losers & np.int64((1 << _POS_BITS) - 1)),
             }
         )
 
