@@ -1368,19 +1368,21 @@ def mad_outliers(sf_dir: str):
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    counts = (
+    counts_ds = (
         _docs(sf_dir, ("lang", "n_chars"))
         .map_batches(value_counts, batch_format="pyarrow")
         .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs
         .groupby(["lang", "n_chars"])
         .aggregate(Sum("n", alias_name="n"))
-        .take_all()  # bounded: distinct (lang, value) cells (capped below)
+        .materialize()  # guard BEFORE the driver pull
     )
-    if len(counts) > VALUE_DOMAIN_CAP * 8:
+    n_cells = counts_ds.count()
+    if n_cells > VALUE_DOMAIN_CAP:
         raise ValueError(
-            f"mad_outliers: {len(counts)} distinct (lang, n_chars) cells "
+            f"mad_outliers: {n_cells} distinct (lang, n_chars) cells "
             f"exceed the value-domain assumption — bucketize first"
         )
+    counts = counts_ds.take_all()  # bounded: checked against the cap above
 
     def _disc_median(values: np.ndarray, ns: np.ndarray) -> int:
         order = np.argsort(values, kind="stable")

@@ -184,3 +184,38 @@ def test_bm25_rare_term_dominates(ray_session):
     # the top ranks must all be dup-containing docs
     n_lead = min(len(dup_docs), 5)
     assert all(r["doc_id"] in dup_docs for r in top[:n_lead]), top[:n_lead]
+
+
+def test_new_ops_edge_cases(ray_session, tmp_path):
+    """Empty text, zero-weight docs and a tiny corpus must not crash any
+    of the round-4 ops; zero-weight docs sort last (-inf key) in the
+    weighted sample, matching the oracle's ln(u)/0 semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chug_ray.ops import textstats
+    from chug_ray.ops.dedup import substring_dedup
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["", "the cat and the hat with a bat", "hash join dup"],
+                pa.string(),
+            ),
+            "lang": pa.array(["en", "en", "fr"], pa.string()),
+            "source": pa.array(["s", "s", "s"], pa.string()),
+            "n_chars": pa.array([0, 30, 13], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    assert len(textstats.gopher_filter(sf).take_all()) == 3
+    assert len(textstats.mad_outliers(sf).take_all()) == 3
+    assert len(substring_dedup(sf).take_all()) == 3
+    bm = textstats.bm25_search(sf).take_all()
+    assert all(r["score"] > 0 for r in bm)  # only term-hit docs returned
+    ws = sorted(
+        textstats.weighted_sample_k(sf).take_all(), key=lambda r: r["rank"]
+    )
+    assert ws[-1]["doc_id"] == 0 and ws[-1]["sample_key"] == float("-inf")
