@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": textstats.bm25_search,
         "mad_outliers": textstats.mad_outliers,
         "weighted_sample_k": textstats.weighted_sample_k,
+        "late_shipment_orders": relational.late_shipment_orders,
+        "cust_order_distribution": relational.cust_order_distribution,
         # --- dedup — SQL-oracled where expressible (r03-green)
         "exact_dedup": dedup.exact_dedup,
         "dedup_survivors": dedup.dedup_survivors,
@@ -946,6 +948,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "bm25_search": _bm25_oracle_sql(),
+        "late_shipment_orders": """
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_late_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o.o_orderpriority
+        """,
+        "cust_order_distribution": """
+            WITH c AS (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey
+            )
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM c GROUP BY c_count
+        """,
         "mad_outliers": """
             WITH m AS (
                 SELECT lang, quantile_disc(n_chars, 0.5) AS med

@@ -1427,3 +1427,193 @@ def rollup_revenue(sf_dir: str):
     return finest.repartition(1).map_batches(
         roll, batch_format="pandas", batch_size=None
     )
+
+
+def late_shipment_orders(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    lag_days: int = 90,
+    num_buckets: int = 64,
+):
+    """TPC-H Q4-shaped composite: orders in a date window having at
+    least one lineitem shipped more than ``lag_days`` after the order
+    date, counted per priority — an EXISTS semi-join whose predicate
+    compares columns ACROSS the two tables (l_shipdate vs o_orderdate),
+    so neither side can resolve it alone.
+
+    Scale shape: EXISTS(ship > odate + lag) ⇔ max(ship) > odate + lag,
+    so the lineitem side reduces to a per-batch per-orderkey MAX
+    combiner (one row per (orderkey, batch)); partials and the filtered
+    order headers co-shuffle in ONE ``orderkey % num_buckets`` bucket
+    pass (large_quantity_orders' fused shape), each group resolves the
+    cross-table inequality in-place and emits per-priority partial
+    counts; a final priority-key groupby sums ≤ |priorities| rows per
+    bucket. Timestamps ride as int64 microseconds — integer-exact."""
+
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    lag_us = np.int64(lag_days) * 86_400_000_000
+
+    def ship_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "ship_us": pc.cast(batch["l_shipdate"], pa.int64()).to_numpy(),
+            }
+        )
+        g = df.groupby("o_orderkey", as_index=False)["ship_us"].max()
+        return pa.table(
+            {
+                "o_orderkey": pa.array(g["o_orderkey"].to_numpy(np.int64)),
+                "ship_us": pa.array(g["ship_us"].to_numpy(np.int64)),
+                "odate_us": pa.array(np.zeros(len(g), np.int64)),
+                "o_orderpriority": pa.array([""] * len(g), pa.string()),
+                "side": pa.array(["l"] * len(g), pa.string()),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        od = pc.cast(batch["o_orderdate"], pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(od, pa.scalar(int(lo))),
+            pc.less(od, pa.scalar(int(hi))),
+        )
+        batch = batch.filter(keep)
+        od = pc.cast(batch["o_orderdate"], pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "ship_us": pa.array(np.zeros(len(batch), np.int64)),
+                "odate_us": od,
+                "o_orderpriority": batch["o_orderpriority"],
+                "side": pa.array(["o"] * len(batch), pa.string()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bkt", pa.array((k % num_buckets).astype(np.int64))
+        )
+
+    def resolve(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group("late_shipment_orders(bucket)", None, len(group))
+        l = (
+            group[group["side"] == "l"]
+            .groupby("o_orderkey", as_index=False)["ship_us"]
+            .max()
+        )
+        o = group[group["side"] == "o"][
+            ["o_orderkey", "odate_us", "o_orderpriority"]
+        ]
+        j = o.merge(l, on="o_orderkey", how="inner")
+        late = j[j["ship_us"].to_numpy(np.int64)
+                 > j["odate_us"].to_numpy(np.int64) + lag_us]
+        g = late.groupby("o_orderpriority", as_index=False).size()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    g["o_orderpriority"].tolist(), pa.string()
+                ),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        ship_partial, batch_format="pyarrow", batch_size=65536
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    agg = (
+        partials.union(orders)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bkt")
+        .map_groups(resolve, batch_format="pandas")
+        .materialize()  # pin before the (tiny) final shuffle
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_late_orders"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_late_orders"] = df["n_late_orders"].astype(np.int64)
+        return df
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def cust_order_distribution(sf_dir: str, num_buckets: int = 64):
+    """TPC-H Q13-shaped composite: the distribution of per-customer
+    order counts (excluding urgent orders) INCLUDING the zero bucket —
+    the aggregate-of-an-aggregate shape with a LEFT JOIN's absent-side
+    semantics.
+
+    Scale shape: per-batch per-custkey count partials → one
+    ``custkey % num_buckets`` bucket shuffle → in-group per-custkey
+    totals collapse immediately to an in-group histogram (c_count,
+    n_custs) — the custkey dimension never leaves its bucket; a final
+    c_count-key groupby sums histograms (bounded by max orders per
+    customer). The zero bucket is total customers (one scalar
+    ``count()`` on the customer table) minus the customers seen with
+    orders — no customer-table shuffle at all. Driver pulls only the
+    final histogram (bounded by the count domain)."""
+    from ray.data.aggregate import Sum
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch["o_orderpriority"], pa.scalar("1-URGENT"))
+        batch = batch.filter(keep)
+        df = pd.DataFrame(
+            {"c_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("c_custkey", as_index=False).size()
+        bkt = g["c_custkey"].to_numpy(np.int64) % num_buckets
+        return pa.table(
+            {
+                "c_custkey": pa.array(g["c_custkey"].to_numpy(np.int64)),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+                "bkt": pa.array(bkt.astype(np.int64)),
+            }
+        )
+
+    def hist_partial(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group("cust_order_distribution(bucket)", None, len(group))
+        totals = group.groupby("c_custkey")["n"].sum()
+        h = totals.value_counts()
+        return pa.table(
+            {
+                "c_count": pa.array(h.index.to_numpy(np.int64)),
+                "custdist": pa.array(h.to_numpy(np.int64)),
+            }
+        )
+
+    hist = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(cnt_partial, batch_format="pyarrow", batch_size=65536)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bkt")
+        .map_groups(hist_partial, batch_format="pandas")
+        .materialize()  # pin before the (tiny) final shuffle
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .take_all()  # bounded: distinct per-customer order counts
+    )
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    seen = sum(r["custdist"] for r in hist)
+    rows = [(int(r["c_count"]), int(r["custdist"])) for r in hist]
+    if n_customers - seen > 0:
+        rows.append((0, int(n_customers - seen)))
+    rows.sort()
+    return pa.table(
+        {
+            "c_count": pa.array([r[0] for r in rows], pa.int64()),
+            "custdist": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
