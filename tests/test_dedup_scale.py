@@ -617,3 +617,27 @@ def test_c4_filter_hot_duplicate_and_signals(ray_session, tmp_path):
     snap = telemetry.snapshot()
     assert "c4_filter(fp bucket)" in snap
     assert "c4_filter(doc bucket)" in snap
+
+
+def test_bucket_count_invariance_round4_composites(ray_session):
+    """late_shipment_orders and cust_order_distribution must not depend
+    on the bucket count (partitioning knob scales with the cluster)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from chug_ray.ops.relational import (
+        cust_order_distribution,
+        late_shipment_orders,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (late_shipment_orders, cust_order_distribution):
+        res = []
+        for nb in (3, 64):
+            r = fn(sf, num_buckets=nb)
+            df = r.to_pandas() if not isinstance(r, pd.DataFrame) else r
+            cols = sorted(df.columns)
+            res.append(df[cols].sort_values(cols, ignore_index=True))
+        pd.testing.assert_frame_equal(
+            res[0], res[1], check_dtype=False, check_exact=True
+        )
