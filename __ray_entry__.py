@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_k": textstats.weighted_sample_k,
         "late_shipment_orders": relational.late_shipment_orders,
         "cust_order_distribution": relational.cust_order_distribution,
+        "kmeans_lloyd": knn.kmeans_lloyd,  # no_oracle (iterative)
         # --- dedup — SQL-oracled where expressible (r03-green)
         "exact_dedup": dedup.exact_dedup,
         "dedup_survivors": dedup.dedup_survivors,

@@ -440,3 +440,154 @@ def kmeans_assign(sf_dir: str):
     return _read_embeddings(sf_dir).map_batches(
         assign, batch_format="pandas", batch_size=4096
     )
+
+
+def kmeans_lloyd(sf_dir: str, k: int = 8, iters: int = 4):
+    """Full distributed Lloyd k-means over ALL embeddings — the
+    iterative-dataflow representative: per iteration ONE pass assigns
+    every vector to its nearest centroid and emits per-(cluster, dim)
+    FIXED-POINT partial sums; a tiny groupby reduces them to k·dim
+    rows; the driver updates k·dim floats and repeats.
+
+    Determinism (a repo invariant) without sacrificing parallelism:
+    float partial sums are order-dependent, so per-batch sums accumulate
+    in int64 fixed point (coords scaled by 2^20; exact for ~10^12 rows
+    before overflow) — integer sums are order-invariant, so the updated
+    centroids (int sum / int count in float64) are bit-identical under
+    ANY partitioning, and so are the final assignments. Inertia is
+    accumulated the same way (per-row squared distance rounded to 1e-4
+    fixed point), giving an order-invariant convergence trace.
+
+    Init: the k smallest non-query vec_ids (deterministic, one filtered
+    pass). Driver state: k·dim floats + the k-row reduce outputs —
+    bounded by (k, dim), never by the corpus. no_oracle (iterative);
+    pinned by determinism-under-repartitioning, convergence-monotone
+    and totality tests."""
+    import pyarrow as pa
+    import ray
+
+    SCALE = float(1 << 20)
+
+    # deterministic init: the k smallest eligible vec_ids
+    def pick_init(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids >= N_QUERIES))
+        if t.num_rows > k:
+            order = np.argsort(
+                t["vec_id"].to_numpy(zero_copy_only=False), kind="stable"
+            )[:k]
+            t = t.take(pa.array(order))
+        return t
+
+    init_rows = (
+        _read_embeddings(sf_dir)
+        .map_batches(pick_init, batch_format="pyarrow")
+        .take_all()  # bounded: <= k rows per block, k globally after sort
+    )
+    init_rows.sort(key=lambda r: r["vec_id"])
+    cents = np.stack(
+        [np.asarray(r["embedding"], np.float64) for r in init_rows[:k]]
+    )
+    kk = len(cents)  # may degenerate below k on tiny corpora
+
+    from ray.data.aggregate import Sum
+
+    trace = []
+    for it in range(iters):
+        cent_ref = ray.put(cents)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cent_ref)
+            mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            lab = np.argmin(d2, axis=1).astype(np.int64)
+            fx = np.round(mat * SCALE).astype(np.int64)
+            dim = mat.shape[1]
+            rows_c, rows_d, rows_s = [], [], []
+            counts, inert = [], []
+            for ci in range(len(c)):
+                m = lab == ci
+                if not m.any():
+                    continue
+                s = fx[m].sum(axis=0)
+                rows_c.extend([ci] * dim)
+                rows_d.extend(range(dim))
+                rows_s.extend(s.tolist())
+                counts.extend([int(m.sum())] + [0] * (dim - 1))
+                inert.extend(
+                    [int(np.round(d2[m, ci].sum() * 1e4))] + [0] * (dim - 1)
+                )
+            return pd.DataFrame(
+                {
+                    "cluster": np.array(rows_c, np.int64),
+                    "d": np.array(rows_d, np.int64),
+                    "s": np.array(rows_s, np.int64),
+                    "cnt": np.array(counts, np.int64),
+                    "inertia_e4": np.array(inert, np.int64),
+                }
+            )
+
+        red = (
+            _read_embeddings(sf_dir)
+            .map_batches(partial, batch_format="pandas", batch_size=4096)
+            .materialize()  # partials: sort shuffle re-executes lazy inputs
+            .groupby(["cluster", "d"])
+            .aggregate(
+                Sum("s", alias_name="s"),
+                Sum("cnt", alias_name="cnt"),
+                Sum("inertia_e4", alias_name="inertia_e4"),
+            )
+            .take_all()  # bounded: <= k * dim rows
+        )
+        dim = cents.shape[1]
+        new = cents.copy()
+        counts = np.zeros(kk, np.int64)
+        inertia = 0
+        for r in red:
+            ci, d = int(r["cluster"]), int(r["d"])
+            if d == 0:
+                counts[ci] = r["cnt"]
+                inertia += int(r["inertia_e4"])
+        # exact int / int in float64: order-invariant
+        for r in red:
+            ci, d = int(r["cluster"]), int(r["d"])
+            if counts[ci] > 0:
+                new[ci, d] = (int(r["s"]) / SCALE) / int(counts[ci])
+        # empty clusters keep their previous centroid
+        for ci in range(kk):
+            if counts[ci] == 0:
+                new[ci] = cents[ci]
+        cents = new
+        trace.append(inertia)
+
+    assert all(
+        a >= b for a, b in zip(trace, trace[1:])
+    ), f"Lloyd inertia must be non-increasing, got {trace}"
+
+    cent_ref = ray.put(cents)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        lab = np.argmin(d2, axis=1).astype(np.int64)
+        de4 = np.round(d2[np.arange(len(mat)), lab] * 1e4).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(np.int64),
+                "cluster": lab,
+                "dist2_e4": de4,
+            }
+        )
+
+    return _read_embeddings(sf_dir).map_batches(
+        assign, batch_format="pandas", batch_size=4096
+    )

@@ -57,3 +57,31 @@ def test_kmeans_assign_deterministic_and_total(ray_session):
     assert a == b  # deterministic across runs
     assert len(a) == 500  # every embedding labeled
     assert all(0 <= cl < N_CENTROIDS for cl, _ in a.values())
+
+
+def test_kmeans_lloyd_row_order_invariance(ray_session, tmp_path):
+    """Lloyd's fixed-point partial sums are order-invariant: the same
+    embeddings written in reversed row order with tiny row groups must
+    produce bit-identical assignments and distances."""
+    import pyarrow.parquet as pq
+
+    from chug_ray.ops.knn import kmeans_lloyd
+
+    src = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    a_dir.mkdir()
+    b_dir.mkdir()
+    pq.write_table(src, str(a_dir / "embeddings.parquet"))
+    rev = src.take(list(range(src.num_rows - 1, -1, -1)))
+    pq.write_table(
+        rev, str(b_dir / "embeddings.parquet"), row_group_size=37
+    )
+    key = lambda rows: sorted(
+        (r["vec_id"], r["cluster"], r["dist2_e4"]) for r in rows
+    )
+    a = key(kmeans_lloyd(str(a_dir)).take_all())
+    b = key(kmeans_lloyd(str(b_dir)).take_all())
+    assert a == b
+    # totality + label range
+    assert len(a) == src.num_rows
+    assert {c for _, c, _ in a} <= set(range(8))
