@@ -334,6 +334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_k": textstats.weighted_sample_k,
         "late_shipment_orders": relational.late_shipment_orders,
         "cust_order_distribution": relational.cust_order_distribution,
+        "priority_line_counts": relational.priority_line_counts,
+        "small_quantity_revenue": relational.small_quantity_revenue,
         "kmeans_lloyd": knn.kmeans_lloyd,  # no_oracle (iterative)
         # --- dedup — SQL-oracled where expressible (r03-green)
         "exact_dedup": dedup.exact_dedup,
@@ -972,6 +974,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(c_count AS BIGINT) AS c_count,
                    CAST(count(*) AS BIGINT) AS custdist
             FROM c GROUP BY c_count
+        """,
+        "priority_line_counts": """
+            SELECT l.l_returnflag,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority NOT IN
+                                 ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l.l_returnflag
+        """,
+        "small_quantity_revenue": """
+            WITH s AS (
+                SELECT l.l_partkey,
+                       sum(CAST(l.l_quantity AS BIGINT)) AS sum_qty,
+                       count(*) AS cnt
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_brand = 'Brand#1'
+                GROUP BY l.l_partkey
+            )
+            SELECT CAST(COALESCE(sum(CAST(round(l.l_extendedprice * 100)
+                                          AS BIGINT)), 0) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
+            WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sum_qty
         """,
         "mad_outliers": """
             WITH m AS (

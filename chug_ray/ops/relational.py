@@ -1617,3 +1617,230 @@ def cust_order_distribution(sf_dir: str, num_buckets: int = 64):
             "custdist": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
+
+
+def priority_line_counts(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    num_buckets: int = 64,
+):
+    """TPC-H Q12-shaped composite: per lineitem return flag, how many
+    lines in a ship-date window belong to high-priority vs low-priority
+    orders — the CONDITIONAL-aggregation-after-join shape (SUM(CASE
+    WHEN ...)), which neither a plain groupby nor a semi-join covers.
+
+    Scale shape: the lineitem side collapses to per-(orderkey,
+    returnflag) COUNT combiner partials inside each batch; order
+    headers carry only (orderkey, is_high int8). Both co-shuffle in ONE
+    ``orderkey % num_buckets`` bucket pass (the fused
+    large_quantity_orders shape); each group resolves the join and
+    reduces straight to per-returnflag (high, low) partials, so the
+    final groupby sums ≤ |returnflags| rows per bucket. All counts are
+    int64 — exact and order-invariant."""
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], lo),
+            pc.less(batch["l_shipdate"], hi),
+        )
+        batch = batch.filter(keep)
+        df = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+            }
+        )
+        g = df.groupby(["o_orderkey", "l_returnflag"], as_index=False).size()
+        return pa.table(
+            {
+                "o_orderkey": pa.array(g["o_orderkey"].to_numpy(np.int64)),
+                "l_returnflag": pa.array(g["l_returnflag"].tolist(), pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+                "is_high": pa.array(np.zeros(len(g), np.int8)),
+                "side": pa.array(["l"] * len(g), pa.string()),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        high = pc.is_in(
+            batch["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "l_returnflag": pa.array([""] * len(batch), pa.string()),
+                "n": pa.array(np.zeros(len(batch), np.int64)),
+                "is_high": pc.cast(high, pa.int8()),
+                "side": pa.array(["o"] * len(batch), pa.string()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bkt", pa.array((k % num_buckets).astype(np.int64))
+        )
+
+    def resolve(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group("priority_line_counts(bucket)", None, len(group))
+        l = group[group["side"] == "l"][["o_orderkey", "l_returnflag", "n"]]
+        o = group[group["side"] == "o"][["o_orderkey", "is_high"]]
+        j = l.merge(o, on="o_orderkey", how="inner")
+        hi_mask = j["is_high"].to_numpy(np.int8) == 1
+        n = j["n"].to_numpy(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": j["l_returnflag"],
+                "high_line_count": np.where(hi_mask, n, 0),
+                "low_line_count": np.where(hi_mask, 0, n),
+            }
+        )
+        g = df.groupby("l_returnflag", as_index=False).sum()
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g["l_returnflag"].tolist(), pa.string()),
+                "high_line_count": pa.array(
+                    g["high_line_count"].to_numpy(np.int64)
+                ),
+                "low_line_count": pa.array(
+                    g["low_line_count"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"])
+        .map_batches(line_partial, batch_format="pyarrow", batch_size=65536)
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+                prep_orders, batch_format="pyarrow"
+            )
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bkt")
+        .map_groups(resolve, batch_format="pandas")
+        .materialize()  # pin before the (tiny) final shuffle
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+    )
+
+
+def small_quantity_revenue(sf_dir: str, brand: str = "Brand#1"):
+    """TPC-H Q17-shaped composite: total revenue from lineitems of one
+    brand's parts whose quantity is below 20% of that part's average
+    quantity — the CORRELATED-scalar-subquery shape: the predicate
+    compares each row against an aggregate of its own key group.
+
+    Scale shape: the brand's partkeys are a pruned dimension read
+    broadcast once (sorted int64 keys; ~|part|/|brands| entries — the
+    orders_by_segment broadcast bound, documented there). Pass 1
+    streams lineitem through a membership filter and per-partkey
+    (sum_qty, cnt) combiner partials; the reduced per-part table
+    (bounded by the brand's part count) broadcasts back. Pass 2
+    re-streams lineitem and resolves the correlated predicate
+    VECTORIZED AND INTEGER-EXACT: qty < 0.2·(sum/cnt) ⇔
+    5·qty·cnt < sum with int64 quantities — no float division, so the
+    parallel result is bit-deterministic. Nothing but the two bounded
+    per-part tables ever leaves the workers."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    pk = np.asarray(pt["p_partkey"]).astype(np.int64)
+    keys = np.sort(pk[np.asarray(pt["p_brand"]) == brand])
+    keys_ref = ray.put(keys)
+
+    def _member(arr: np.ndarray, ks: np.ndarray) -> np.ndarray:
+        if len(ks) == 0:
+            return np.zeros(len(arr), bool)
+        pos = np.clip(np.searchsorted(ks, arr), 0, len(ks) - 1)
+        return ks[pos] == arr
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        ks = _bcast(keys_ref)
+        part = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        m = _member(part, ks)
+        df = pd.DataFrame(
+            {
+                "p_partkey": part[m],
+                "qty": pc.cast(batch["l_quantity"], pa.int64()).to_numpy()[m],
+            }
+        )
+        g = df.groupby("p_partkey", as_index=False).agg(
+            sum_qty=("qty", "sum"), cnt=("qty", "size")
+        )
+        return pa.table(
+            {
+                "p_partkey": pa.array(g["p_partkey"].to_numpy(np.int64)),
+                "sum_qty": pa.array(g["sum_qty"].to_numpy(np.int64)),
+                "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
+            }
+        )
+
+    stats = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow", batch_size=65536)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("p_partkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("cnt", alias_name="cnt"))
+        .take_all()  # bounded: one row per part of the brand
+    )
+    sk = np.array([r["p_partkey"] for r in stats], np.int64)
+    order = np.argsort(sk, kind="stable")
+    stats_ref = ray.put(
+        (
+            sk[order],
+            np.array([r["sum_qty"] for r in stats], np.int64)[order],
+            np.array([r["cnt"] for r in stats], np.int64)[order],
+        )
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        ks, sums, cnts = _bcast(stats_ref)
+        part = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        m = _member(part, ks)
+        qty = pc.cast(batch["l_quantity"], pa.int64()).to_numpy()[m]
+        part = part[m]
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["l_extendedprice"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy()[m]
+        pos = np.clip(np.searchsorted(ks, part), 0, max(len(ks) - 1, 0))
+        if len(ks) == 0:
+            keep = np.zeros(len(part), bool)
+        else:
+            keep = (ks[pos] == part) & (5 * qty * cnts[pos] < sums[pos])
+        return pa.table(
+            {
+                "revenue_cents": pa.array([int(cents[keep].sum())], pa.int64()),
+                "n_lines": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(rev_partial, batch_format="pyarrow", batch_size=65536)
+        .aggregate(Sum("revenue_cents", alias_name="r"), Sum("n_lines", alias_name="n"))
+    )
+    return pa.table(
+        {
+            "revenue_cents": pa.array([int(agg["r"] or 0)], pa.int64()),
+            "n_lines": pa.array([int(agg["n"] or 0)], pa.int64()),
+        }
+    )

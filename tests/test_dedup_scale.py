@@ -641,3 +641,35 @@ def test_bucket_count_invariance_round4_composites(ray_session):
         pd.testing.assert_frame_equal(
             res[0], res[1], check_dtype=False, check_exact=True
         )
+
+
+def test_priority_line_counts_bucket_invariance(ray_session):
+    """The Q12-shaped composite must be invariant to the bucket-count
+    partitioning knob (it scales with the cluster, not the data)."""
+    import pandas as pd
+
+    from chug_ray.ops.relational import priority_line_counts
+
+    sf = "/root/testdata/sf0.001"
+    res = []
+    for nb in (3, 64):
+        df = priority_line_counts(sf, num_buckets=nb).to_pandas()
+        cols = sorted(df.columns)
+        res.append(df[cols].sort_values(cols, ignore_index=True))
+    pd.testing.assert_frame_equal(
+        res[0], res[1], check_dtype=False, check_exact=True
+    )
+    assert (res[0]["high_line_count"] + res[0]["low_line_count"] > 0).all()
+
+
+def test_small_quantity_revenue_empty_brand(ray_session):
+    """A brand with no parts must yield the zero row, not an error —
+    the broadcast membership path has to survive an empty key set."""
+    from chug_ray.ops.relational import small_quantity_revenue
+
+    out = small_quantity_revenue(
+        "/root/testdata/sf0.001", brand="Brand#NOPE"
+    ).to_pandas()
+    assert len(out) == 1
+    assert int(out.revenue_cents.iloc[0]) == 0
+    assert int(out.n_lines.iloc[0]) == 0
