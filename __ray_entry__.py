@@ -336,6 +336,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_order_distribution": relational.cust_order_distribution,
         "priority_line_counts": relational.priority_line_counts,
         "small_quantity_revenue": relational.small_quantity_revenue,
+        "important_parts": relational.important_parts,
+        "top_supplier": relational.top_supplier,
+        "supplier_count_by_class": relational.supplier_count_by_class,
+        "sole_late_supplier": relational.sole_late_supplier,
+        "idle_rich_customers": relational.idle_rich_customers,
         "kmeans_lloyd": knn.kmeans_lloyd,  # no_oracle (iterative)
         # --- dedup — SQL-oracled where expressible (r03-green)
         "exact_dedup": dedup.exact_dedup,
@@ -1003,6 +1008,84 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines
             FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
             WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sum_qty
+        """,
+        "important_parts": """
+            WITH v AS (
+                SELECT l_partkey AS p_partkey,
+                       sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 100) AS BIGINT)) AS value_cents
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT p_partkey, CAST(value_cents AS BIGINT) AS value_cents
+            FROM v
+            WHERE value_cents > (SELECT (CAST(sum(value_cents) AS HUGEINT)
+                                         * 1300) // (count(*) * 1000)
+                                 FROM v)
+        """,
+        "top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey AS s_suppkey,
+                       sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 100) AS BIGINT)) AS total_revenue_cents
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(r.total_revenue_cents AS BIGINT) AS total_revenue_cents
+            FROM r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+            WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents)
+                                           FROM r)
+        """,
+        "supplier_count_by_class": """
+            SELECT p.p_brand, p.p_type,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p.p_brand, p.p_type
+        """,
+        "sole_late_supplier": """
+            WITH l1 AS (
+                SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms
+                FROM lineitem GROUP BY l_orderkey, l_suppkey
+            ), j AS (
+                SELECT l1.l_orderkey, l1.l_suppkey,
+                       CASE WHEN l1.ms > o.o_orderdate + INTERVAL 90 DAY
+                            THEN 1 ELSE 0 END AS late
+                FROM l1 JOIN orders o ON l1.l_orderkey = o.o_orderkey
+            ), f AS (
+                SELECT l_suppkey FROM j
+                WHERE late = 1
+                  AND 1 = (SELECT sum(late) FROM j x
+                           WHERE x.l_orderkey = j.l_orderkey)
+                  AND 2 <= (SELECT count(*) FROM j x
+                            WHERE x.l_orderkey = j.l_orderkey)
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(count(*) AS BIGINT) AS numwait
+            FROM f JOIN supplier s ON f.l_suppkey = s.s_suppkey
+            GROUP BY s.s_suppkey, s.s_name
+        """,
+        "idle_rich_customers": """
+            WITH cb AS (
+                SELECT c_custkey, c_mktsegment,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer
+            ), t AS (
+                SELECT sum(cents) AS s, count(*) AS n
+                FROM cb WHERE cents > 0
+            )
+            SELECT c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(c.cents) AS BIGINT) AS totacctbal_cents
+            FROM cb c, t
+            WHERE c.cents * t.n > t.s
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+            GROUP BY c.c_mktsegment
         """,
         "mad_outliers": """
             WITH m AS (

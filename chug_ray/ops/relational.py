@@ -1844,3 +1844,518 @@ def small_quantity_revenue(sf_dir: str, brand: str = "Brand#1"):
             "n_lines": pa.array([int(agg["n"] or 0)], pa.int64()),
         }
     )
+
+
+def important_parts(sf_dir: str, mult_permille: int = 1300):
+    """TPC-H Q11-shaped composite: parts whose total lineitem value
+    exceeds ``mult_permille``/1000 times the AVERAGE per-part value — a
+    GROUP BY whose HAVING predicate depends on whole-table scalar
+    aggregates (Q11's fraction-of-total threshold, made scale-free so
+    the cut discriminates at every scale factor).
+
+    Scale shape: one per-batch per-partkey cents combiner feeds one
+    partkey groupby; the global total and part count are then
+    aggregated FROM THE PER-PART TABLE (already materialized, bounded
+    by |part|) — the fact table streams exactly once. The threshold
+    compares integer cross-products (value·n_parts·1000 >
+    total·mult_permille), so there is no float division and the cut is
+    bit-deterministic."""
+    from ray.data.aggregate import Sum
+
+    def value_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy()
+        df = pd.DataFrame(
+            {
+                "p_partkey": batch["l_partkey"].to_numpy(zero_copy_only=False),
+                "v": cents,
+            }
+        )
+        g = df.groupby("p_partkey", as_index=False)["v"].sum()
+        return pa.table(
+            {
+                "p_partkey": pa.array(g["p_partkey"].to_numpy(np.int64)),
+                "v": pa.array(g["v"].to_numpy(np.int64)),
+            }
+        )
+
+    per_part = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(value_partial, batch_format="pyarrow", batch_size=65536)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("p_partkey")
+        .aggregate(Sum("v", alias_name="value_cents"))
+        .materialize()  # reused twice: global total + threshold filter
+    )
+    from ray.data.aggregate import Count
+
+    tot = per_part.aggregate(
+        Sum("value_cents", alias_name="t"), Count(alias_name="n")
+    )
+    total, n_parts = int(tot["t"] or 0), int(tot["n"] or 0)
+    # value·n·1000 > total·mult  ⇔  value > floor(total·mult / (n·1000))
+    # for integers — one exact Python-int threshold, no wide multiply in
+    # the workers and no int64 overflow at any scale
+    thresh = (
+        (total * mult_permille) // (n_parts * 1000) if n_parts else -1
+    )
+
+    def cut(batch: pa.Table) -> pa.Table:
+        keep = batch["value_cents"].to_numpy(zero_copy_only=False) > thresh
+        batch = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "p_partkey": pc.cast(batch["p_partkey"], pa.int64()),
+                "value_cents": pc.cast(batch["value_cents"], pa.int64()),
+            }
+        )
+
+    return per_part.map_batches(cut, batch_format="pyarrow")
+
+
+def top_supplier(
+    sf_dir: str, date_lo: str = "1996-01-01", date_hi: str = "1996-04-01"
+):
+    """TPC-H Q15-shaped composite: the supplier(s) with the MAXIMUM
+    revenue in a ship-date quarter — an argmax over an aggregate view,
+    keeping ALL ties (the classic max-of-aggregate join-back).
+
+    Scale shape: the fact table reduces to per-batch per-suppkey cents
+    partials and one suppkey groupby; the global max is aggregated from
+    the per-supplier table (bounded by |supplier|), and the tie filter
+    re-reads that same materialized table — one fact pass total. Names
+    resolve from the supplier dimension for the ≤|ties| result rows
+    only (pushdown-pruned columns, the cheapest_supplier_per_part
+    bound). Integer cents make max and ties exact."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Max, Sum
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], lo),
+            pc.less(batch["l_shipdate"], hi),
+        )
+        batch = batch.filter(keep)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy()
+        df = pd.DataFrame(
+            {
+                "s_suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False),
+                "r": cents,
+            }
+        )
+        g = df.groupby("s_suppkey", as_index=False)["r"].sum()
+        return pa.table(
+            {
+                "s_suppkey": pa.array(g["s_suppkey"].to_numpy(np.int64)),
+                "r": pa.array(g["r"].to_numpy(np.int64)),
+            }
+        )
+
+    per_supp = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(rev_partial, batch_format="pyarrow", batch_size=65536)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("s_suppkey")
+        .aggregate(Sum("r", alias_name="total_revenue_cents"))
+        .materialize()  # reused: global max + tie filter
+    )
+    best = per_supp.aggregate(Max("total_revenue_cents", alias_name="m"))["m"]
+    if best is None:  # empty window
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "total_revenue_cents": pa.array([], pa.int64()),
+            }
+        )
+    def tie_cut(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch["total_revenue_cents"], pa.scalar(int(best)))
+        )
+
+    winners = per_supp.map_batches(tie_cut, batch_format="pyarrow").to_pandas()
+
+    names = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    nk = np.asarray(names["s_suppkey"]).astype(np.int64)
+    order = np.argsort(nk, kind="stable")
+    nk = nk[order]
+    nv = np.asarray(names["s_name"]).astype(object)[order]
+    pos = np.searchsorted(nk, winners["s_suppkey"].to_numpy(np.int64))
+    return pa.table(
+        {
+            "s_suppkey": pa.array(winners["s_suppkey"].to_numpy(np.int64)),
+            "s_name": pa.array([str(nv[p]) for p in pos], pa.string()),
+            "total_revenue_cents": pa.array(
+                winners["total_revenue_cents"].to_numpy(np.int64)
+            ),
+        }
+    )
+
+
+def supplier_count_by_class(sf_dir: str):
+    """TPC-H Q16-shaped composite: per (p_brand, p_type), how many
+    DISTINCT suppliers shipped such parts — excluding blocklisted
+    suppliers (negative account balance stands in for Q16's complaint
+    predicate). COUNT(DISTINCT) under an anti-filter.
+
+    Scale shape: the part attributes (partkey → brand/type) and the
+    blocklist broadcast once (dimension-bounded, ray.put + per-process
+    cache); the fact table collapses to BATCH-DISTINCT
+    (brand, type, suppkey) triples, so the first groupby shuffles at
+    most |brand|·|type|·|supplier| rows per batch — distinct-count as
+    two bounded groupbys, never a raw fact shuffle."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count
+
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type"]
+    )
+    pk = np.asarray(pt["p_partkey"]).astype(np.int64)
+    order = np.argsort(pk, kind="stable")
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+    bad = np.sort(
+        np.asarray(sup["s_suppkey"]).astype(np.int64)[
+            np.asarray(sup["s_acctbal"]) < 0
+        ]
+    )
+    dim_ref = ray.put(
+        (
+            pk[order],
+            np.asarray(pt["p_brand"]).astype(object)[order],
+            np.asarray(pt["p_type"]).astype(object)[order],
+            bad,
+        )
+    )
+
+    def triples(batch: pa.Table) -> pa.Table:
+        keys, brands, types, blocked = _bcast(dim_ref)
+        part = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        supp = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(blocked):
+            bpos = np.clip(np.searchsorted(blocked, supp), 0, len(blocked) - 1)
+            m = blocked[bpos] != supp
+            part, supp = part[m], supp[m]
+        pos = np.searchsorted(keys, part)
+        df = pd.DataFrame(
+            {
+                "p_brand": brands[pos],
+                "p_type": types[pos],
+                "s_suppkey": supp,
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "p_brand": pa.array(df["p_brand"].tolist(), pa.string()),
+                "p_type": pa.array(df["p_type"].tolist(), pa.string()),
+                "s_suppkey": pa.array(df["s_suppkey"].to_numpy(np.int64)),
+            }
+        )
+
+    distinct = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(triples, batch_format="pyarrow", batch_size=65536)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby(["p_brand", "p_type", "s_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n", "s_suppkey"])
+        .materialize()  # pin before the (tiny) final shuffle
+    )
+    return distinct.groupby(["p_brand", "p_type"]).aggregate(
+        Count(alias_name="supplier_cnt")
+    )
+
+
+def sole_late_supplier(
+    sf_dir: str, lag_days: int = 90, num_buckets: int = 64
+):
+    """TPC-H Q21-shaped composite: per supplier, the number of
+    multi-supplier orders where THIS supplier was the ONLY one to ship
+    more than ``lag_days`` after the order date — an EXISTS plus a
+    NOT-EXISTS, both correlated to the same order group.
+
+    Scale shape: the fact side reduces to per-batch per-(orderkey,
+    suppkey) MAX-shipdate partials; those co-shuffle with the order
+    headers in ONE orderkey-bucket pass (the late_shipment_orders
+    shape). Each group finishes the (orderkey, suppkey) max, counts
+    suppliers and late suppliers per order vectorized, credits the sole
+    late supplier, and emits per-suppkey partial counts — the final
+    groupby sums ≤|supplier| rows per bucket. Names resolve for the
+    result rows from the pruned dimension. Timestamps ride as int64
+    microseconds; everything is integer-exact."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    lag_us = np.int64(lag_days) * 86_400_000_000
+
+    def ship_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "s_suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False),
+                "ship_us": pc.cast(batch["l_shipdate"], pa.int64()).to_numpy(),
+            }
+        )
+        g = df.groupby(["o_orderkey", "s_suppkey"], as_index=False)[
+            "ship_us"
+        ].max()
+        return pa.table(
+            {
+                "o_orderkey": pa.array(g["o_orderkey"].to_numpy(np.int64)),
+                "s_suppkey": pa.array(g["s_suppkey"].to_numpy(np.int64)),
+                "ship_us": pa.array(g["ship_us"].to_numpy(np.int64)),
+                "odate_us": pa.array(np.zeros(len(g), np.int64)),
+                "side": pa.array(["l"] * len(g), pa.string()),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "s_suppkey": pa.array(np.zeros(len(batch), np.int64)),
+                "ship_us": pa.array(np.zeros(len(batch), np.int64)),
+                "odate_us": pc.cast(batch["o_orderdate"], pa.int64()),
+                "side": pa.array(["o"] * len(batch), pa.string()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bkt", pa.array((k % num_buckets).astype(np.int64))
+        )
+
+    def resolve(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group("sole_late_supplier(bucket)", None, len(group))
+        l = (
+            group[group["side"] == "l"]
+            .groupby(["o_orderkey", "s_suppkey"], as_index=False)["ship_us"]
+            .max()
+        )
+        o = group[group["side"] == "o"][["o_orderkey", "odate_us"]]
+        j = l.merge(o, on="o_orderkey", how="inner")
+        late = (
+            j["ship_us"].to_numpy(np.int64)
+            > j["odate_us"].to_numpy(np.int64) + lag_us
+        )
+        j = j.assign(late=late.astype(np.int64))
+        per_order = j.groupby("o_orderkey")
+        n_supp = per_order["s_suppkey"].transform("size").to_numpy(np.int64)
+        n_late = per_order["late"].transform("sum").to_numpy(np.int64)
+        credit = j[(j["late"].to_numpy() == 1) & (n_supp >= 2) & (n_late == 1)]
+        g = credit.groupby("s_suppkey", as_index=False).size()
+        return pa.table(
+            {
+                "s_suppkey": pa.array(g["s_suppkey"].to_numpy(np.int64)),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(ship_partial, batch_format="pyarrow", batch_size=65536)
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+                prep_orders, batch_format="pyarrow"
+            )
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bkt")
+        .map_groups(resolve, batch_format="pandas")
+        .materialize()  # pin before the (tiny) final shuffle
+        .groupby("s_suppkey")
+        .aggregate(Sum("n", alias_name="numwait"))
+        .to_pandas()
+    )
+
+    names = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    nk = np.asarray(names["s_suppkey"]).astype(np.int64)
+    order = np.argsort(nk, kind="stable")
+    nk = nk[order]
+    nv = np.asarray(names["s_name"]).astype(object)[order]
+    pos = np.searchsorted(nk, agg["s_suppkey"].to_numpy(np.int64))
+    return pa.table(
+        {
+            "s_suppkey": pa.array(agg["s_suppkey"].to_numpy(np.int64)),
+            "s_name": pa.array([str(nv[p]) for p in pos], pa.string()),
+            "numwait": pa.array(agg["numwait"].to_numpy(np.int64)),
+        }
+    )
+
+
+def idle_rich_customers(
+    sf_dir: str, since: str = "2001-01-01", num_buckets: int = 64
+):
+    """TPC-H Q22-shaped composite: per market segment, count and total
+    balance of customers whose balance exceeds the GLOBAL average of
+    positive balances and who have placed NO order since ``since`` — a
+    whole-table scalar threshold plus an anti-join (the recency window
+    keeps the anti side non-degenerate on corpora where every customer
+    has SOME order).
+
+    Scale shape: pass 1 reduces customer to two integers (sum of
+    positive balances in cents, their count) — the threshold then
+    resolves per row as cents·n > sum (integer cross-product, no float
+    average). Pass 2 co-shuffles the thresholded customers with
+    BATCH-DISTINCT order custkeys in one custkey-bucket pass; each
+    group drops customers seen on the order side and emits per-segment
+    (count, balance) partials — the final groupby sums ≤|segments| rows
+    per bucket. No broadcast of the customers-with-orders set."""
+    from ray.data.aggregate import Sum
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["c_acctbal"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy()
+        pos = cents[cents > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    tot = (
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(bal_partial, batch_format="pyarrow", batch_size=65536)
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+    s_total, n_total = int(tot["s"] or 0), int(tot["n"] or 0)
+
+    def prep_cust(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["c_acctbal"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy()
+        keep = cents * np.int64(n_total) > np.int64(s_total)
+        batch = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+                "c_mktsegment": batch["c_mktsegment"],
+                "bal_cents": pa.array(cents[keep]),
+                "side": pa.array(["c"] * int(keep.sum()), pa.string()),
+            }
+        )
+
+    since_us = pa.scalar(np.datetime64(since, "us"))
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater_equal(batch["o_orderdate"], since_us)
+        )
+        ck = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck.astype(np.int64)),
+                "c_mktsegment": pa.array([""] * len(ck), pa.string()),
+                "bal_cents": pa.array(np.zeros(len(ck), np.int64)),
+                "side": pa.array(["o"] * len(ck), pa.string()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bkt", pa.array((k % num_buckets).astype(np.int64))
+        )
+
+    def resolve(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group("idle_rich_customers(bucket)", None, len(group))
+        seen = group.loc[group["side"] == "o", "c_custkey"].unique()
+        c = group[group["side"] == "c"]
+        c = c[~c["c_custkey"].isin(seen)]
+        g = c.groupby("c_mktsegment", as_index=False).agg(
+            numcust=("c_custkey", "size"), tot=("bal_cents", "sum")
+        )
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(g["c_mktsegment"].tolist(), pa.string()),
+                "numcust": pa.array(g["numcust"].to_numpy(np.int64)),
+                "tot": pa.array(g["tot"].to_numpy(np.int64)),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+        .map_batches(prep_cust, batch_format="pyarrow", batch_size=65536)
+        .union(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+                prep_orders, batch_format="pyarrow", batch_size=65536
+            )
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bkt")
+        .map_groups(resolve, batch_format="pandas")
+        .materialize()  # pin before the (tiny) final shuffle
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("tot", alias_name="totacctbal_cents"),
+        )
+        .take_all()  # bounded: one row per market segment
+    )
+    # typed driver-side table so an empty result keeps its schema
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(
+                [r["c_mktsegment"] for r in rows], pa.string()
+            ),
+            "numcust": pa.array(
+                [int(r["numcust"]) for r in rows], pa.int64()
+            ),
+            "totacctbal_cents": pa.array(
+                [int(r["totacctbal_cents"]) for r in rows], pa.int64()
+            ),
+        }
+    )

@@ -673,3 +673,59 @@ def test_small_quantity_revenue_empty_brand(ray_session):
     assert len(out) == 1
     assert int(out.revenue_cents.iloc[0]) == 0
     assert int(out.n_lines.iloc[0]) == 0
+
+
+def test_q21_q22_bucket_invariance(ray_session):
+    """sole_late_supplier and idle_rich_customers must be invariant to
+    the bucket-count partitioning knob."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from chug_ray.ops.relational import (
+        idle_rich_customers,
+        sole_late_supplier,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (sole_late_supplier, idle_rich_customers):
+        res = []
+        for nb in (3, 64):
+            r = fn(sf, num_buckets=nb)
+            df = r.to_pandas() if isinstance(r, pa.Table) else r.to_pandas()
+            cols = sorted(df.columns)
+            res.append(df[cols].sort_values(cols, ignore_index=True))
+        assert len(res[0]) > 0, f"{fn.__name__}: degenerate empty result"
+        pd.testing.assert_frame_equal(
+            res[0], res[1], check_dtype=False, check_exact=True
+        )
+
+
+def test_important_parts_threshold_subset(ray_session):
+    """A stricter ppm threshold must select a strict subset — the
+    global-scalar HAVING cut is monotone in the threshold."""
+    from chug_ray.ops.relational import important_parts
+
+    sf = "/root/testdata/sf0.001"
+    loose = set(
+        important_parts(sf, mult_permille=500)
+        .to_pandas()["p_partkey"]
+        .tolist()
+    )
+    strict = set(
+        important_parts(sf, mult_permille=1600)
+        .to_pandas()["p_partkey"]
+        .tolist()
+    )
+    assert strict < loose
+    assert len(strict) > 0
+
+
+def test_top_supplier_empty_window(ray_session):
+    """An empty ship-date window must yield the typed empty result."""
+    from chug_ray.ops.relational import top_supplier
+
+    out = top_supplier(
+        "/root/testdata/sf0.001", date_lo="1990-01-01", date_hi="1990-01-02"
+    ).to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["s_suppkey", "s_name", "total_revenue_cents"]
