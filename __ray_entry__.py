@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from chug_ray.ops import (
         dedup,
         knn,
+        pii,
         relational,
         selection,
         sources,
@@ -341,6 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_count_by_class": relational.supplier_count_by_class,
         "sole_late_supplier": relational.sole_late_supplier,
         "idle_rich_customers": relational.idle_rich_customers,
+        "pii_redact": pii.pii_redact,
+        "temperature_mixture": sources.temperature_mixture,
         "kmeans_lloyd": knn.kmeans_lloyd,  # no_oracle (iterative)
         # --- dedup — SQL-oracled where expressible (r03-green)
         "exact_dedup": dedup.exact_dedup,
@@ -485,6 +488,12 @@ def _bm25_oracle_sql(k: int = 10) -> str:
             )
             {union}
         """
+
+
+def _pii_oracle() -> str:
+    from chug_ray.ops.pii import pii_oracle_sql
+
+    return pii_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1008,6 +1017,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines
             FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
             WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sum_qty
+        """,
+        "pii_redact": _pii_oracle(),
+        "temperature_mixture": """
+            WITH c AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY source
+            ), t AS (
+                SELECT source,
+                       CAST(floor(least(1.0, 2.0 * pow(CAST(n AS DOUBLE),
+                                                       -0.5))
+                                  * 4294967296.0) AS BIGINT) AS thr
+                FROM c
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN t USING (source)
+            WHERE CAST((CAST(d.doc_id AS HUGEINT) * 2654435761)
+                       % 4294967296 AS BIGINT) < t.thr
         """,
         "important_parts": """
             WITH v AS (

@@ -447,3 +447,53 @@ def hfds_stream_docs(sf_dir: str, epoch: int = 1):
     return hfds_stream_source(
         _docs_snapshot(sf_dir), seed=0, epoch=epoch, columns=_DOC_COLS
     ).map_batches(_project_docs, batch_format="pyarrow")
+
+
+def temperature_mixture(sf_dir: str, alpha: float = 0.5, strength: float = 2.0):
+    """Temperature-flattened source mixing — the data-mixing step of a
+    multi-corpus pretraining pipeline: downsample abundant sources so
+    the mixture follows ``p(source) ∝ count^alpha`` (alpha < 1 flattens,
+    the multilingual-sampling rule), implemented as a per-source keep
+    probability ``min(1, strength · count^(alpha-1))`` so rare sources
+    survive untouched while head sources thin out.
+
+    Scale shape: per-source counts come from one combiner groupby over
+    the bounded source domain; the driver folds each probability into an
+    integer hash threshold ``floor(p · 2^32)`` (float expression tree
+    mirrored exactly by the SQL oracle — pow/multiply/floor only, no
+    float sum anywhere, so the cut is bit-deterministic); the corpus
+    then streams through a map-only hash filter
+    (``(doc_id·2654435761) mod 2^32 < threshold``) — deterministic,
+    partitioning-invariant, zero data shuffle."""
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    counts = (
+        _read(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .take_all()  # bounded: one row per source
+    )
+    thr = {
+        r["source"]: int(
+            math.floor(
+                min(1.0, strength * math.pow(float(r["n"]), alpha - 1.0))
+                * 4294967296.0
+            )
+        )
+        for r in counts
+    }
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        t = np.array(
+            [thr.get(s, 0) for s in batch["source"].to_pylist()], np.uint64
+        )
+        return batch.filter(pa.array(h < t))
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
