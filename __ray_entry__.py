@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_rich_customers": relational.idle_rich_customers,
         "pii_redact": pii.pii_redact,
         "temperature_mixture": sources.temperature_mixture,
+        "dsir_select": textstats.dsir_select,
+        "semdedup": dedup.semdedup,  # no_oracle (k-means clusters)
         "kmeans_lloyd": knn.kmeans_lloyd,  # no_oracle (iterative)
         # --- dedup — SQL-oracled where expressible (r03-green)
         "exact_dedup": dedup.exact_dedup,
@@ -1019,6 +1021,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sum_qty
         """,
         "pii_redact": _pii_oracle(),
+        "dsir_select": f"""
+            WITH tok AS (
+                SELECT doc_id, lang, unnest({_TOK}) AS w FROM documents
+            ), c AS (
+                SELECT w, count(*) AS nc,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+                FROM tok GROUP BY w
+            ), top AS (
+                SELECT w, CAST(floor(log2(1 + nt)) - floor(log2(1 + nc))
+                               AS BIGINT) AS wgt
+                FROM c ORDER BY nc DESC, w LIMIT 5000
+            ), s AS (
+                SELECT t.doc_id, count(*) AS n_tokens,
+                       COALESCE(sum(tp.wgt), 0) AS score
+                FROM tok t LEFT JOIN top tp ON t.w = tp.w
+                GROUP BY t.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rank,
+                   doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(score AS BIGINT) AS score
+            FROM s ORDER BY score DESC, doc_id LIMIT 50
+        """,
         "temperature_mixture": """
             WITH c AS (
                 SELECT source, count(*) AS n FROM documents GROUP BY source

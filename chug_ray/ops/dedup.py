@@ -1619,3 +1619,98 @@ def substring_dedup(sf_dir: str, k: int = 5, num_buckets: int = 64):
         .groupby("dbkt")
         .map_groups(_reassemble, batch_format="pandas")
     )
+
+
+def semdedup(
+    sf_dir: str,
+    threshold: float = 0.35,
+    tile: int = 4096,
+    max_group_rows: int = 20_000,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space with k-means, then
+    deduplicate WITHIN each cluster by cosine similarity — the
+    cluster-then-dedup trick that makes embedding dedup sub-quadratic
+    at corpus scale without a global pair join.
+
+    Composition of existing verified machinery: centroids from
+    :func:`chug_ray.ops.knn._train_centroids` (deterministic
+    distributed sample, session-cached), one assignment matmul per
+    batch, then per-cluster groups run the exact tiled strip scan
+    (:func:`_cos_strip_pairs`) with the random-hyperplane banded
+    fallback above ``max_group_rows`` — the same skew guard as
+    :func:`embedding_near_dup`. Duplicate groups are connected
+    components of the >threshold graph; the minimum vec_id survives as
+    each group's representative.
+
+    Output: every vector with (cluster, rep_id, keep) — keep=1 iff the
+    row IS its component's representative; rep_id gives dedup lineage.
+    no_oracle (clusters come from iterative k-means); pinned by
+    determinism-under-repartitioning, planted-duplicate recall, and
+    survivor-coverage tests."""
+    import ray
+
+    from chug_ray.ops.knn import (
+        _read_embeddings,
+        _train_centroids,
+        _unit_rows,
+    )
+
+    cents = _train_centroids(sf_dir)
+    cent_ref = ray.put(cents)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        if c.shape[1] != mat.shape[1]:  # degenerate training: one cluster
+            cluster = np.zeros(len(mat), np.int64)
+        else:
+            cluster = np.argmax(_unit_rows(mat) @ c.T, axis=1).astype(
+                np.int64
+            )
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(np.int64),
+                "embedding": batch["embedding"],
+                "cluster": cluster,
+            }
+        )
+
+    def dedup_group(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
+        g = group.sort_values("vec_id")
+        record_group(
+            "semdedup(cluster)",
+            str(int(g["cluster"].iloc[0])) if len(g) else None,
+            len(g),
+        )
+        ids = g["vec_id"].to_numpy(np.int64)
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        unit = _unit_rows(mat)
+        if len(ids) <= max_group_rows:
+            va, vb, _ = _cos_strip_pairs(ids, unit, threshold, tile)
+        else:
+            va, vb, _ = _banded_cos_pairs(ids, unit, threshold, tile)
+        rep_np = ids.copy()  # copy: a view would alias the keep compare
+        if len(va):
+            nodes, labels = _union_find_labels(va, vb)
+            # ids is sorted (g sorted by vec_id): scatter component
+            # minima onto the member positions
+            rep_np[np.searchsorted(ids, nodes)] = labels
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": g["cluster"].to_numpy(np.int64),
+                "rep_id": rep_np,
+                "keep": (rep_np == ids).astype(np.int64),
+            }
+        )
+
+    return (
+        _read_embeddings(sf_dir)
+        .map_batches(assign, batch_format="pandas", batch_size=4096)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("cluster")
+        .map_groups(dedup_group, batch_format="pandas")
+    )

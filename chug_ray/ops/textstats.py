@@ -1500,3 +1500,139 @@ def weighted_sample_k(sf_dir: str, k: int = 20):
         .groupby("one")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+def dsir_select(
+    sf_dir: str, target_lang: str = "en", m: int = 5000, k: int = 50
+):
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    rank documents by how much more likely their tokens are under a
+    TARGET unigram model than under the CORPUS model, and keep the
+    top-``k`` — importance resampling with n-gram proxy models, the
+    published recipe for picking pretraining data that "looks like"
+    a target domain (here: the ``target_lang`` slice).
+
+    Integer-exact cross-engine by the :func:`ngram_perplexity` trick:
+    the per-token log-ratio surrogate is ``floor(log2(1+n_target)) −
+    floor(log2(1+n_corpus))`` — pure bit_length arithmetic on the Ray
+    side, ``floor(log2(...))`` in DuckDB, provably equal for counts
+    < 2³² — so per-doc scores are int64 SUMS (order-invariant) and the
+    oracle hash-matches exactly, unlike a float ln-ratio.
+
+    Scale shape: ONE token-count pass emits per-batch (token,
+    n_corpus, n_target) combiner partials (the target counter rides in
+    the same row — no second corpus scan); the top-``m`` vocabulary cut
+    (count desc, token asc — pinned both engines) bounds the broadcast
+    table; scoring is a per-batch searchsorted; selection is per-batch
+    partial top-k, driver merges blocks·k short rows — never the
+    corpus."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(TOKEN_RE)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        nc: Counter = Counter()
+        nt: Counter = Counter()
+        langs = batch["lang"].to_pylist()
+        for text, lang in zip(batch["text"].to_pylist(), langs):
+            toks = token_re.findall(text.lower())
+            nc.update(toks)
+            if lang == target_lang:
+                nt.update(toks)
+        words = list(nc.keys())
+        return pa.table(
+            {
+                "w": pa.array(words, pa.string()),
+                "nc": pa.array([nc[w] for w in words], pa.int64()),
+                "nt": pa.array([nt.get(w, 0) for w in words], pa.int64()),
+            }
+        )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["nc"] = batch["nc"].astype(np.int64)
+        batch["nt"] = batch["nt"].astype(np.int64)
+        return batch
+
+    top = (
+        _docs(sf_dir, ("doc_id", "text", "lang"))
+        .map_batches(count_partial, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("w")
+        .aggregate(Sum("nc", alias_name="nc"), Sum("nt", alias_name="nt"))
+        .map_batches(finalize, batch_format="pandas")
+        .materialize()  # pin the aggregate before the sort's sampling pass
+        .sort(["nc", "w"], descending=[True, False])
+        .limit(m)
+        .take_all()
+    )
+    from chug_ray.telemetry import record_group
+
+    record_group("dsir_select(vocab)", None, len(top))
+    words = np.array([r["w"] for r in top], dtype=object)
+    order = np.argsort(words)
+    words = words[order]
+    wgt = np.array(
+        [
+            (int(top[i]["nt"]) + 1).bit_length()
+            - 1
+            - ((int(top[i]["nc"]) + 1).bit_length() - 1)
+            for i in order
+        ],
+        np.int64,
+    )
+    table_ref = ray.put((words, wgt))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        v, s = ray.get(table_ref)
+        n = batch.num_rows
+        n_tok = np.empty(n, np.int64)
+        sc = np.empty(n, np.int64)
+        for i, text in enumerate(batch["text"].to_pylist()):
+            toks = token_re.findall(text.lower())
+            n_tok[i] = len(toks)
+            if not len(toks) or not len(v):
+                sc[i] = 0
+                continue
+            tk = np.array(toks, dtype=object)
+            pos = np.searchsorted(v, tk)
+            pos[pos >= len(v)] = len(v) - 1
+            hit = v[pos] == tk
+            sc[i] = int(s[pos[hit]].sum())
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # token-less docs are out of scope (the oracle's token explode
+        # never produces a row for them)
+        nz = n_tok > 0
+        ids, n_tok, sc = ids[nz], n_tok[nz], sc[nz]
+        # local partial top-k: (score desc, doc_id asc)
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order].astype(np.int64)),
+                "n_tokens": pa.array(n_tok[order]),
+                "score": pa.array(sc[order]),
+            }
+        )
+
+    rows = (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(score_topk, batch_format="pyarrow")
+        .take_all()  # bounded: <= k rows per block
+    )
+    ids = np.array([r["doc_id"] for r in rows], np.int64)
+    ntk = np.array([r["n_tokens"] for r in rows], np.int64)
+    scs = np.array([r["score"] for r in rows], np.int64)
+    order = np.lexsort((ids, -scs))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "doc_id": pa.array(ids[order]),
+            "n_tokens": pa.array(ntk[order]),
+            "score": pa.array(scs[order]),
+        }
+    )

@@ -86,3 +86,75 @@ def test_temperature_mixture_flattens_sources(ray_session, tmp_path):
     assert after.get("head", 0) < 10 * (
         after.get("tail_a", 0) + after.get("tail_b", 0)
     )
+
+
+def test_dsir_select_favors_target_lang(ray_session):
+    """Top-ranked docs must skew toward the target language — the
+    whole point of importance resampling."""
+    import pandas as pd
+
+    from chug_ray.ops.textstats import dsir_select
+
+    sf = "/root/testdata/sf0.001"
+    out = dsir_select(sf, target_lang="en", k=50).to_pandas()
+    assert len(out) == 50
+    assert out["rank"].tolist() == list(range(1, 51))
+    langs = pd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    j = out.merge(langs, on="doc_id")
+    frac_en_selected = (j["lang"] == "en").mean()
+    frac_en_corpus = (langs["lang"] == "en").mean()
+    assert frac_en_selected > frac_en_corpus
+
+
+def test_semdedup_planted_duplicates(ray_session, tmp_path):
+    """Exact duplicate vectors must always collapse to one survivor,
+    whatever cluster they land in (cos=1 > any threshold)."""
+    import numpy as np
+    import pandas as pd
+
+    from chug_ray.ops.dedup import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((60, 16))
+    # vec_ids 100..104 are exact copies of vec_id 100's vector
+    base[1:5] = base[0]
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(100, 160, dtype=np.int64),
+            "embedding": list(base.astype(np.float32)),
+            "label": ["x"] * 60,
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    out = semdedup(str(tmp_path), threshold=0.95).to_pandas()
+    dup = out[out.vec_id.between(100, 104)]
+    assert int(dup.keep.sum()) == 1
+    assert dup[dup.keep == 1].vec_id.iloc[0] == 100
+    assert (dup.rep_id == 100).all()
+
+
+def test_semdedup_deterministic_and_closed(ray_session):
+    """Same output under different scan batch sizes; reps of dropped
+    rows are themselves survivors; survivors are component minima."""
+    import pandas as pd
+
+    from chug_ray.ops.dedup import semdedup
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        semdedup(sf, threshold=0.3)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    b = (
+        semdedup(sf, threshold=0.3, tile=7)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    reps = set(a[a.keep == 1].vec_id)
+    assert a[a.keep == 0].rep_id.isin(reps).all()
+    assert (a[a.keep == 1].rep_id == a[a.keep == 1].vec_id).all()
+    assert (a.groupby("rep_id")["vec_id"].min() >= a.groupby("rep_id")["rep_id"].first()).all()
