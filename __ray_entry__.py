@@ -305,7 +305,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hfds_stream_docs": sources.hfds_stream_docs,
         # --- r02-green, outside r03's window
         "weighted_union": sources.weighted_union,
-        "flatten_props": sources.flatten_props,
         "vqa_prompt": sources.vqa_prompt,
         "hfds_docs": sources.hfds_docs,
         "stratified_sample": sources.stratified_sample,
@@ -406,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project": relational.filter_project,
         "explode_tokens": relational.explode_tokens,
         "docs_by_lang_source": relational.docs_by_lang_source,
+        "flatten_props": sources.flatten_props,  # r02-green, rotated out
     }
 
 
