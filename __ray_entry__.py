@@ -346,6 +346,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": textstats.dsir_select,
         "semdedup": dedup.semdedup,  # no_oracle (k-means clusters)
         "kmeans_lloyd": knn.kmeans_lloyd,  # no_oracle (iterative)
+        # --- new in round 4, session 3 (outside the driver's 50-entry
+        # window this round; pytest oracle-parity covers them until the
+        # round-5 rotation — see memory/chug-ray-build-state)
+        "promo_revenue": relational.promo_revenue,
+        "discounted_revenue": relational.discounted_revenue,
+        "returned_item_customers": relational.returned_item_customers,
+        "nation_volume_shipping": relational.nation_volume_shipping,
+        "train_test_split": textstats.train_test_split,
+        "vocab_overlap": textstats.vocab_overlap,
+        "collocations": textstats.collocations,
         # --- dedup — SQL-oracled where expressible (r03-green)
         "exact_dedup": dedup.exact_dedup,
         "dedup_survivors": dedup.dedup_survivors,
@@ -1554,6 +1564,120 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_price_cents
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
+        """,
+        "promo_revenue": """
+            SELECT CAST(COALESCE(sum(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+                       ELSE 0 END), 0) AS BIGINT) AS promo_cents,
+                   CAST(COALESCE(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)), 0) AS BIGINT) AS total_cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l.l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "discounted_revenue": """
+            SELECT CAST(COALESCE(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+               OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+               OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+        """,
+        "returned_item_customers": """
+            WITH rev AS (
+                SELECT o.o_custkey AS c_custkey,
+                       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS revenue_cents
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+                GROUP BY o.o_custkey
+            ),
+            top AS (
+                SELECT * FROM rev
+                ORDER BY revenue_cents DESC, c_custkey ASC LIMIT 20
+            )
+            SELECT t.c_custkey, c.c_name,
+                   CAST(t.revenue_cents AS BIGINT) AS revenue_cents,
+                   CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents,
+                   n.n_name
+            FROM top t
+            JOIN customer c ON t.c_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "nation_volume_shipping": """
+            WITH j AS (
+                SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                       CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT) AS cents
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+                JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+                WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+                  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(sum(cents) AS BIGINT) AS revenue_cents
+            FROM j GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "train_test_split": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 1000 AS BIGINT) AS hash_bucket,
+                   CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 1000 < 100
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "vocab_overlap": f"""
+            WITH t AS (SELECT source, {_TOK} AS toks FROM documents),
+            v AS (
+                SELECT DISTINCT source, token
+                FROM (SELECT source, unnest(toks) AS token FROM t)
+            ),
+            sizes AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+            pairs AS (
+                SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+                FROM v a JOIN v b ON a.token = b.token AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT p.src_a, p.src_b, CAST(p.shared AS BIGINT) AS shared,
+                   CAST(sa.n AS BIGINT) AS vocab_a,
+                   CAST(sb.n AS BIGINT) AS vocab_b,
+                   CAST((CAST(p.shared AS HUGEINT) * 1000000)
+                        // (sa.n + sb.n - p.shared) AS BIGINT) AS jaccard_e6
+            FROM pairs p
+            JOIN sizes sa ON p.src_a = sa.source
+            JOIN sizes sb ON p.src_b = sb.source
+        """,
+        "collocations": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            tok AS (
+                SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
+                       unnest(toks) AS token
+                FROM t
+            ),
+            uni AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+            n AS (SELECT count(*) AS total FROM tok),
+            big AS (
+                SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS c_xy
+                FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                GROUP BY 1, 2
+                HAVING count(*) >= 5
+            ),
+            scored AS (
+                SELECT tok_a, tok_b, c_xy,
+                       CAST((CAST(c_xy AS HUGEINT) * 1000000 * (SELECT total FROM n))
+                            // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS pmi_ratio_e6
+                FROM big
+                JOIN uni ua ON tok_a = ua.token
+                JOIN uni ub ON tok_b = ub.token
+            )
+            SELECT tok_a, tok_b, CAST(c_xy AS BIGINT) AS c_xy, pmi_ratio_e6
+            FROM scored
+            ORDER BY pmi_ratio_e6 DESC, tok_a ASC, tok_b ASC LIMIT 20
         """,
         **_extract_parity_oracles(),
     }

@@ -1647,7 +1647,16 @@ def semdedup(
     row IS its component's representative; rep_id gives dedup lineage.
     no_oracle (clusters come from iterative k-means); pinned by
     determinism-under-repartitioning, planted-duplicate recall, and
-    survivor-coverage tests."""
+    survivor-coverage tests.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    each k-means cluster materializes as ONE map_groups group, so the
+    centroid count must scale with the corpus (k ≈ n / target cluster
+    size, as in the SemDeDup paper's 11k clusters; the trainer's k is a
+    sample-size knob). Group sizes are recorded via
+    ``record_group('semdedup(cluster)', ...)`` so an oversized cluster
+    is visible in telemetry, and the >``max_group_rows`` banded path
+    keeps the pair step near-linear even then."""
     import ray
 
     from chug_ray.ops.knn import (

@@ -2005,8 +2005,11 @@ def top_supplier(
 
     winners = per_supp.map_batches(tie_cut, batch_format="pyarrow").to_pandas()
 
+    # pushdown: only the <=|ties| winner rows leave the dimension file
     names = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", winners["s_suppkey"].tolist())],
     )
     nk = np.asarray(names["s_suppkey"]).astype(np.int64)
     order = np.argsort(nk, kind="stable")
@@ -2356,6 +2359,515 @@ def idle_rich_customers(
             ),
             "totacctbal_cents": pa.array(
                 [int(r["totacctbal_cents"]) for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def _sorted_int_map(sf_dir: str, table: str, key: str, val: str):
+    """Broadcast-ready (sorted keys, aligned int64 values) dimension map
+    — the :func:`regional_supplier_revenue` bound: one ``ray.put`` per
+    dimension, read once per worker process via :func:`_bcast`. At true
+    web scale the customer-sized maps graduate to the co-partitioned
+    join (see :func:`order_priority_revenue`)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=[key, val])
+    k = np.asarray(t[key]).astype(np.int64)
+    v = np.asarray(t[val]).astype(np.int64)
+    order = np.argsort(k, kind="stable")
+    return ray.put((k[order], v[order]))
+
+
+def _map_lookup(ref, keys: np.ndarray) -> np.ndarray:
+    """Vectorized sorted-map probe; unknown keys resolve to -1."""
+    ks, vs = _bcast(ref)
+    if len(ks) == 0:
+        return np.full(len(keys), -1, np.int64)
+    pos = np.clip(np.searchsorted(ks, keys), 0, len(ks) - 1)
+    out = vs[pos].copy()
+    out[ks[pos] != keys] = -1
+    return out
+
+
+def _rev_cents(batch: pa.Table) -> np.ndarray:
+    """Per-line revenue l_extendedprice·(1−l_discount) in integer cents
+    (round-half-away), matching the SQL oracle's
+    ``round(l_extendedprice*(1-l_discount)*100, 0)`` exactly."""
+    rev = pc.multiply(
+        batch["l_extendedprice"],
+        pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+    )
+    return pc.cast(
+        pc.round(
+            pc.multiply(rev, pa.scalar(100.0)),
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+
+
+def promo_revenue(
+    sf_dir: str,
+    date_lo: str = "1996-09-01",
+    date_hi: str = "1996-10-01",
+):
+    """TPC-H Q14-shaped composite: promotion effect — revenue from
+    PROMO-type parts vs all revenue in one ship-date month. The
+    CONDITIONAL-aggregate-over-dimension-attribute shape.
+
+    Scale shape: the part dimension reduces to a broadcast sorted
+    (partkey → is_promo) int map (one ``ray.put``); lineitem streams
+    through a single ``map_batches`` pass that resolves the flag with a
+    vectorized searchsorted probe and collapses each batch to ONE
+    (promo_cents, total_cents) partial row — no shuffle at all, the
+    final aggregate sums |batches| rows. Ratio is left to the consumer:
+    both sides emit the exact integer-cent numerator and denominator so
+    the hash compare is float-free."""
+    from ray.data.aggregate import Sum
+
+    promo_ref = None
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    import pyarrow.parquet as pq
+    import ray
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    k = np.asarray(pt["p_partkey"]).astype(np.int64)
+    v = (np.asarray(pt["p_type"]) == "PROMO").astype(np.int64)
+    order = np.argsort(k, kind="stable")
+    promo_ref = ray.put((k[order], v[order]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], lo),
+                pc.less(batch["l_shipdate"], hi),
+            )
+        )
+        cents = _rev_cents(batch)
+        is_promo = _map_lookup(
+            promo_ref, batch["l_partkey"].to_numpy(zero_copy_only=False)
+        )
+        # total counts only lines whose partkey resolves (-1 = unknown),
+        # matching the oracle's INNER join exactly
+        return pa.table(
+            {
+                "promo_cents": pa.array(
+                    [int(cents[is_promo == 1].sum())], pa.int64()
+                ),
+                "total_cents": pa.array(
+                    [int(cents[is_promo >= 0].sum())], pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .aggregate(
+            Sum("promo_cents", alias_name="p"),
+            Sum("total_cents", alias_name="t"),
+        )
+    )
+    return pa.table(
+        {
+            "promo_cents": pa.array([int(agg["p"] or 0)], pa.int64()),
+            "total_cents": pa.array([int(agg["t"] or 0)], pa.int64()),
+        }
+    )
+
+
+def discounted_revenue(sf_dir: str):
+    """TPC-H Q19-shaped composite: revenue from three DISJUNCTIVE
+    (brand, quantity-range, size-range) predicate tiers — the
+    multi-clause OR filter that defeats naive predicate pushdown.
+
+    Scale shape: the common bound of all tiers (``l_quantity <= 30``)
+    IS pushed into the parquet scan (row-group pruning at the read —
+    the prune-at-the-read rule); the per-tier residue needs part
+    attributes, so the part dimension broadcasts once as sorted
+    (partkey → brand_id·1000 + size) packed ints and each lineitem
+    batch resolves all three tiers in one vectorized pass, collapsing
+    to a single (revenue_cents, n_lines) partial row. No shuffle."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+    import ray
+
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    k = np.asarray(pt["p_partkey"]).astype(np.int64)
+    brand_id = np.array(
+        [int(b.split("#", 1)[1]) for b in np.asarray(pt["p_brand"])],
+        np.int64,
+    )
+    packed = brand_id * 1000 + np.asarray(pt["p_size"]).astype(np.int64)
+    order = np.argsort(k, kind="stable")
+    part_ref = ray.put((k[order], packed[order]))
+
+    # (brand_id, qty_lo, qty_hi, size_lo, size_hi) inclusive tiers
+    TIERS = ((1, 1, 11, 1, 5), (2, 10, 20, 1, 10), (3, 20, 30, 1, 15))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = _map_lookup(
+            part_ref, batch["l_partkey"].to_numpy(zero_copy_only=False)
+        )
+        brand = pk // 1000
+        size = pk % 1000
+        qty = pc.cast(batch["l_quantity"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = np.zeros(len(batch), bool)
+        for b, qlo, qhi, slo, shi in TIERS:
+            keep |= (
+                (brand == b)
+                & (qty >= qlo)
+                & (qty <= qhi)
+                & (size >= slo)
+                & (size <= shi)
+            )
+        cents = _rev_cents(batch)
+        return pa.table(
+            {
+                "revenue_cents": pa.array([int(cents[keep].sum())], pa.int64()),
+                "n_lines": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    import ray.data
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_quantity") <= 30),  # pushdown: union bound of tiers
+    )
+    agg = li.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).aggregate(
+        Sum("revenue_cents", alias_name="r"), Sum("n_lines", alias_name="n")
+    )
+    return pa.table(
+        {
+            "revenue_cents": pa.array([int(agg["r"] or 0)], pa.int64()),
+            "n_lines": pa.array([int(agg["n"] or 0)], pa.int64()),
+        }
+    )
+
+
+def returned_item_customers(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    k: int = 20,
+    num_buckets: int = 64,
+):
+    """TPC-H Q10-shaped composite: the top-k customers by revenue lost
+    to returned items (``l_returnflag = 'R'``) for one order-date
+    quarter, reported with name / balance / nation — the
+    fact-fact-join → re-key → global-top-k shape.
+
+    Scale shape: lineitem collapses to per-orderkey returned-revenue
+    combiner partials; the date-filtered order headers carry only
+    (orderkey, custkey). ONE ``orderkey % num_buckets`` co-shuffle
+    resolves the join; each group re-keys to per-custkey partials, so
+    the follow-up custkey groupby moves at most one row per (bucket,
+    customer). The global top-k then runs the
+    :func:`top_revenue_orders` bucket machinery (per-bucket top-k →
+    k·num_buckets-row sort), ties broken by custkey so the selection
+    is deterministic. Customer names/balances and nation names join
+    LAST, as a ≤k-row pushdown dimension read — the winners never ride
+    a shuffle."""
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["l_returnflag"], pa.scalar("R")))
+        cents = _rev_cents(batch)
+        df = pd.DataFrame(
+            {
+                "key": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "revenue_cents": cents,
+            }
+        )
+        g = df.groupby("key", as_index=False)["revenue_cents"].sum()
+        n = len(g)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (g["key"].to_numpy() % num_buckets).astype(np.int64)
+                ),
+                "key": pa.array(g["key"].to_numpy(np.int64)),
+                "c_custkey": pa.array(np.full(n, -1, np.int64)),
+                "revenue_cents": pa.array(
+                    g["revenue_cents"].to_numpy(np.int64)
+                ),
+                "side": pa.array(["l"] * n, pa.string()),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["o_orderdate"], lo),
+                pc.less(batch["o_orderdate"], hi),
+            )
+        )
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((key % num_buckets).astype(np.int64)),
+                "key": pa.array(key.astype(np.int64)),
+                "c_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                "revenue_cents": pa.array(np.zeros(len(batch), np.int64)),
+                "side": pa.array(["o"] * len(batch), pa.string()),
+            }
+        )
+
+    def probe(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
+        record_group("returned_item_customers(bucket)", None, len(group))
+        li = group[group["side"] == "l"][["key", "revenue_cents"]]
+        od = group[group["side"] == "o"][["key", "c_custkey"]]
+        j = li.merge(od, on="key")
+        g = j.groupby("c_custkey", as_index=False)["revenue_cents"].sum()
+        g["revenue_cents"] = g["revenue_cents"].astype(np.int64)
+        g["cbkt"] = (g["c_custkey"] % num_buckets).astype(np.int64)
+        return g[["cbkt", "c_custkey", "revenue_cents"]]
+
+    def per_bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("c_custkey", as_index=False)["revenue_cents"].sum()
+        g["revenue_cents"] = g["revenue_cents"].astype(np.int64)
+        return g.sort_values(
+            ["revenue_cents", "c_custkey"], ascending=[False, True]
+        ).head(k)[["c_custkey", "revenue_cents"]]
+
+    winners = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(line_partial, batch_format="pyarrow", batch_size=65536)
+        .union(
+            _read(
+                sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+            ).map_batches(prep_orders, batch_format="pyarrow")
+        )
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bkt")
+        .map_groups(probe, batch_format="pandas")
+        .materialize()  # pin before the custkey bucket shuffle
+        .groupby("cbkt")
+        .map_groups(per_bucket_topk, batch_format="pandas")
+        .materialize()  # pin the per-bucket top-k before the global sort
+        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=[("c_custkey", "in", winners["c_custkey"].tolist())],
+    ).to_pandas()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = winners.merge(cust, on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out["acctbal_cents"] = (
+        np.floor(np.abs(out["c_acctbal"].to_numpy()) * 100.0 + 0.5)
+        * np.sign(out["c_acctbal"].to_numpy())
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "c_custkey": pa.array(out["c_custkey"].to_numpy(np.int64)),
+            "c_name": pa.array(out["c_name"].tolist(), pa.string()),
+            "revenue_cents": pa.array(out["revenue_cents"].to_numpy(np.int64)),
+            "acctbal_cents": pa.array(out["acctbal_cents"].to_numpy(np.int64)),
+            "n_name": pa.array(out["n_name"].tolist(), pa.string()),
+        }
+    )
+
+
+def nation_volume_shipping(
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+    num_buckets: int = 64,
+):
+    """TPC-H Q7-shaped composite: shipping volume between two nations
+    by (supplier nation, customer nation, ship year) — the
+    TWO-ROLE-dimension shape: the same nation dimension constrains
+    both fact sides, in opposite directions.
+
+    Scale shape: supplier→nationkey and customer→nationkey broadcast
+    once as sorted int maps (the :func:`_sorted_int_map` bound); BOTH
+    fact sides prune to the two nations before the shuffle. Lineitem
+    pre-aggregates per (orderkey, supp_nation, year) revenue-cent
+    combiner partials; order headers carry (orderkey, cust_nation).
+    One ``orderkey % num_buckets`` co-shuffle resolves the join; the
+    cross-nation direction mask (supp ≠ cust) applies in-group, and
+    the final groupby sums ≤ 2·|years| rows per bucket."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    names = np.asarray(nat["n_name"])
+    nkeys = np.asarray(nat["n_nationkey"]).astype(np.int64)
+    try:
+        key_a = int(nkeys[names == nation_a][0])
+        key_b = int(nkeys[names == nation_b][0])
+    except IndexError:
+        raise ValueError(f"unknown nation: {nation_a!r} / {nation_b!r}")
+    pair = np.sort(np.array([key_a, key_b], np.int64))
+    name_of = {key_a: nation_a, key_b: nation_b}
+
+    supp_ref = _sorted_int_map(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+    cust_ref = _sorted_int_map(sf_dir, "customer", "c_custkey", "c_nationkey")
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], lo),
+                pc.less(batch["l_shipdate"], hi),
+            )
+        )
+        snat = _map_lookup(
+            supp_ref, batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        )
+        keep = np.isin(snat, pair)  # prune before the shuffle
+        batch = batch.filter(pa.array(keep))
+        snat = snat[keep]
+        year = (
+            batch["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        df = pd.DataFrame(
+            {
+                "key": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "snat": snat,
+                "l_year": year,
+                "revenue_cents": _rev_cents(batch),
+            }
+        )
+        g = df.groupby(["key", "snat", "l_year"], as_index=False)[
+            "revenue_cents"
+        ].sum()
+        n = len(g)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (g["key"].to_numpy() % num_buckets).astype(np.int64)
+                ),
+                "key": pa.array(g["key"].to_numpy(np.int64)),
+                "snat": pa.array(g["snat"].to_numpy(np.int64)),
+                "cnat": pa.array(np.full(n, -1, np.int64)),
+                "l_year": pa.array(g["l_year"].to_numpy(np.int64)),
+                "revenue_cents": pa.array(
+                    g["revenue_cents"].to_numpy(np.int64)
+                ),
+                "side": pa.array(["l"] * n, pa.string()),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        cnat = _map_lookup(
+            cust_ref, batch["o_custkey"].to_numpy(zero_copy_only=False)
+        )
+        keep = np.isin(cnat, pair)
+        batch = batch.filter(pa.array(keep))
+        cnat = cnat[keep]
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        n = len(batch)
+        return pa.table(
+            {
+                "bkt": pa.array((key % num_buckets).astype(np.int64)),
+                "key": pa.array(key.astype(np.int64)),
+                "snat": pa.array(np.full(n, -1, np.int64)),
+                "cnat": pa.array(cnat),
+                "l_year": pa.array(np.zeros(n, np.int64)),
+                "revenue_cents": pa.array(np.zeros(n, np.int64)),
+                "side": pa.array(["o"] * n, pa.string()),
+            }
+        )
+
+    def probe(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
+        record_group("nation_volume_shipping(bucket)", None, len(group))
+        li = group[group["side"] == "l"][
+            ["key", "snat", "l_year", "revenue_cents"]
+        ]
+        od = group[group["side"] == "o"][["key", "cnat"]]
+        j = li.merge(od, on="key")
+        j = j[j["snat"] != j["cnat"]]  # the two cross directions only
+        g = j.groupby(["snat", "cnat", "l_year"], as_index=False)[
+            "revenue_cents"
+        ].sum()
+        g["revenue_cents"] = g["revenue_cents"].astype(np.int64)
+        return g
+
+    rows = (
+        _read(
+            sf_dir,
+            "lineitem",
+            [
+                "l_orderkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+                "l_shipdate",
+            ],
+        )
+        .map_batches(line_partial, batch_format="pyarrow", batch_size=65536)
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+                prep_orders, batch_format="pyarrow"
+            )
+        )
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bkt")
+        .map_groups(probe, batch_format="pandas")
+        .materialize()  # pin before the (tiny) final shuffle
+        .groupby(["snat", "cnat", "l_year"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .take_all()  # bounded: ≤ 2 directions × |years|
+    )
+    rows.sort(key=lambda r: (r["snat"], r["cnat"], r["l_year"]))
+    return pa.table(
+        {
+            "supp_nation": pa.array(
+                [name_of[int(r["snat"])] for r in rows], pa.string()
+            ),
+            "cust_nation": pa.array(
+                [name_of[int(r["cnat"])] for r in rows], pa.string()
+            ),
+            "l_year": pa.array([int(r["l_year"]) for r in rows], pa.int64()),
+            "revenue_cents": pa.array(
+                [int(r["revenue_cents"]) for r in rows], pa.int64()
             ),
         }
     )

@@ -1636,3 +1636,289 @@ def dsir_select(
             "score": pa.array(scs[order]),
         }
     )
+
+
+def train_test_split(sf_dir: str, test_permille: int = 100):
+    """Deterministic hash-based train/test split — the standard
+    leakage-safe corpus split (hash the stable document key, not a
+    row-order RNG, so the assignment survives re-sharding, appends and
+    re-runs; cf. the keyed-RNG rule in ``chug_ray/util.py``).
+
+    ``h = (doc_id · 2654435761) mod 2³²`` (Knuth multiplicative hash);
+    a doc is 'test' iff ``h mod 1000 < test_permille``. Fully
+    vectorized in uint64 (doc_id < 2³² is asserted, so the product
+    never wraps 2⁶⁴ and numpy's wraparound arithmetic equals the SQL
+    oracle's HUGEINT form exactly). One embarrassingly-parallel
+    ``map_batches`` pass — no shuffle, no driver state, and the split
+    of any one document is computable in isolation."""
+    import numpy as np
+
+    K = np.uint64(2654435761)
+    M32 = np.uint64(4294967296)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert (ids >= 0).all() and (ids < (1 << 32)).all(), (
+            "doc_id outside [0, 2^32): the uint64 product would wrap"
+        )
+        h = (ids.astype(np.uint64) * K) % M32
+        bucket = (h % np.uint64(1000)).astype(np.int64)
+        split = np.where(bucket < test_permille, "test", "train")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "hash_bucket": pa.array(bucket),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id",)).map_batches(fn, batch_format="pyarrow")
+
+
+def vocab_overlap(sf_dir: str, num_buckets: int = 64):
+    """Per-source vocabulary Jaccard overlap matrix — the corpus-mixing
+    diagnostic (how much do two sources share their token vocabulary?).
+    Emits one row per unordered source pair with ≥1 shared token:
+    (src_a < src_b, shared, vocab_a, vocab_b, jaccard_e6) where
+    ``jaccard_e6 = ⌊shared·10⁶ / (vocab_a + vocab_b − shared)⌋`` is
+    integer-exact (no float division → hash-exact vs the oracle).
+
+    Shape: the batch combiner emits DISTINCT (source, token) rows
+    (a token repeated millions of times in one source ships once per
+    batch); ONE ``blake2b(token) % B`` bucket shuffle co-locates each
+    token's rows, so the in-group distinct-source set is global; each
+    group emits per-pair and per-source partial counts, and the final
+    groupby sums ≤ |sources|² rows per bucket. Bounded by vocab ×
+    sources, never by corpus rows."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(TOKEN_RE)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        pairs: set[tuple[str, str]] = set()
+        for src, text in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for tok in token_re.findall(text.lower()):
+                pairs.add((src, tok))
+        if not pairs:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "bkt": pa.array([], pa.int64()),
+                }
+            )
+        srcs, toks = zip(*sorted(pairs))
+        bkt = [
+            int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+            )
+            % num_buckets
+            for t in toks
+        ]
+        return pa.table(
+            {
+                "source": pa.array(list(srcs), pa.string()),
+                "token": pa.array(list(toks), pa.string()),
+                "bkt": pa.array(np.array(bkt, np.int64)),
+            }
+        )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
+        record_group("vocab_overlap(bucket)", None, len(group))
+        v = group[["source", "token"]].drop_duplicates()
+        sizes = v.groupby("source", as_index=False).size()
+        out = [
+            pd.DataFrame(
+                {
+                    "src_a": sizes["source"],
+                    "src_b": "",
+                    "n": sizes["size"].astype(np.int64),
+                    "kind": "s",
+                }
+            )
+        ]
+        m = v.merge(v, on="token", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        if len(m):
+            p = m.groupby(["source_a", "source_b"], as_index=False).size()
+            out.append(
+                pd.DataFrame(
+                    {
+                        "src_a": p["source_a"],
+                        "src_b": p["source_b"],
+                        "n": p["size"].astype(np.int64),
+                        "kind": "p",
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    rows = (
+        _docs(sf_dir, ("source", "text"))
+        .map_batches(explode, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bkt")
+        .map_groups(per_bucket, batch_format="pandas")
+        .materialize()  # pin before the (tiny) final shuffle
+        .groupby(["kind", "src_a", "src_b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded: |sources| + |sources|² rows
+    )
+    sizes = {r["src_a"]: int(r["n"]) for r in rows if r["kind"] == "s"}
+    out = []
+    for r in sorted(
+        (r for r in rows if r["kind"] == "p"),
+        key=lambda r: (r["src_a"], r["src_b"]),
+    ):
+        a, b, shared = r["src_a"], r["src_b"], int(r["n"])
+        union = sizes[a] + sizes[b] - shared
+        out.append(
+            (a, b, shared, sizes[a], sizes[b], shared * 1_000_000 // union)
+        )
+    return pa.table(
+        {
+            "src_a": pa.array([o[0] for o in out], pa.string()),
+            "src_b": pa.array([o[1] for o in out], pa.string()),
+            "shared": pa.array([o[2] for o in out], pa.int64()),
+            "vocab_a": pa.array([o[3] for o in out], pa.int64()),
+            "vocab_b": pa.array([o[4] for o in out], pa.int64()),
+            "jaccard_e6": pa.array([o[5] for o in out], pa.int64()),
+        }
+    )
+
+
+def collocations(sf_dir: str, min_count: int = 5, k: int = 20):
+    """PMI-ranked collocations: the top-``k`` adjacent token bigrams by
+    pointwise mutual information, ``PMI ∝ c_xy·N / (c_x·c_y)`` — the
+    classic phrase-discovery op (Church & Hanks 1990) used to mine
+    multi-word expressions from a pretraining corpus.
+
+    Hash-exactness: the score is emitted as
+    ``pmi_ratio_e6 = ⌊c_xy·10⁶·N / (c_x·c_y)⌋`` computed in unbounded
+    Python ints over the ≥``min_count`` candidates only (the product
+    overflows int64 at web scale; the candidate set is already reduced)
+    — no logs, no floats, so ranking and values match the HUGEINT SQL
+    oracle bit-for-bit. Ties at the k-boundary break lexicographically.
+
+    Shape: unigram counts reduce via batch-Counter combiners to a
+    vocab-bounded table broadcast once (the :func:`oov_rate` bound);
+    bigram batch-Counters shuffle one row per (batch, distinct bigram)
+    into a ``groupby(bigram)``; the ≥min_count candidates score
+    vectorized against the broadcast and a per-batch partial top-k
+    caps the final sort at k·|batches| rows."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(TOKEN_RE)
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            c.update(token_re.findall(text.lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    uni_rows = (
+        _docs(sf_dir, ("text",))
+        .map_batches(uni_partial, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded: vocabulary size (the oov_rate bound)
+    )
+    toks = np.array([r["token"] for r in uni_rows], dtype=object)
+    cnts = np.array([int(r["n"]) for r in uni_rows], np.int64)
+    order = np.argsort(toks, kind="stable")
+    total = int(cnts.sum())
+    uni_ref = ray.put((toks[order], cnts[order]))
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            ts = token_re.findall(text.lower())
+            c.update(zip(ts, ts[1:]))
+        ks = list(c.keys())
+        return pa.table(
+            {
+                "tok_a": pa.array([a for a, _ in ks], pa.string()),
+                "tok_b": pa.array([b for _, b in ks], pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def score(batch: pa.Table) -> pa.Table:
+        vt, vc = _bcast_uni(uni_ref)
+        c_xy = batch["n"].to_numpy(zero_copy_only=False)
+        keep = c_xy >= min_count
+        batch = batch.filter(pa.array(keep))
+        c_xy = c_xy[keep]
+        a = np.asarray(batch["tok_a"], dtype=object)
+        b = np.asarray(batch["tok_b"], dtype=object)
+        ca = vc[np.searchsorted(vt, a)]
+        cb = vc[np.searchsorted(vt, b)]
+        # unbounded-int score on the reduced candidate set (int64 would
+        # overflow at c_xy·N·1e6 ≳ 9e18, i.e. already at ~1e6 tokens)
+        ratio = [
+            int(x) * 1_000_000 * total // (int(y) * int(z))
+            for x, y, z in zip(c_xy, ca, cb)
+        ]
+        df = pd.DataFrame(
+            {
+                "tok_a": a,
+                "tok_b": b,
+                "c_xy": c_xy,
+                "pmi_ratio_e6": np.array(ratio, np.int64),
+            }
+        )
+        df = df.sort_values(
+            ["pmi_ratio_e6", "tok_a", "tok_b"],
+            ascending=[False, True, True],
+        ).head(k)  # per-batch partial top-k
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        _docs(sf_dir, ("text",))
+        .map_batches(big_partial, batch_format="pyarrow")
+        .materialize()  # partials (see window.py NOTE)
+        .groupby(["tok_a", "tok_b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(score, batch_format="pyarrow")
+        .materialize()  # pin the partial top-k before the global sort
+        .sort(
+            ["pmi_ratio_e6", "tok_a", "tok_b"],
+            descending=[True, False, False],
+        )
+        .limit(k)
+    )
+
+
+_UNI_CACHE: dict = {}
+
+
+def _bcast_uni(ref):
+    """Per-process cache of the broadcast unigram table (cf. _BCAST in
+    relational.py)."""
+    import ray
+
+    key = ref.hex()
+    if key not in _UNI_CACHE:
+        _UNI_CACHE[key] = ray.get(ref)
+    return _UNI_CACHE[key]

@@ -1,0 +1,118 @@
+"""Edge-case and invariance guards for the round-4 session-3 operators
+(promo_revenue, discounted_revenue, returned_item_customers,
+nation_volume_shipping, train_test_split, vocab_overlap, collocations).
+Happy paths are pinned by the DuckDB parity harness in
+test_oracle_parity.py; these cover the knobs the oracle can't move."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from chug_ray.ops.relational import (
+    nation_volume_shipping,
+    returned_item_customers,
+)
+from chug_ray.ops.textstats import (
+    collocations,
+    train_test_split,
+    vocab_overlap,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pd(result):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def test_nation_volume_bucket_invariance(ray_session):
+    """The orderkey co-shuffle must give identical results at any
+    bucket count (each order wholly in one bucket)."""
+    a = _canon(_pd(nation_volume_shipping(SF, num_buckets=4)))
+    b = _canon(_pd(nation_volume_shipping(SF, num_buckets=64)))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_nation_volume_unknown_nation_raises(ray_session):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown nation"):
+        nation_volume_shipping(SF, nation_a="ATLANTIS")
+
+
+def test_returned_item_customers_bucket_invariance(ray_session):
+    a = _canon(_pd(returned_item_customers(SF, num_buckets=4)))
+    b = _canon(_pd(returned_item_customers(SF, num_buckets=64)))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_returned_item_customers_k_prefix(ray_session):
+    """Top-5 must be a prefix of top-20 under the deterministic
+    (revenue DESC, custkey ASC) order."""
+    t20 = _pd(returned_item_customers(SF, k=20)).sort_values(
+        ["revenue_cents", "c_custkey"], ascending=[False, True]
+    )
+    t5 = _pd(returned_item_customers(SF, k=5)).sort_values(
+        ["revenue_cents", "c_custkey"], ascending=[False, True]
+    )
+    assert len(t5) == 5
+    pd.testing.assert_frame_equal(
+        t5.reset_index(drop=True),
+        t20.head(5).reset_index(drop=True),
+    )
+
+
+def test_train_test_split_is_stable_and_partitions(ray_session):
+    """Same doc → same split on every run (hash, not RNG), every doc
+    assigned exactly one split, and the test share is near the dial."""
+    a = _pd(train_test_split(SF)).sort_values("doc_id", ignore_index=True)
+    b = _pd(train_test_split(SF)).sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["split"].unique()) <= {"train", "test"}
+    assert a["doc_id"].is_unique
+    frac = (a["split"] == "test").mean()
+    assert 0.05 < frac < 0.2  # 100‰ dial, 500 docs: loose CLT band
+
+
+def test_train_test_split_permille_dial(ray_session):
+    zero = _pd(train_test_split(SF, test_permille=0))
+    assert (zero["split"] == "train").all()
+    full = _pd(train_test_split(SF, test_permille=1000))
+    assert (full["split"] == "test").all()
+
+
+def test_vocab_overlap_bucket_invariance(ray_session):
+    a = _canon(_pd(vocab_overlap(SF, num_buckets=4)))
+    b = _canon(_pd(vocab_overlap(SF, num_buckets=64)))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_vocab_overlap_jaccard_bounds(ray_session):
+    df = _pd(vocab_overlap(SF))
+    assert (df["jaccard_e6"] >= 0).all() and (df["jaccard_e6"] <= 1_000_000).all()
+    assert (df["shared"] <= df[["vocab_a", "vocab_b"]].min(axis=1)).all()
+    assert (df["src_a"] < df["src_b"]).all()
+
+
+def test_collocations_min_count_monotone(ray_session):
+    """Raising min_count can only shrink the candidate set; surviving
+    bigrams keep identical scores."""
+    lo = _pd(collocations(SF, min_count=2, k=1000))
+    hi = _pd(collocations(SF, min_count=10, k=1000))
+    assert (hi["c_xy"] >= 10).all()
+    merged = hi.merge(lo, on=["tok_a", "tok_b"], suffixes=("_hi", "_lo"))
+    assert len(merged) == len(hi)
+    assert (merged["pmi_ratio_e6_hi"] == merged["pmi_ratio_e6_lo"]).all()
