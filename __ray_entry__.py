@@ -356,6 +356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": textstats.train_test_split,
         "vocab_overlap": textstats.vocab_overlap,
         "collocations": textstats.collocations,
+        "profit_by_nation_year": relational.profit_by_nation_year,
+        "market_share": relational.market_share,
         # --- dedup — SQL-oracled where expressible (r03-green)
         "exact_dedup": dedup.exact_dedup,
         "dedup_survivors": dedup.dedup_survivors,
@@ -1678,6 +1680,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok_a, tok_b, CAST(c_xy AS BIGINT) AS c_xy, pmi_ratio_e6
             FROM scored
             ORDER BY pmi_ratio_e6 DESC, tok_a ASC, tok_b ASC LIMIT 20
+        """,
+        "profit_by_nation_year": """
+            WITH pcost AS (
+                SELECT p_partkey,
+                       CAST(round(p_retailprice * 10, 0) AS BIGINT) AS unit_cost_cents
+                FROM part WHERE p_name LIKE '%rod%'
+            )
+            SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+                            - CAST(l.l_quantity AS BIGINT) * pcost.unit_cost_cents)
+                        AS BIGINT) AS profit_cents
+            FROM lineitem l
+            JOIN pcost ON l.l_partkey = pcost.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY n.n_name, year(o.o_orderdate)
+        """,
+        "market_share": """
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN sn.n_name = 'NATION_5'
+                            THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS nation_cents,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+            GROUP BY 1
         """,
         **_extract_parity_oracles(),
     }

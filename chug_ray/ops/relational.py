@@ -2871,3 +2871,322 @@ def nation_volume_shipping(
             ),
         }
     )
+
+
+def profit_by_nation_year(
+    sf_dir: str,
+    name_like: str = "rod",
+    cost_permille_of_retail: int = 100,
+    num_buckets: int = 64,
+):
+    """TPC-H Q9-shaped composite: profit per (supplier nation, order
+    year) over parts whose name contains ``name_like`` — the
+    many-dimension PROFIT-EXPRESSION shape where each line's measure
+    mixes fact columns with attributes of two different dimensions.
+
+    The reference schema's partsupp.ps_supplycost has no counterpart in
+    this corpus, so unit cost is defined as
+    ``round(p_retailprice · cost_permille_of_retail / 10)`` cents —
+    the SHAPE (revenue − qty·per-part-cost, grouped by two derived
+    dimensions) is what's exercised; the constant is a knob.
+
+    Scale shape: the name-filtered part map (partkey → unit-cost
+    cents) and the supplier map broadcast once; lineitem prunes to
+    matching parts BEFORE the shuffle and pre-aggregates
+    (orderkey, supp-nation) profit-cents combiner partials; order
+    headers carry (orderkey, year). ONE orderkey co-shuffle resolves
+    the year; the final groupby sums ≤ |nations|·|years| rows per
+    bucket."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+    names = np.asarray(pt["p_name"])
+    m = np.char.find(names.astype(str), name_like) >= 0
+    k = np.asarray(pt["p_partkey"]).astype(np.int64)[m]
+    # unit cost in cents: round-half-away(p_retailprice · permille / 10)
+    retail = np.asarray(pt["p_retailprice"], dtype=np.float64)[m]
+    cost = retail * (cost_permille_of_retail / 10.0)
+    cost_cents = (np.floor(np.abs(cost) + 0.5) * np.sign(cost)).astype(np.int64)
+    order = np.argsort(k, kind="stable")
+    part_ref = ray.put((k[order], cost_cents[order]))
+    supp_ref = _sorted_int_map(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nation_names = dict(
+        zip(
+            np.asarray(nat["n_nationkey"]).astype(np.int64).tolist(),
+            np.asarray(nat["n_name"]).tolist(),
+        )
+    )
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        unit_cost = _map_lookup(part_ref, pk)
+        keep = unit_cost >= 0  # prune to name-matched parts pre-shuffle
+        batch = batch.filter(pa.array(keep))
+        unit_cost = unit_cost[keep]
+        snat = _map_lookup(
+            supp_ref, batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        )
+        ok = snat >= 0  # unknown suppkey = inner-join drop, like the oracle
+        batch = batch.filter(pa.array(ok))
+        snat, unit_cost = snat[ok], unit_cost[ok]
+        qty = pc.cast(batch["l_quantity"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        profit = _rev_cents(batch) - qty * unit_cost
+        df = pd.DataFrame(
+            {
+                "key": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "snat": snat,
+                "profit_cents": profit,
+            }
+        )
+        g = df.groupby(["key", "snat"], as_index=False)["profit_cents"].sum()
+        n = len(g)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (g["key"].to_numpy() % num_buckets).astype(np.int64)
+                ),
+                "key": pa.array(g["key"].to_numpy(np.int64)),
+                "snat": pa.array(g["snat"].to_numpy(np.int64)),
+                "o_year": pa.array(np.zeros(n, np.int64)),
+                "profit_cents": pa.array(g["profit_cents"].to_numpy(np.int64)),
+                "side": pa.array(["l"] * n, pa.string()),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        year = (
+            batch["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        n = len(batch)
+        return pa.table(
+            {
+                "bkt": pa.array((key % num_buckets).astype(np.int64)),
+                "key": pa.array(key.astype(np.int64)),
+                "snat": pa.array(np.full(n, -1, np.int64)),
+                "o_year": pa.array(year),
+                "profit_cents": pa.array(np.zeros(n, np.int64)),
+                "side": pa.array(["o"] * n, pa.string()),
+            }
+        )
+
+    def probe(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
+        record_group("profit_by_nation_year(bucket)", None, len(group))
+        li = group[group["side"] == "l"][["key", "snat", "profit_cents"]]
+        od = group[group["side"] == "o"][["key", "o_year"]]
+        j = li.merge(od, on="key")
+        g = j.groupby(["snat", "o_year"], as_index=False)["profit_cents"].sum()
+        g["profit_cents"] = g["profit_cents"].astype(np.int64)
+        return g
+
+    agg = (
+        _read(
+            sf_dir,
+            "lineitem",
+            [
+                "l_orderkey",
+                "l_partkey",
+                "l_suppkey",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        )
+        .map_batches(line_partial, batch_format="pyarrow", batch_size=65536)
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+                prep_orders, batch_format="pyarrow"
+            )
+        )
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bkt")
+        .map_groups(probe, batch_format="pandas")
+        .materialize()  # pin before the (tiny) final shuffle
+        .groupby(["snat", "o_year"])
+        .aggregate(Sum("profit_cents", alias_name="profit_cents"))
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": [nation_names[int(s)] for s in batch["snat"]],
+                "o_year": batch["o_year"].to_numpy(np.int64),
+                "profit_cents": batch["profit_cents"].to_numpy(np.int64),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def market_share(
+    sf_dir: str,
+    target_nation: str = "NATION_5",
+    region: str = "ASIA",
+    part_type: str = "STANDARD",
+    num_buckets: int = 64,
+):
+    """TPC-H Q8-shaped composite: the target nation's supplier share of
+    one region's customer revenue, by order year, restricted to one
+    part type — the NUMERATOR/DENOMINATOR-from-one-pass shape (both
+    aggregates must come from the same joined row set or the share is
+    inconsistent). Emits exact int (nation_cents, total_cents) per
+    year; the float share is the consumer's division, mirroring
+    :func:`promo_revenue`.
+
+    Scale shape: three broadcast maps (part-type partkeys, supplier →
+    nationkey, customer → nationkey); lineitem prunes to the part
+    type, orders prune to in-region customers — both BEFORE the single
+    orderkey co-shuffle. Lineitem partials carry per-(orderkey,
+    is_target) cents; in-group resolve attaches the year and the final
+    groupby sums ≤ 2·|years| rows per bucket."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nnames = np.asarray(nat["n_name"])
+    nkeys = np.asarray(nat["n_nationkey"]).astype(np.int64)
+    tmask = nnames == target_nation
+    if not tmask.any():
+        raise ValueError(f"unknown nation: {target_nation!r}")
+    target_key = int(nkeys[tmask][0])
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = np.asarray(reg["r_regionkey"])[np.asarray(reg["r_name"]) == region]
+    region_nations = np.sort(
+        nkeys[np.isin(np.asarray(nat["n_regionkey"]), rkeys)]
+    )
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    type_parts = np.sort(
+        np.asarray(pt["p_partkey"]).astype(np.int64)[
+            np.asarray(pt["p_type"]) == part_type
+        ]
+    )
+    parts_ref = ray.put(type_parts)
+    supp_ref = _sorted_int_map(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+    cust_ref = _sorted_int_map(sf_dir, "customer", "c_custkey", "c_nationkey")
+
+    def _member(arr: np.ndarray, ks: np.ndarray) -> np.ndarray:
+        if len(ks) == 0:
+            return np.zeros(len(arr), bool)
+        pos = np.clip(np.searchsorted(ks, arr), 0, len(ks) - 1)
+        return ks[pos] == arr
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        ks = _bcast(parts_ref)
+        keep = _member(
+            batch["l_partkey"].to_numpy(zero_copy_only=False), ks
+        )
+        batch = batch.filter(pa.array(keep))
+        snat = _map_lookup(
+            supp_ref, batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        )
+        ok = snat >= 0  # unknown suppkey = inner-join drop, like the oracle
+        batch = batch.filter(pa.array(ok))
+        snat = snat[ok]
+        df = pd.DataFrame(
+            {
+                "key": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "is_target": (snat == target_key).astype(np.int64),
+                "cents": _rev_cents(batch),
+            }
+        )
+        g = df.groupby(["key", "is_target"], as_index=False)["cents"].sum()
+        n = len(g)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (g["key"].to_numpy() % num_buckets).astype(np.int64)
+                ),
+                "key": pa.array(g["key"].to_numpy(np.int64)),
+                "is_target": pa.array(g["is_target"].to_numpy(np.int64)),
+                "o_year": pa.array(np.zeros(n, np.int64)),
+                "cents": pa.array(g["cents"].to_numpy(np.int64)),
+                "side": pa.array(["l"] * n, pa.string()),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        cnat = _map_lookup(
+            cust_ref, batch["o_custkey"].to_numpy(zero_copy_only=False)
+        )
+        keep = np.isin(cnat, region_nations)  # prune pre-shuffle
+        batch = batch.filter(pa.array(keep))
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        year = (
+            batch["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        n = len(batch)
+        return pa.table(
+            {
+                "bkt": pa.array((key % num_buckets).astype(np.int64)),
+                "key": pa.array(key.astype(np.int64)),
+                "is_target": pa.array(np.full(n, -1, np.int64)),
+                "o_year": pa.array(year),
+                "cents": pa.array(np.zeros(n, np.int64)),
+                "side": pa.array(["o"] * n, pa.string()),
+            }
+        )
+
+    def probe(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
+        record_group("market_share(bucket)", None, len(group))
+        li = group[group["side"] == "l"][["key", "is_target", "cents"]]
+        od = group[group["side"] == "o"][["key", "o_year"]]
+        j = li.merge(od, on="key")  # inner: non-region orders drop here
+        tgt = j["is_target"].to_numpy(np.int64)
+        c = j["cents"].to_numpy(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_year": j["o_year"],
+                "nation_cents": np.where(tgt == 1, c, 0),
+                "total_cents": c,
+            }
+        )
+        g = df.groupby("o_year", as_index=False).sum()
+        g["nation_cents"] = g["nation_cents"].astype(np.int64)
+        g["total_cents"] = g["total_cents"].astype(np.int64)
+        return g
+
+    return (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(line_partial, batch_format="pyarrow", batch_size=65536)
+        .union(
+            _read(
+                sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+            ).map_batches(prep_orders, batch_format="pyarrow")
+        )
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bkt")
+        .map_groups(probe, batch_format="pandas")
+        .materialize()  # pin before the (tiny) final shuffle
+        .groupby("o_year")
+        .aggregate(
+            Sum("nation_cents", alias_name="nation_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )

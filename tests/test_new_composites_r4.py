@@ -116,3 +116,39 @@ def test_collocations_min_count_monotone(ray_session):
     merged = hi.merge(lo, on=["tok_a", "tok_b"], suffixes=("_hi", "_lo"))
     assert len(merged) == len(hi)
     assert (merged["pmi_ratio_e6_hi"] == merged["pmi_ratio_e6_lo"]).all()
+
+
+def test_profit_by_nation_year_bucket_invariance(ray_session):
+    from chug_ray.ops.relational import profit_by_nation_year
+
+    a = _canon(_pd(profit_by_nation_year(SF, num_buckets=4)))
+    b = _canon(_pd(profit_by_nation_year(SF, num_buckets=64)))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_profit_by_nation_year_no_match_is_empty(ray_session):
+    from chug_ray.ops.relational import profit_by_nation_year
+
+    df = _pd(profit_by_nation_year(SF, name_like="no-such-part-name"))
+    assert len(df) == 0
+
+
+def test_market_share_consistency(ray_session):
+    """Numerator can never exceed the denominator (both come from the
+    same joined row set), and the unknown-nation dial raises."""
+    from chug_ray.ops.relational import market_share
+
+    import pytest
+
+    df = _pd(market_share(SF))
+    assert (df["nation_cents"] <= df["total_cents"]).all()
+    with pytest.raises(ValueError, match="unknown nation"):
+        market_share(SF, target_nation="ATLANTIS")
+
+
+def test_market_share_bucket_invariance(ray_session):
+    from chug_ray.ops.relational import market_share
+
+    a = _canon(_pd(market_share(SF, num_buckets=4)))
+    b = _canon(_pd(market_share(SF, num_buckets=64)))
+    pd.testing.assert_frame_equal(a, b)
