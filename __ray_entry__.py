@@ -358,6 +358,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": textstats.collocations,
         "profit_by_nation_year": relational.profit_by_nation_year,
         "market_share": relational.market_share,
+        "radius_search": knn.radius_search,
+        "collapse_runs": textstats.collapse_runs,
+        "dominant_suppliers": relational.dominant_suppliers,
         # --- dedup — SQL-oracled where expressible (r03-green)
         "exact_dedup": dedup.exact_dedup,
         "dedup_survivors": dedup.dedup_survivors,
@@ -1713,6 +1716,65 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation cn ON c.c_nationkey = cn.n_nationkey
             JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
             GROUP BY 1
+        """,
+        "radius_search": """
+            WITH q AS (SELECT vec_id AS query_id, embedding
+                       FROM embeddings WHERE vec_id < 8),
+                 c AS (SELECT vec_id, embedding
+                       FROM embeddings WHERE vec_id >= 8),
+                 s AS (SELECT q.query_id, c.vec_id,
+                              CAST(round(list_cosine_similarity(q.embedding, c.embedding) * 10000, 0)
+                                   AS BIGINT) AS cos_sim_e4
+                       FROM q CROSS JOIN c)
+            SELECT query_id, vec_id, cos_sim_e4
+            FROM s WHERE cos_sim_e4 >= 2500
+        """,
+        "collapse_runs": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            tok AS (
+                SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
+                       unnest(toks) AS token
+                FROM t
+            ),
+            runs AS (
+                SELECT doc_id, pos, token,
+                       lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM tok
+            ),
+            dedup AS (
+                SELECT doc_id,
+                       string_agg(token, ' ' ORDER BY pos) AS text_clean,
+                       count(*) AS n_kept
+                FROM runs WHERE prev IS NULL OR token <> prev
+                GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(d.text_clean, '') AS text_clean,
+                   CAST(COALESCE(d.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(len(t.toks) - COALESCE(d.n_kept, 0) AS BIGINT) AS n_removed
+            FROM t LEFT JOIN dedup d ON t.doc_id = d.doc_id
+        """,
+        "dominant_suppliers": """
+            WITH w AS (
+                SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+            ),
+            ps AS (
+                SELECT l_partkey, l_suppkey, sum(qty) AS supp_qty
+                FROM w GROUP BY 1, 2
+            ),
+            pt AS (SELECT l_partkey, sum(qty) AS part_qty FROM w GROUP BY 1)
+            SELECT ps.l_partkey AS p_partkey, p.p_name,
+                   ps.l_suppkey AS s_suppkey, s.s_name,
+                   CAST(ps.supp_qty AS BIGINT) AS supp_qty,
+                   CAST(pt.part_qty AS BIGINT) AS part_qty
+            FROM ps
+            JOIN pt ON ps.l_partkey = pt.l_partkey
+            JOIN part p ON ps.l_partkey = p.p_partkey
+            JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+            WHERE 2 * ps.supp_qty > pt.part_qty
         """,
         **_extract_parity_oracles(),
     }

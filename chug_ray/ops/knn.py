@@ -591,3 +591,52 @@ def kmeans_lloyd(sf_dir: str, k: int = 8, iters: int = 4):
     return _read_embeddings(sf_dir).map_batches(
         assign, batch_format="pandas", batch_size=4096
     )
+
+
+def radius_search(sf_dir: str, threshold_e4: int = 2500):
+    """Range (radius) similarity search: every (query, candidate) pair
+    with cosine ≥ threshold — the fixed-radius complement of the top-k
+    searches above (ANN-benchmark "range search"; used for
+    near-duplicate sweeps where the match COUNT matters, not the rank).
+
+    Embarrassingly parallel: the unit query matrix broadcasts once, each
+    batch is one float64 matmul + threshold mask — no shuffle, no
+    top-k state, result size is data-dependent. The emitted similarity
+    is e4-rounded like :func:`knn_bruteforce`; the threshold compares
+    on the ROUNDED integer (``cos_sim_e4 >= threshold_e4``) so the
+    keep/drop decision is integer-exact against the SQL oracle rather
+    than sitting on a float boundary."""
+    import ray
+
+    qids, qunit = _load_queries(sf_dir)
+    q_ref = ray.put((qids, qunit))
+
+    def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        qids_, qunit_ = ray.get(q_ref)
+        cand_mask = batch["vec_id"].to_numpy() >= N_QUERIES
+        if not cand_mask.any():
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "cos_sim_e4": pd.Series([], dtype=np.int64),
+                }
+            )
+        ids = batch["vec_id"].to_numpy()[cand_mask]
+        mat = np.stack(batch["embedding"].to_numpy()[cand_mask]).astype(
+            np.float64
+        )
+        sims = _unit_rows(mat) @ qunit_.T  # (n_cand, n_query)
+        e4 = _sim_e4(sims)  # round BEFORE thresholding: integer-exact cut
+        cand_i, query_i = np.nonzero(e4 >= threshold_e4)
+        return pd.DataFrame(
+            {
+                "query_id": qids_[query_i],
+                "vec_id": ids[cand_i],
+                "cos_sim_e4": e4[cand_i, query_i],
+            }
+        )
+
+    return _read_embeddings(sf_dir).map_batches(
+        score_batch, batch_format="pandas", batch_size=4096
+    )

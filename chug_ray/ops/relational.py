@@ -3190,3 +3190,101 @@ def market_share(
             Sum("total_cents", alias_name="total_cents"),
         )
     )
+
+
+def dominant_suppliers(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    num_buckets: int = 64,
+):
+    """TPC-H Q20-shaped composite: (part, supplier) pairs where one
+    supplier shipped MORE THAN HALF of the part's total quantity in a
+    ship-date window — the correlated GROUP-vs-SUBGROUP threshold shape
+    (per-(part,supp) aggregate compared against the enclosing per-part
+    aggregate; the reference query's partsupp availability check has no
+    counterpart table here, so the share predicate carries the shape).
+
+    Scale shape: lineitem collapses to per-(partkey, suppkey) quantity
+    combiner partials; ONE ``partkey % num_buckets`` shuffle co-locates
+    each part's partials, the in-group transform computes the part
+    total and the ``2·supp_qty > part_qty`` cut INTEGER-EXACT (no
+    float share), and only qualifying pairs leave the group. Part and
+    supplier names join last via ≤|winners| pushdown dimension reads."""
+    import pyarrow.parquet as pq
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], lo),
+                pc.less(batch["l_shipdate"], hi),
+            )
+        )
+        df = pd.DataFrame(
+            {
+                "p_partkey": batch["l_partkey"].to_numpy(zero_copy_only=False),
+                "s_suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False),
+                "qty": pc.cast(batch["l_quantity"], pa.int64()).to_numpy(),
+            }
+        )
+        g = df.groupby(["p_partkey", "s_suppkey"], as_index=False)["qty"].sum()
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (g["p_partkey"].to_numpy() % num_buckets).astype(np.int64)
+                ),
+                "p_partkey": pa.array(g["p_partkey"].to_numpy(np.int64)),
+                "s_suppkey": pa.array(g["s_suppkey"].to_numpy(np.int64)),
+                "qty": pa.array(g["qty"].to_numpy(np.int64)),
+            }
+        )
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
+        record_group("dominant_suppliers(bucket)", None, len(group))
+        ps = group.groupby(["p_partkey", "s_suppkey"], as_index=False)[
+            "qty"
+        ].sum()
+        pt = ps.groupby("p_partkey")["qty"].transform("sum")
+        ps["part_qty"] = pt.astype(np.int64)
+        ps["supp_qty"] = ps["qty"].astype(np.int64)
+        win = ps[2 * ps["supp_qty"] > ps["part_qty"]]
+        return win[["p_partkey", "s_suppkey", "supp_qty", "part_qty"]]
+
+    winners = (
+        _read(
+            sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("bkt")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()  # bounded: ≤ one row per part
+    )
+
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name"],
+        filters=[("p_partkey", "in", winners["p_partkey"].tolist())],
+    ).to_pandas()
+    st = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = winners.merge(pt, on="p_partkey").merge(st, on="s_suppkey")
+    out = out.sort_values(
+        ["p_partkey", "s_suppkey"], ignore_index=True
+    )
+    return pa.table(
+        {
+            "p_partkey": pa.array(out["p_partkey"].to_numpy(np.int64)),
+            "p_name": pa.array(out["p_name"].tolist(), pa.string()),
+            "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)),
+            "s_name": pa.array(out["s_name"].tolist(), pa.string()),
+            "supp_qty": pa.array(out["supp_qty"].to_numpy(np.int64)),
+            "part_qty": pa.array(out["part_qty"].to_numpy(np.int64)),
+        }
+    )

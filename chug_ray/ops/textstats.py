@@ -1922,3 +1922,46 @@ def _bcast_uni(ref):
     if key not in _UNI_CACHE:
         _UNI_CACHE[key] = ray.get(ref)
     return _UNI_CACHE[key]
+
+
+def collapse_runs(sf_dir: str):
+    """Intra-document run collapse: drop every token equal to its
+    immediate predecessor ('batch batch batch' → 'batch') — the
+    cheapest of the Gopher-family repetition CLEANUPS (the stats
+    variant is :func:`repetition_stats`; this one rewrites the text).
+
+    Embarrassingly parallel map — per-doc token runs never cross a
+    batch boundary, so there is no shuffle and no state. The per-doc
+    findall is inherent (same as repetition_stats); the run mask is
+    one vectorized shift-compare per document."""
+    import re
+
+    import numpy as np
+
+    token_re = re.compile(TOKEN_RE)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        clean = np.empty(n, object)
+        n_kept = np.empty(n, np.int64)
+        n_removed = np.empty(n, np.int64)
+        for i, text in enumerate(batch["text"].to_pylist()):
+            toks = np.array(token_re.findall(text.lower()), dtype=object)
+            if len(toks) == 0:
+                clean[i], n_kept[i], n_removed[i] = "", 0, 0
+                continue
+            keep = np.concatenate(([True], toks[1:] != toks[:-1]))
+            kept = toks[keep]
+            clean[i] = " ".join(kept)
+            n_kept[i] = len(kept)
+            n_removed[i] = len(toks) - len(kept)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text_clean": pa.array(clean, pa.string()),
+                "n_kept": pa.array(n_kept),
+                "n_removed": pa.array(n_removed),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")

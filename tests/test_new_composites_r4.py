@@ -152,3 +152,52 @@ def test_market_share_bucket_invariance(ray_session):
     a = _canon(_pd(market_share(SF, num_buckets=4)))
     b = _canon(_pd(market_share(SF, num_buckets=64)))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_radius_search_threshold_monotone(ray_session):
+    """A tighter radius returns a subset, with identical similarities."""
+    from chug_ray.ops.knn import radius_search
+
+    lo = _pd(radius_search(SF, threshold_e4=2000))
+    hi = _pd(radius_search(SF, threshold_e4=3000))
+    assert (hi["cos_sim_e4"] >= 3000).all()
+    merged = hi.merge(lo, on=["query_id", "vec_id"], suffixes=("_hi", "_lo"))
+    assert len(merged) == len(hi)
+    assert (merged["cos_sim_e4_hi"] == merged["cos_sim_e4_lo"]).all()
+
+
+def test_collapse_runs_idempotent(ray_session):
+    """Collapsing a collapsed corpus removes nothing (no adjacent
+    duplicates can survive the first pass)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from chug_ray.ops.textstats import collapse_runs
+
+    first = _pd(collapse_runs(SF))
+    assert (first["n_removed"] >= 0).all()
+    assert first["n_removed"].sum() > 0  # the synth corpus has runs
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(first["doc_id"].to_numpy()),
+                    "text": pa.array(first["text_clean"].tolist(), pa.string()),
+                }
+            ),
+            os.path.join(td, "documents.parquet"),
+        )
+        second = _pd(collapse_runs(td))
+    assert (second["n_removed"] == 0).all()
+
+
+def test_dominant_suppliers_bucket_invariance_and_uniqueness(ray_session):
+    from chug_ray.ops.relational import dominant_suppliers
+
+    a = _canon(_pd(dominant_suppliers(SF, num_buckets=4)))
+    b = _canon(_pd(dominant_suppliers(SF, num_buckets=64)))
+    pd.testing.assert_frame_equal(a, b)
+    # strictly-more-than-half admits at most one winner per part
+    assert a["p_partkey"].is_unique
+    assert (2 * a["supp_qty"] > a["part_qty"]).all()
