@@ -201,3 +201,11 @@ def test_dominant_suppliers_bucket_invariance_and_uniqueness(ray_session):
     # strictly-more-than-half admits at most one winner per part
     assert a["p_partkey"].is_unique
     assert (2 * a["supp_qty"] > a["part_qty"]).all()
+
+
+def test_supplier_count_by_class_bucket_invariance(ray_session):
+    from chug_ray.ops.relational import supplier_count_by_class
+
+    a = _canon(_pd(supplier_count_by_class(SF, num_buckets=3)))
+    b = _canon(_pd(supplier_count_by_class(SF, num_buckets=64)))
+    pd.testing.assert_frame_equal(a, b)
