@@ -361,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_search": knn.radius_search,
         "collapse_runs": textstats.collapse_runs,
         "dominant_suppliers": relational.dominant_suppliers,
+        "sample_per_group": sources.sample_per_group,
+        "grouped_moments": textstats.grouped_moments,
         # --- dedup — SQL-oracled where expressible (r03-green)
         "exact_dedup": dedup.exact_dedup,
         "dedup_survivors": dedup.dedup_survivors,
@@ -1775,6 +1777,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON ps.l_partkey = p.p_partkey
             JOIN supplier s ON ps.l_suppkey = s.s_suppkey
             WHERE 2 * ps.supp_qty > pt.part_qty
+        """,
+        "sample_per_group": """
+            WITH r AS (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rk
+                FROM documents
+            )
+            SELECT doc_id, lang, n_chars FROM r WHERE rk <= 10
+        """,
+        "grouped_moments": f"""
+            WITH s AS (
+                SELECT lang, CAST(n_chars AS BIGINT) AS x,
+                       CAST(len({_TOK}) AS BIGINT) AS y
+                FROM documents
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM s GROUP BY lang
         """,
         **_extract_parity_oracles(),
     }

@@ -497,3 +497,57 @@ def temperature_mixture(sf_dir: str, alpha: float = 0.5, strength: float = 2.0):
     return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def sample_per_group(sf_dir: str, k: int = 10):
+    """Exact per-group uniform k-sample without replacement: the k
+    documents with the smallest ``md5(doc_id)`` WITHIN EACH lang — the
+    stratified counterpart of :func:`uniform_sample_k` (equal absolute
+    depth per stratum; :func:`stratified_sample` keeps proportions
+    instead). Deterministic, seed-free, resharding-proof.
+
+    Each batch emits its local per-group bottom-k (≤ |langs|·k tiny
+    rows — the combiner), the single merge task cuts the global
+    per-group k over ≤ blocks·|langs|·k rows. The grouped sort never
+    touches the corpus; group count is the lang domain, documented
+    bounded."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def local_bottom_k(batch: pa.Table) -> pa.Table:
+        h = np.array(
+            [
+                hashlib.md5(str(d).encode()).hexdigest()
+                for d in batch["doc_id"].to_pylist()
+            ]
+        )
+        df = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+                "lang": batch["lang"].to_pandas(),
+                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
+                "h": h,
+            }
+        )
+        top = df.sort_values(["lang", "h"], kind="stable").groupby(
+            "lang", as_index=False
+        ).head(k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def global_bottom_k(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        top = df.sort_values(["lang", "h"], kind="stable").groupby(
+            "lang", as_index=False
+        ).head(k)
+        return pa.Table.from_pandas(
+            top.drop(columns=["h"]), preserve_index=False
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .map_batches(local_bottom_k, batch_format="pyarrow")
+        .repartition(1)  # merge input ≤ blocks·|langs|·k short rows
+        .map_batches(global_bottom_k, batch_format="pyarrow")
+    )

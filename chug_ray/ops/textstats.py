@@ -1965,3 +1965,63 @@ def collapse_runs(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def grouped_moments(sf_dir: str):
+    """Per-lang covariance moments of (n_chars, n_tokens) — the
+    distributed building block for correlation / linear fits: exact
+    int64 (n, Σx, Σy, Σx², Σy², Σxy) per group, from which Pearson r
+    or an OLS slope is two divisions on the consumer side (floats never
+    cross the wire, so the result is order-invariant and hash-exact —
+    the kmeans_lloyd fixed-point rule applied to second moments).
+
+    One map-only combiner pass (per-batch per-lang sums) into a
+    lang-domain-sized groupby. Overflow bound: Σx² ≤ n·max(x)² must
+    stay under 2⁶³ — asserted per batch with Python ints, so a
+    million-char doc fails loudly, not silently."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(TOKEN_RE)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pandas()
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.array(
+            [
+                len(token_re.findall(t.lower()))
+                for t in batch["text"].to_pylist()
+            ],
+            np.int64,
+        )
+        mx, my = int(np.abs(x).max(initial=0)), int(np.abs(y).max(initial=0))
+        assert len(x) * max(mx, my) ** 2 < (1 << 63), (
+            "second-moment sum would overflow int64; shrink batch_size"
+        )
+        df = pd.DataFrame(
+            {"lang": langs, "n": 1, "sx": x, "sy": y,
+             "sxx": x * x, "syy": y * y, "sxy": x * y}
+        )
+        g = df.groupby("lang", as_index=False).sum()
+        cols = {"lang": pa.array(g["lang"].tolist(), pa.string())}
+        for c in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+            cols[c] = pa.array(g[c].to_numpy(np.int64))
+        return pa.table(cols)
+
+    return (
+        _docs(sf_dir, ("lang", "n_chars", "text"))
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby("lang")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+    )

@@ -209,3 +209,31 @@ def test_supplier_count_by_class_bucket_invariance(ray_session):
     a = _canon(_pd(supplier_count_by_class(SF, num_buckets=3)))
     b = _canon(_pd(supplier_count_by_class(SF, num_buckets=64)))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_sample_per_group_depth_and_determinism(ray_session):
+    from chug_ray.ops.sources import sample_per_group
+
+    a = _pd(sample_per_group(SF, k=7))
+    b = _pd(sample_per_group(SF, k=7))
+    pd.testing.assert_frame_equal(_canon(a), _canon(b))
+    counts = a.groupby("lang").size()
+    assert (counts <= 7).all()
+    # k=3 sample must be a subset of k=7 (bottom-k hash is nested)
+    s3 = _pd(sample_per_group(SF, k=3))
+    merged = s3.merge(a, on=["doc_id", "lang", "n_chars"])
+    assert len(merged) == len(s3)
+
+
+def test_grouped_moments_cauchy_schwarz(ray_session):
+    """n·Σxy − Σx·Σy bounded by the product of the std terms (exact
+    integer identity check), and totals match the corpus size."""
+    from chug_ray.ops.textstats import grouped_moments
+
+    df = _pd(grouped_moments(SF))
+    n, sx, sy = df["n"], df["sx"], df["sy"]
+    sxx, syy, sxy = df["sxx"], df["syy"], df["sxy"]
+    cov2 = (n * sxy - sx * sy) ** 2
+    var = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    assert (cov2 <= var).all()
+    assert int(n.sum()) == 500
