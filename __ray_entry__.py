@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_suppliers": relational.dominant_suppliers,
         "sample_per_group": sources.sample_per_group,
         "grouped_moments": textstats.grouped_moments,
+        "forecast_revenue_change": relational.forecast_revenue_change,
         # --- dedup — SQL-oracled where expressible (r03-green)
         "exact_dedup": dedup.exact_dedup,
         "dedup_survivors": dedup.dedup_survivors,
@@ -1802,6 +1803,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(y * y) AS BIGINT) AS syy,
                    CAST(sum(x * y) AS BIGINT) AS sxy
             FROM s GROUP BY lang
+        """,
+        "forecast_revenue_change": """
+            SELECT CAST(COALESCE(sum(
+                       CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * CAST(round(l_discount * 100, 0) AS BIGINT)), 0)
+                   AS BIGINT) AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND round(l_discount * 100, 0) BETWEEN 5 AND 7
+              AND l_quantity < 24
         """,
         **_extract_parity_oracles(),
     }

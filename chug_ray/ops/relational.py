@@ -3311,3 +3311,78 @@ def dominant_suppliers(
             "part_qty": pa.array(out["part_qty"].to_numpy(np.int64)),
         }
     )
+
+
+def forecast_revenue_change(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    disc_lo_e2: int = 5,
+    disc_hi_e2: int = 7,
+    max_qty: int = 24,
+):
+    """TPC-H Q6-shaped scan: revenue delta from hypothetically dropping
+    discounts in a band — ``sum(extendedprice · discount)`` over one
+    ship year, a discount band and a quantity cap. The PURE
+    scan-filter-aggregate shape: with Q6 in place every one of the 22
+    TPC-H query shapes has a composite in this repo.
+
+    Scale shape: the quantity cap and ship window are PUSHED INTO the
+    parquet scan (row-group pruning; the discount band stays a residue
+    because floats in statistics round); each batch collapses to one
+    int64-cents partial row; no shuffle. The discount band compares on
+    integer e2 units (round(discount·100)) so the cut can't sit on a
+    float boundary."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_e2 = pc.cast(
+            pc.round(
+                pc.multiply(batch["l_discount"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        keep = (disc_e2 >= disc_lo_e2) & (disc_e2 <= disc_hi_e2)
+        batch = batch.filter(pa.array(keep))
+        # revenue = extendedprice · discount, in e4 units (cents × e2
+        # discount) — integer-exact on both sides
+        price_cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["l_extendedprice"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        rev_e4 = price_cents * disc_e2[keep]
+        return pa.table(
+            {
+                "revenue_e4": pa.array([int(rev_e4.sum())], pa.int64()),
+                "n_lines": pa.array([len(rev_e4)], pa.int64()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=(
+            (pc.field("l_quantity") < max_qty)
+            & (pc.field("l_shipdate") >= lo)
+            & (pc.field("l_shipdate") < hi)
+        ),
+    )
+    agg = li.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).aggregate(
+        Sum("revenue_e4", alias_name="r"), Sum("n_lines", alias_name="n")
+    )
+    return pa.table(
+        {
+            "revenue_e4": pa.array([int(agg["r"] or 0)], pa.int64()),
+            "n_lines": pa.array([int(agg["n"] or 0)], pa.int64()),
+        }
+    )
