@@ -303,24 +303,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_group": relational.top_docs_per_group,
         "uniform_sample_k": sources.uniform_sample_k,
         "hfds_stream_docs": sources.hfds_stream_docs,
-        # --- r02-green, outside r03's window
-        "weighted_union": sources.weighted_union,
-        "vqa_prompt": sources.vqa_prompt,
-        "hfds_docs": sources.hfds_docs,
-        "stratified_sample": sources.stratified_sample,
-        "orders_by_segment": relational.orders_by_segment,
-        "region_customer_stats": relational.region_customer_stats,
-        "customers_without_events": relational.customers_without_events,
-        # --- extraction pipeline (rows-only; oracle = pytest goldens)
-        "extract_all_valid": lambda sf: _extract_summary(sf, "all_valid"),
-        "extract_first": lambda sf: _extract_summary(sf, "first"),
-        "extract_random": lambda sf: _extract_summary(sf, "random"),
-        "span_kind_stats": _span_kind_stats,  # rows-only (extraction)
-        # --- multimodal plumbing (rows-only)
-        "media_frame_stats": _media_stats,
-        "sample_frames": _sample_frames,
-        "imagespec_decode": _imagespec_decode,
-        "audio_window_features": _audio_windows,  # rows-only (PCM stand-in)
         # --- new in round 4
         "substring_dedup": dedup.substring_dedup,
         "ngram_perplexity": textstats.ngram_perplexity,
@@ -346,9 +328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": textstats.dsir_select,
         "semdedup": dedup.semdedup,  # no_oracle (k-means clusters)
         "kmeans_lloyd": knn.kmeans_lloyd,  # no_oracle (iterative)
-        # --- new in round 4, session 3 (outside the driver's 50-entry
-        # window this round; pytest oracle-parity covers them until the
-        # round-5 rotation — see memory/chug-ray-build-state)
+        # --- new in round 4, session 3 (never driver-checked; these 15
+        # close out the 50-entry window — 48 oracled + semdedup/kmeans)
         "promo_revenue": relational.promo_revenue,
         "discounted_revenue": relational.discounted_revenue,
         "returned_item_customers": relational.returned_item_customers,
@@ -364,6 +345,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_group": sources.sample_per_group,
         "grouped_moments": textstats.grouped_moments,
         "forecast_revenue_change": relational.forecast_revenue_change,
+        # ------- entries below are outside the driver's 50-entry window
+        # --- never driver-checked rows-only entries (first in line for
+        # the round-5 rotation, with anything new added after this point)
+        "span_kind_stats": _span_kind_stats,  # rows-only (extraction)
+        "audio_window_features": _audio_windows,  # rows-only (PCM stand-in)
+        # --- r02-green (rows+schema+hash where oracled)
+        "weighted_union": sources.weighted_union,
+        "vqa_prompt": sources.vqa_prompt,
+        "hfds_docs": sources.hfds_docs,
+        "stratified_sample": sources.stratified_sample,
+        "orders_by_segment": relational.orders_by_segment,
+        "region_customer_stats": relational.region_customer_stats,
+        "customers_without_events": relational.customers_without_events,
+        # --- extraction pipeline (rows-only; oracle = pytest goldens)
+        "extract_all_valid": lambda sf: _extract_summary(sf, "all_valid"),
+        "extract_first": lambda sf: _extract_summary(sf, "first"),
+        "extract_random": lambda sf: _extract_summary(sf, "random"),
+        # --- multimodal plumbing (rows-only, r02-green)
+        "media_frame_stats": _media_stats,
+        "sample_frames": _sample_frames,
+        "imagespec_decode": _imagespec_decode,
         # --- dedup — SQL-oracled where expressible (r03-green)
         "exact_dedup": dedup.exact_dedup,
         "dedup_survivors": dedup.dedup_survivors,
