@@ -350,6 +350,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the round-5 rotation, with anything new added after this point)
         "span_kind_stats": _span_kind_stats,  # rows-only (extraction)
         "audio_window_features": _audio_windows,  # rows-only (PCM stand-in)
+        # --- new in round 4, session 4 (oracled; never driver-checked)
+        "user_journey": window.user_journey,
+        "sliding_distinct_users": window.sliding_distinct_users,
+        "token_coverage": textstats.token_coverage,
         # --- r02-green (rows+schema+hash where oracled)
         "weighted_union": sources.weighted_union,
         "vqa_prompt": sources.vqa_prompt,
@@ -646,6 +650,29 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT unnest({_TOK}) AS token FROM documents),
             c AS (SELECT token, count(*) AS n FROM t GROUP BY token)
             SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "token_coverage": f"""
+            WITH tc AS (
+                SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT lang, unnest({_TOK}) AS tok FROM documents)
+                GROUP BY lang, tok
+            ), r AS (
+                SELECT lang, c,
+                       sum(c) OVER (
+                           PARTITION BY lang ORDER BY c DESC, tok ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum,
+                       sum(c) OVER (PARTITION BY lang) AS tot
+                FROM tc
+            )
+            SELECT lang,
+                   CAST(max(tot) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab_size,
+                   CAST(sum(CASE WHEN 100*(cum-c) < 90*tot THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nucleus_size,
+                   CAST(max(CASE WHEN 100*(cum-c) < 90*tot THEN cum ELSE 0 END)
+                        AS BIGINT) AS nucleus_tokens
+            FROM r GROUP BY lang
         """,
         "chars_quantiles": """
             SELECT lang, CAST(25 AS BIGINT) AS p_pct,
@@ -1348,6 +1375,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1
+        """,
+        "user_journey": """
+            WITH ranked AS (
+                SELECT user_id, event_type, ts, event_id,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events
+            ), agg AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY user_id
+            ), j AS (
+                SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY ts, event_id)
+                           AS journey
+                FROM ranked WHERE rn <= 12 GROUP BY user_id
+            )
+            SELECT agg.user_id AS user_id, agg.n_events AS n_events,
+                   j.journey AS journey
+            FROM agg JOIN j USING (user_id)
+        """,
+        "sliding_distinct_users": """
+            WITH hu AS (
+                SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+                FROM events
+            ), hours AS (SELECT DISTINCT h FROM hu)
+            SELECT hours.h AS hour,
+                   CAST(count(DISTINCT hu.user_id) AS BIGINT) AS users_24h
+            FROM hours JOIN hu
+              ON hu.h >= hours.h - INTERVAL 23 HOUR AND hu.h <= hours.h
+            GROUP BY hours.h
         """,
         "rolling_user_sum": """
             SELECT event_id, user_id, ts,

@@ -2025,3 +2025,84 @@ def grouped_moments(sf_dir: str):
             Sum("sxy", alias_name="sxy"),
         )
     )
+
+
+def token_coverage(sf_dir: str, pct: int = 90):
+    """Nucleus vocabulary per language: the size of the smallest token
+    set (ordered by descending count, token ascending on ties) whose
+    occurrences cover ≥ ``pct``% of the language's tokens — the
+    head-vs-tail vocabulary-concentration diagnostic used when sizing
+    tokenizers and spotting boilerplate-dominated corpora.
+
+    Reference anchor: no chug counterpart; extends the text-analysis
+    family with the cumulative-threshold-over-ordered-counts shape.
+
+    Scale shape: per-batch Counter partials bound the shuffle at one row
+    per (lang, token, batch); a single ``groupby(lang)`` then reduces
+    each language's partials with a vectorized pandas sum + cumsum (the
+    per-lang group is the language's vocabulary — Heaps'-law bounded,
+    not corpus bounded). All arithmetic is int64 (the threshold test is
+    ``100·cum_prev < pct·total``), so the oracle matches exactly.
+    """
+    from collections import Counter
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    token_re = re.compile(TOKEN_RE)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        texts = batch["text"].to_pylist()
+        per_lang: dict[str, Counter] = {}
+        for lang, text in zip(langs, texts):
+            per_lang.setdefault(lang, Counter()).update(
+                token_re.findall(text.lower())
+            )
+        rows_l, rows_t, rows_n = [], [], []
+        for lang, c in per_lang.items():
+            rows_l.extend([lang] * len(c))
+            rows_t.extend(c.keys())
+            rows_n.extend(c.values())
+        return pa.table(
+            {
+                "lang": pa.array(rows_l, pa.string()),
+                "token": pa.array(rows_t, pa.string()),
+                "n": pa.array(rows_n, pa.int64()),
+            }
+        )
+
+    def nucleus(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
+        record_group("token_coverage(lang)", None, len(group))
+        s = (
+            group.groupby("token", as_index=False)["n"]
+            .sum()
+            .sort_values(["n", "token"], ascending=[False, True])
+        )
+        n = s["n"].to_numpy(np.int64)
+        cum = np.cumsum(n)
+        tot = int(cum[-1]) if len(cum) else 0
+        in_nucleus = 100 * (cum - n) < pct * tot
+        return pd.DataFrame(
+            {
+                "lang": [group["lang"].iloc[0]],
+                "total_tokens": np.array([tot], np.int64),
+                "vocab_size": np.array([len(s)], np.int64),
+                "nucleus_size": np.array([int(in_nucleus.sum())], np.int64),
+                "nucleus_tokens": np.array(
+                    [int(cum[in_nucleus].max()) if in_nucleus.any() else 0],
+                    np.int64,
+                ),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ("lang", "text"))
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()  # partials: the sort shuffle re-executes lazy inputs
+        .groupby("lang")
+        .map_groups(nucleus, batch_format="pandas")
+    )

@@ -1125,3 +1125,230 @@ def pack_sequences(
     return both.materialize().groupby("chunk").map_groups(
         apply, batch_format="pandas"
     )
+
+
+def user_journey(sf_dir: str, k: int = 12, num_buckets: int = 64):
+    """Per-user ordered journey — the first-``k`` event types joined in
+    time order (``STRING_AGG(... ORDER BY ts)`` shape) plus the user's
+    full event count.
+
+    Reference anchor: no chug counterpart; covers the order-sensitive
+    string aggregation shape (user paths / clickstreams) the rest of the
+    window family lacks.
+
+    Scale shape: journeys are unbounded at corpus scale, so ``k`` is the
+    operator's contract (mirrored by the oracle's ``row_number()``
+    filter). Per-batch pruning ships at most ``k`` earliest event rows
+    plus ONE count partial per (user, batch) into the bucket shuffle —
+    no stage ever holds a whole user's history, and the union of
+    per-batch k-earliest rows is a superset of the global k-earliest,
+    so the assembled prefix is exact.
+    """
+    import pyarrow as pa
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        g = batch.sort_values(["user_id", "ts", "event_id"])
+        pruned = g.groupby("user_id", group_keys=False).head(k)
+        counts = batch.groupby("user_id", as_index=False).size()
+        uid_e = pruned["user_id"].to_numpy(np.int64)
+        uid_c = counts["user_id"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    np.concatenate([uid_e, uid_c]) % num_buckets, pa.int64()
+                ),
+                "user_id": pa.array(np.concatenate([uid_e, uid_c])),
+                "ts": pa.array(
+                    np.concatenate(
+                        [
+                            pruned["ts"].to_numpy("datetime64[us]"),
+                            np.zeros(len(uid_c), "datetime64[us]"),
+                        ]
+                    ),
+                    pa.timestamp("us"),
+                ),
+                "event_id": pa.array(
+                    np.concatenate(
+                        [
+                            pruned["event_id"].to_numpy(np.int64),
+                            np.full(len(uid_c), -1, np.int64),
+                        ]
+                    )
+                ),
+                "event_type": pa.array(
+                    np.concatenate(
+                        [
+                            pruned["event_type"].to_numpy(object),
+                            np.full(len(uid_c), "", object),
+                        ]
+                    ),
+                    pa.string(),
+                ),
+                "cnt": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(len(uid_e), np.int64),
+                            counts["size"].to_numpy(np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    def assemble(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group("user_journey(bucket)", None, len(group))
+        ev = group[group["cnt"] == 0].sort_values(
+            ["user_id", "ts", "event_id"]
+        )
+        top = ev.groupby("user_id", group_keys=False).head(k)
+        journey = top.groupby("user_id")["event_type"].agg(">".join)
+        n = group[group["cnt"] > 0].groupby("user_id")["cnt"].sum()
+        uid = journey.index.to_numpy(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "n_events": pa.array(n.reindex(journey.index).to_numpy(np.int64)),
+                "journey": pa.array(journey.to_numpy(object), pa.string()),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(partial, batch_format="pandas", batch_size=16384)
+        .materialize()  # partials: the sort shuffle re-executes lazy inputs
+        .groupby("bkt")
+        .map_groups(assemble, batch_format="pandas")
+    )
+
+
+def sliding_distinct_users(
+    sf_dir: str, window_hours: int = 24, num_buckets: int = 64
+):
+    """Trailing-window COUNT(DISTINCT): for every hour with events, the
+    number of distinct users active in the last ``window_hours`` hours.
+
+    Reference anchor: no chug counterpart; the sliding-distinct shape
+    (DAU-style retention metrics) is the one window aggregate
+    ``hourly_active_users`` (per-hour distinct) doesn't cover.
+
+    Scale shape — dedup BEFORE the window expansion, never after the
+    fact over raw events:
+
+    1. per-batch distinct (hour, user) pairs → user-bucket shuffle →
+       exact distinct pairs (the only pass over raw events);
+    2. the observed-hour set (bounded by the time span, ~10^6 rows for
+       a century of hours — a driver-safe pull) broadcasts via
+       ``ray.put``;
+    3. each pair expands to its ≤``window_hours`` target hours (a 24×
+       blowup of the *deduped* pairs, not of the event log), re-dedups
+       per user bucket, and per-batch count partials reduce in a tiny
+       final ``groupby(hour)``.
+    """
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    span = np.int64(3600)
+
+    def pair_partial(batch: pd.DataFrame) -> pa.Table:
+        h = (
+            batch["ts"].dt.floor("h").astype("datetime64[s]").astype(np.int64)
+        ).to_numpy()
+        u = batch["user_id"].to_numpy(np.int64)
+        df = pd.DataFrame({"h": h, "u": u}).drop_duplicates()
+        return pa.table(
+            {
+                "bkt": pa.array(df["u"].to_numpy(np.int64) % num_buckets),
+                "h": pa.array(df["h"].to_numpy(np.int64)),
+                "u": pa.array(df["u"].to_numpy(np.int64)),
+            }
+        )
+
+    def dedup_pairs(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group("sliding_distinct_users(bucket)", None, len(group))
+        df = group[["h", "u"]].drop_duplicates()
+        return pa.table(
+            {
+                "h": pa.array(df["h"].to_numpy(np.int64)),
+                "u": pa.array(df["u"].to_numpy(np.int64)),
+            }
+        )
+
+    pairs = (
+        _events(sf_dir, ["ts", "user_id"])
+        .map_batches(pair_partial, batch_format="pandas", batch_size=16384)
+        .materialize()  # partials: the sort shuffle re-executes lazy inputs
+        .groupby("bkt")
+        .map_groups(dedup_pairs, batch_format="pandas")
+        .materialize()  # consumed twice: observed-hour scan + expansion
+    )
+
+    def hour_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"h": pa.array(np.unique(batch["h"].to_numpy()), pa.int64())}
+        )
+
+    hours = np.unique(
+        pairs.map_batches(hour_partial, batch_format="pyarrow")
+        .to_pandas()["h"]
+        .to_numpy(np.int64)
+    )
+    hours_ref = ray.put(hours)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        hset = ray.get(hours_ref)
+        h = batch["h"].to_numpy()
+        u = batch["u"].to_numpy()
+        outs_h, outs_u = [], []
+        for off in range(window_hours):
+            th = h + span * off
+            # np.searchsorted membership against the sorted hour set
+            idx = np.searchsorted(hset, th)
+            ok = (idx < len(hset)) & (hset[np.minimum(idx, len(hset) - 1)] == th)
+            outs_h.append(th[ok])
+            outs_u.append(u[ok])
+        th = np.concatenate(outs_h)
+        tu = np.concatenate(outs_u)
+        return pa.table(
+            {
+                "bkt": pa.array(tu % num_buckets, pa.int64()),
+                "h": pa.array(th),
+                "u": pa.array(tu),
+            }
+        )
+
+    def count_partial(group: pd.DataFrame) -> pa.Table:
+        df = group[["h", "u"]].drop_duplicates()
+        c = df.groupby("h", as_index=False).size()
+        return pa.table(
+            {
+                "h": pa.array(c["h"].to_numpy(np.int64)),
+                "n": pa.array(c["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "hour": batch["h"]
+                .to_numpy(np.int64)
+                .astype("datetime64[s]")
+                .astype("datetime64[us]"),
+                "users_24h": batch["n"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        pairs.map_batches(expand, batch_format="pyarrow")
+        .materialize()  # partials: the sort shuffle re-executes lazy inputs
+        .groupby("bkt")
+        .map_groups(count_partial, batch_format="pandas")
+        .materialize()  # pin before the trailing groupby's sort shuffle
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(finalize, batch_format="pandas")
+    )

@@ -1,0 +1,90 @@
+"""Edge-case and invariance guards for the round-4 session-4 operators
+(user_journey, sliding_distinct_users, token_coverage). Happy paths are
+pinned by the DuckDB parity harness in test_oracle_parity.py; these
+cover the knobs and invariants the oracle can't move."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from chug_ray.ops.textstats import token_coverage
+from chug_ray.ops.window import (
+    hourly_active_users,
+    sliding_distinct_users,
+    user_journey,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pd(result):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def test_user_journey_prefix_cap_and_counts(ray_session):
+    out = _pd(user_journey(SF, k=3))
+    segs = out["journey"].str.count(">") + 1
+    assert (segs <= 3).all()
+    # the prefix never exceeds the user's event count, and matches it
+    # exactly for users under the cap
+    assert (segs <= out["n_events"]).all()
+    under = out[out["n_events"] < 3]
+    assert (under["journey"].str.count(">") + 1 == under["n_events"]).all()
+
+
+def test_user_journey_bucket_invariance(ray_session):
+    a = _canon(_pd(user_journey(SF, num_buckets=4)))
+    b = _canon(_pd(user_journey(SF, num_buckets=64)))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sliding_distinct_dominates_hourly(ray_session):
+    """The trailing-24h distinct count is a superset count of the same
+    hour's distinct count, and equals it when the window shrinks to 1."""
+    daily = _pd(sliding_distinct_users(SF)).set_index("hour")["users_24h"]
+    hourly = _pd(hourly_active_users(SF)).set_index("window_start")[
+        "n_users"
+    ]
+    joined = pd.concat([daily, hourly], axis=1, join="inner")
+    assert len(joined) == len(daily) == len(hourly)
+    assert (joined["users_24h"] >= joined["n_users"]).all()
+
+    one = _pd(sliding_distinct_users(SF, window_hours=1)).set_index("hour")[
+        "users_24h"
+    ]
+    pd.testing.assert_series_equal(
+        one.sort_index(), hourly.sort_index(), check_names=False
+    )
+
+
+def test_sliding_distinct_bucket_invariance(ray_session):
+    a = _canon(_pd(sliding_distinct_users(SF, num_buckets=3)))
+    b = _canon(_pd(sliding_distinct_users(SF, num_buckets=64)))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_token_coverage_invariants(ray_session):
+    out = _pd(token_coverage(SF))
+    assert (out["nucleus_size"] >= 1).all()
+    assert (out["nucleus_size"] <= out["vocab_size"]).all()
+    # nucleus rows cover >= 90% of occurrences; removing the last
+    # nucleus token must drop coverage below the threshold, which the
+    # minimality test below checks via pct=100 degenerating to the
+    # whole vocabulary
+    assert (10 * out["nucleus_tokens"] >= 9 * out["total_tokens"]).all()
+    full = _pd(token_coverage(SF, pct=100))
+    assert (full["nucleus_size"] == full["vocab_size"]).all()
+    assert (full["nucleus_tokens"] == full["total_tokens"]).all()
