@@ -763,38 +763,56 @@ def customers_with_events(
     built DISTRIBUTED over the events — the shape that precedes every
     expensive join at 100 TB.
 
-    1. **build**: each events batch emits its distinct set-bit indices
-       (a per-batch combiner bounded by min(batch, m_bits) rows); one
-       ``groupby(bit)`` dedups them, and the driver pulls ≤ m_bits bit
-       positions — the pull is bounded by the FILTER size (16 KiB here),
-       never by the event count.
+    1. **build**: each events batch emits ONE row — its 16 KiB packed
+       Bloom bitmap; a shuffle-free tree OR (``map_batches`` over 1024
+       bitmaps at a time) collapses the partials, so the driver pulls a
+       few filter-sized rows. No all-to-all exchange anywhere in the
+       build: communication is O(#batches × filter size), tree-compressed.
     2. **probe**: the filter broadcasts once (``ray.put``); customers
        stream through a vectorized k-probe membership test. Survivors
        are the true members plus Bloom false positives.
     3. **verify**: the (small) candidate set broadcasts back over the
-       events; a distinct-membership pass confirms exact semantics, so
-       the result matches the SQL semi-join bit-for-bit. At scale this
-       second pass touches only ``user_id`` (pruned read) and its
-       output is bounded by the candidate count."""
+       events; each batch emits a packed membership bitmap over the
+       candidate array (same tree OR), so exact semantics cost one more
+       shuffle-free pass over ``user_id`` only (pruned read) and the
+       result matches the SQL semi-join bit-for-bit."""
     import ray
-    from ray.data.aggregate import Count
+
+    def _or_rows(batch: pa.Table) -> pa.Table:
+        arrs = [
+            np.frombuffer(b, np.uint8)
+            for b in batch["bm"].to_pylist()
+        ]
+        return pa.table(
+            {"bm": pa.array([np.bitwise_or.reduce(arrs).tobytes()],
+                            pa.binary())}
+        )
+
+    def _tree_or(ds) -> np.ndarray:
+        rows = (
+            ds.map_batches(_or_rows, batch_format="pyarrow",
+                           batch_size=1024)
+            .take_all()
+        )
+        return np.bitwise_or.reduce(
+            [np.frombuffer(r["bm"], np.uint8) for r in rows]
+        )
 
     def bits_partial(batch: pa.Table) -> pa.Table:
         keys = np.unique(batch["user_id"].to_numpy(zero_copy_only=False))
         idx = np.unique(_bloom_hashes(keys, m_bits, n_hashes))
-        return pa.table({"bit": pa.array(idx, pa.int64())})
+        bm = np.zeros(m_bits // 8, np.uint8)
+        np.bitwise_or.at(
+            bm, idx >> 3, np.left_shift(1, idx & 7).astype(np.uint8)
+        )
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
 
-    bit_rows = (
-        _read(sf_dir, "events", ["user_id"])
-        .map_batches(bits_partial, batch_format="pyarrow")
-        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
-        .groupby("bit")
-        .aggregate(Count(alias_name="n"))
-        .select_columns(["bit"])
-        .take_all()
+    packed = _tree_or(
+        _read(sf_dir, "events", ["user_id"]).map_batches(
+            bits_partial, batch_format="pyarrow"
+        )
     )
-    bloom = np.zeros(m_bits, dtype=bool)
-    bloom[np.array([r["bit"] for r in bit_rows], np.int64)] = True
+    bloom = np.unpackbits(packed, bitorder="little").astype(bool)
     bloom_ref = ray.put(bloom)
 
     def probe(batch: pa.Table) -> pa.Table:
@@ -822,26 +840,29 @@ def customers_with_events(
     )
     cand_ref = ray.put(cand_keys)
 
+    n_cand_bytes = max(1, (len(cand_keys) + 7) // 8)
+
     def confirm_partial(batch: pa.Table) -> pa.Table:
         ck = _bcast(cand_ref)
         keys = np.unique(batch["user_id"].to_numpy(zero_copy_only=False))
+        bm = np.zeros(n_cand_bytes, np.uint8)
         if len(ck):
             pos = np.clip(np.searchsorted(ck, keys), 0, len(ck) - 1)
-            keys = keys[ck[pos] == keys]
-        else:
-            keys = keys[:0]
-        return pa.table({"user_id": pa.array(keys.astype(np.int64))})
+            hit = np.unique(pos[ck[pos] == keys])
+            np.bitwise_or.at(
+                bm, hit >> 3, np.left_shift(1, hit & 7).astype(np.uint8)
+            )
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
 
-    confirmed_rows = (
-        _read(sf_dir, "events", ["user_id"])
-        .map_batches(confirm_partial, batch_format="pyarrow")
-        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
-        .groupby("user_id")
-        .aggregate(Count(alias_name="n"))
-        .select_columns(["user_id"])
-        .take_all()
-    )
-    confirmed = set(int(r["user_id"]) for r in confirmed_rows)
+    member = np.unpackbits(
+        _tree_or(
+            _read(sf_dir, "events", ["user_id"]).map_batches(
+                confirm_partial, batch_format="pyarrow"
+            )
+        ),
+        bitorder="little",
+    )[: len(cand_keys)].astype(bool)
+    confirmed = set(cand_keys[member].tolist())
     # both sets are already bounded and driver-resident — the final
     # semi-join result is their intersection, no fourth table pass
     import ray.data
