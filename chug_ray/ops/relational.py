@@ -477,7 +477,6 @@ def order_priority_revenue(sf_dir: str, num_buckets: int = 64):
     to (priority, returnflag) partials before the tiny final groupby.
     Partitioning assumption: one bucket's rows form one group;
     num_buckets scales with the cluster, not the data."""
-    from ray.data.aggregate import Sum
 
     def prep_lineitem(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -552,24 +551,23 @@ def order_priority_revenue(sf_dir: str, num_buckets: int = 64):
     od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
         prep_orders, batch_format="pyarrow"
     )
-    agg = (
+    # the probe output is bounded by buckets × |priority × returnflag|
+    # partial rows, so the final combine is a driver-side pandas groupby
+    # over a few hundred rows — cheaper than a second distributed
+    # shuffle whose quantile sampling would re-execute the join
+    partials = (
         li.union(od)
         .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
         .groupby("bucket")
         .map_groups(probe, batch_format="pandas")
-        .groupby(["o_orderpriority", "l_returnflag"])
-        .aggregate(
-            Sum("n_items", alias_name="n_items"),
-            Sum("revenue_cents", alias_name="revenue_cents"),
-        )
+        .to_pandas()
     )
-
-    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["n_items"] = batch["n_items"].astype(np.int64)
-        batch["revenue_cents"] = batch["revenue_cents"].astype(np.int64)
-        return batch
-
-    return agg.map_batches(finalize, batch_format="pandas")
+    out = partials.groupby(
+        ["o_orderpriority", "l_returnflag"], as_index=False
+    ).agg(n_items=("n_items", "sum"), revenue_cents=("revenue_cents", "sum"))
+    out["n_items"] = out["n_items"].astype(np.int64)
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    return out
 
 
 def events_after_order(sf_dir: str, days: int = 7, num_buckets: int = 64):
