@@ -283,6 +283,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, media_path, _ = corpus_for_sf_dir(sf_dir)
         return media_ops.audio_window_features(media_path, window=4096)
 
+    def _phash_dups(sf_dir: str):
+        _, media_path, _ = corpus_for_sf_dir(sf_dir)
+        return media_ops.phash_dups(media_path)
+
     # NOTE on ordering: the driver's correctness harness records only the
     # FIRST 50 dict entries. Entries that have never had a driver row (or
     # were last checked in r02) lead; long-green entries rotate to the back.
@@ -354,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
         "token_coverage": textstats.token_coverage,
+        "phash_dups": _phash_dups,  # rows-only (payload decode)
         # --- r02-green (rows+schema+hash where oracled)
         "weighted_union": sources.weighted_union,
         "vqa_prompt": sources.vqa_prompt,

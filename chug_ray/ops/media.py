@@ -308,3 +308,167 @@ def audio_window_features(media_path: str, window: int = 1024):
         batch_format="pandas",
         batch_size=64,  # payloads are large binaries — small batches
     )
+
+
+def _area_resize(img: np.ndarray, out_h: int = 32, out_w: int = 32) -> np.ndarray:
+    """Exact area-average resize via integral image — deterministic,
+    numpy-only (the container has no image library)."""
+    h, w = img.shape
+    ii = np.zeros((h + 1, w + 1), np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(img.astype(np.float64), 0), 1)
+    ys = np.round(np.linspace(0, h, out_h + 1)).astype(np.int64)
+    xs = np.round(np.linspace(0, w, out_w + 1)).astype(np.int64)
+    # degenerate tiny inputs: force non-empty cells
+    ys = np.maximum.accumulate(np.maximum(ys, np.arange(out_h + 1) > 0))
+    xs = np.maximum.accumulate(np.maximum(xs, np.arange(out_w + 1) > 0))
+    yhi, ylo = ys[1:][:, None], ys[:-1][:, None]
+    xhi, xlo = xs[1:][None, :], xs[:-1][None, :]
+    s = ii[yhi, xhi] - ii[ylo, xhi] - ii[yhi, xlo] + ii[ylo, xlo]
+    area = (
+        (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    ).astype(np.float64)
+    return s / np.maximum(area, 1.0)
+
+
+_DCT32 = None
+
+
+def _dct_basis(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(n, dtype=np.float64)
+        _DCT32 = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    return _DCT32
+
+
+def phash64(img: np.ndarray) -> int:
+    """Classic 64-bit perceptual hash: area-resize to 32×32, 2D DCT-II,
+    keep the 8×8 low-frequency block, threshold on its median."""
+    small = _area_resize(img)
+    d = _dct_basis()
+    coeffs = (d @ small @ d.T)[:8, :8].ravel()
+    bits = coeffs > np.median(coeffs)
+    return int(bits @ (1 << np.arange(64, dtype=np.uint64)).astype(object))
+
+
+class PhashStage:
+    """Actor-shaped stage: decode each image payload, emit one 64-bit
+    perceptual hash per frame. Real deployments load the codec in
+    ``__init__``; here decode is the deterministic SIMG stand-in."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        refs, frames_i, hashes = [], [], []
+        for ref, payload, kind in zip(
+            batch["media_ref"], batch["payload"], batch["kind"]
+        ):
+            if kind != "image":
+                continue
+            try:
+                frames = simg.decode(bytes(payload))
+            except simg.SimgError:
+                continue
+            for i, f in enumerate(frames):
+                refs.append(ref)
+                frames_i.append(i)
+                hashes.append(phash64(simg.render_frame(f)))
+        return pd.DataFrame(
+            {
+                "media_ref": np.array(refs, object),
+                "frame": np.array(frames_i, np.int64),
+                # hashes use the full 64-bit range — keep uint64 end to end
+                "phash": np.array(hashes, np.uint64),
+            }
+        )
+
+
+def phash_dups(media_path: str, max_dist: int = 10, n_bands: int = 4):
+    """Image near-duplicate pairs by perceptual hash + banded LSH — the
+    multimodal member of the dedup family (crop/re-encode duplicates
+    that exact byte dedup misses).
+
+    Scale shape (mirrors the MinHash banding plan in
+    :mod:`chug_ray.ops.dedup`): each frame's 64-bit pHash splits into
+    ``n_bands`` 16-bit bands; one ``groupby`` on (band, band bits)
+    co-locates candidates (two hashes within Hamming ``max_dist`` < 16
+    collide on ≥1 band whenever the flipped bits avoid one band — the
+    standard LSH recall trade, pinned by the planted-duplicate test);
+    exact Hamming verify runs inside each bucket, quadratic only in the
+    bucket size (telemetry records the hottest bucket). Pair dedup
+    across bands is one last groupby over candidate pairs, bounded by
+    the number of near-dup pairs, not frames.
+
+    Not SQL-expressible over the parquet views (payload decode) →
+    rows-only driver check; recall/precision pinned by pytest.
+    """
+    import pyarrow as pa
+    import ray.data
+
+    hashes = ray.data.read_parquet(media_path).map_batches(
+        PhashStage(),
+        batch_format="pandas",
+        batch_size=64,  # payloads are large binaries — small batches
+    )
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["phash"].to_numpy(np.uint64)
+        outs = []
+        for b in range(n_bands):
+            bits = (h >> np.uint64(b * 16)) & np.uint64(0xFFFF)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "bk": (np.uint64(b) << np.uint64(16)) | bits,
+                        "media_ref": batch["media_ref"].to_numpy(object),
+                        "frame": batch["frame"].to_numpy(np.int64),
+                        "phash": h,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        from chug_ray.telemetry import record_group
+
+        record_group("phash_dups(bucket)", None, len(group))
+        g = group.sort_values(["media_ref", "frame"], ignore_index=True)
+        h = g["phash"].to_numpy(np.uint64)
+        n = len(g)
+        ok = np.zeros(0, bool)
+        ia = ib = np.zeros(0, np.int64)
+        dist = np.zeros(0, np.int64)
+        if n > 1:
+            ia, ib = np.triu_indices(n, k=1)
+            x = h[ia] ^ h[ib]
+            dist = np.zeros(len(x), np.int64)
+            while x.any():
+                dist += (x & np.uint64(1)).astype(np.int64)
+                x = x >> np.uint64(1)
+            ok = dist <= max_dist
+        refs = g["media_ref"].to_numpy(object) if n else np.zeros(0, object)
+        frm = g["frame"].to_numpy(np.int64) if n else np.zeros(0, np.int64)
+        import pyarrow as pa
+
+        # typed Arrow output: single-frame buckets emit EMPTY tables,
+        # which must not degrade to null-typed columns in the union
+        return pa.table(
+            {
+                "a_ref": pa.array(refs[ia[ok]], pa.string()),
+                "a_frame": pa.array(frm[ia[ok]], pa.int64()),
+                "b_ref": pa.array(refs[ib[ok]], pa.string()),
+                "b_frame": pa.array(frm[ib[ok]], pa.int64()),
+                "hamming": pa.array(dist[ok], pa.int64()),
+            }
+        )
+
+    def first_row(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return (
+        hashes.map_batches(band_rows, batch_format="pandas")
+        .materialize()  # partials: the sort shuffle re-executes lazy inputs
+        .groupby("bk")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .materialize()  # pin before the pair-dedup shuffle
+        .groupby(["a_ref", "a_frame", "b_ref", "b_frame"])
+        .map_groups(first_row, batch_format="pandas")
+    )
