@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_distinct_users": window.sliding_distinct_users,
         "token_coverage": textstats.token_coverage,
         "phash_dups": _phash_dups,  # rows-only (payload decode)
+        "approx_quantiles": window.approx_quantiles,  # rows-only (sketch)
         # --- r02-green (rows+schema+hash where oracled)
         "weighted_union": sources.weighted_union,
         "vqa_prompt": sources.vqa_prompt,

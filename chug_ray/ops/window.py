@@ -1352,3 +1352,149 @@ def sliding_distinct_users(
         .aggregate(Sum("n", alias_name="n"))
         .map_batches(finalize, batch_format="pandas")
     )
+
+
+# --- mergeable quantile sketch (KLL-style) -------------------------------
+
+_KLL_K = 256
+
+
+def _kll_caps(n_levels: int, k: int = _KLL_K) -> list[int]:
+    # geometric capacities (KLL): the top level holds k items, each
+    # level below holds (2/3) of the one above, floored at 8
+    return [
+        max(8, int(np.ceil(k * (2.0 / 3.0) ** (n_levels - 1 - i))))
+        for i in range(n_levels)
+    ]
+
+
+def _kll_compact(levels: list[np.ndarray]) -> list[np.ndarray]:
+    while True:
+        caps = _kll_caps(len(levels))
+        for i, arr in enumerate(levels):
+            if len(arr) <= caps[i]:
+                continue
+            arr = np.sort(arr)
+            # deterministic-by-content parity replaces the coin flip:
+            # reruns of the same plan reproduce the same sketch
+            parity = (len(arr) + i) % 2
+            promoted = arr[parity::2]
+            levels[i] = arr[1 - parity :: 2][:0]  # emptied (typed)
+            if i + 1 == len(levels):
+                levels.append(promoted)
+            else:
+                levels[i + 1] = np.concatenate([levels[i + 1], promoted])
+            break
+        else:
+            return levels
+
+
+def _kll_serialize(levels: list[np.ndarray], n: int) -> bytes:
+    import struct
+
+    out = [struct.pack("<qi", n, len(levels))]
+    for arr in levels:
+        out.append(struct.pack("<q", len(arr)))
+        out.append(np.ascontiguousarray(arr, np.float64).tobytes())
+    return b"".join(out)
+
+
+def _kll_deserialize(blob: bytes) -> tuple[list[np.ndarray], int]:
+    import struct
+
+    n, n_levels = struct.unpack_from("<qi", blob, 0)
+    off = 12
+    levels = []
+    for _ in range(n_levels):
+        (cnt,) = struct.unpack_from("<q", blob, off)
+        off += 8
+        levels.append(np.frombuffer(blob, np.float64, cnt, off).copy())
+        off += 8 * cnt
+    return levels, n
+
+
+def _kll_merge(blobs: list[bytes]) -> bytes:
+    levels: list[np.ndarray] = []
+    total = 0
+    for blob in blobs:
+        lv, n = _kll_deserialize(blob)
+        total += n
+        for i, arr in enumerate(lv):
+            if i == len(levels):
+                levels.append(arr)
+            else:
+                levels[i] = np.concatenate([levels[i], arr])
+    return _kll_serialize(_kll_compact(levels), total)
+
+
+def approx_quantiles(sf_dir: str, ps=(1, 5, 25, 50, 75, 95, 99)):
+    """Approximate quantiles of ``events.value`` via a mergeable
+    KLL-style sketch — the third member of the sketch family (HLL
+    distinct counts, CMS heavy hitters, KLL quantiles), for the scales
+    where the exact sort behind ``chars_quantiles`` is unaffordable.
+
+    Scale shape: one pass builds a ≤ few-KB sketch per batch; a
+    shuffle-free tree merge (``map_batches`` over 64 sketches at a
+    time, the customers_with_events pattern) collapses them; the driver
+    merges a handful of survivors and reads the quantiles off the final
+    sketch. No shuffle, no sort, communication O(#batches × sketch).
+
+    Compaction parity is content-derived rather than random, so a rerun
+    of the same plan reproduces the same sketch; rank error is the
+    standard KLL O(1/k) (k=256), pinned against exact quantiles by
+    pytest. Approximate by design → rows-only driver check.
+    """
+    import pyarrow as pa
+
+    def build(batch: pa.Table) -> pa.Table:
+        vals = batch["value"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        levels = _kll_compact([vals])
+        return pa.table(
+            {"sk": pa.array([_kll_serialize(levels, len(vals))],
+                            pa.binary())}
+        )
+
+    def merge_rows(batch: pa.Table) -> pa.Table:
+        blob = _kll_merge([bytes(b) for b in batch["sk"].to_pylist()])
+        return pa.table({"sk": pa.array([blob], pa.binary())})
+
+    rows = (
+        _events(sf_dir, ["value"])
+        .map_batches(build, batch_format="pyarrow", batch_size=16384)
+        .map_batches(merge_rows, batch_format="pyarrow", batch_size=64)
+        .take_all()
+    )
+    levels, n = _kll_deserialize(
+        _kll_merge([bytes(r["sk"]) for r in rows])
+    )
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "p_pct": pd.Series([], dtype=np.int64),
+                "value": pd.Series([], dtype=np.float64),
+                "n": pd.Series([], dtype=np.int64),
+            }
+        )
+    vals = np.concatenate([arr for arr in levels if len(arr)] or [[]])
+    wts = np.concatenate(
+        [np.full(len(arr), 1 << i, np.int64) for i, arr in enumerate(levels)
+         if len(arr)]
+        or [[]]
+    )
+    order = np.argsort(vals, kind="stable")
+    vals, cum = vals[order], np.cumsum(wts[order])
+    out_p, out_v = [], []
+    for p in ps:
+        target = max(1, int(np.ceil(p / 100.0 * n)))
+        idx = int(np.searchsorted(cum, target))
+        out_p.append(p)
+        out_v.append(float(vals[min(idx, len(vals) - 1)]))
+    return pd.DataFrame(
+        {
+            "p_pct": np.array(out_p, np.int64),
+            "value": np.array(out_v, np.float64),
+            "n": np.full(len(out_p), n, np.int64),
+        }
+    )

@@ -88,3 +88,44 @@ def test_token_coverage_invariants(ray_session):
     full = _pd(token_coverage(SF, pct=100))
     assert (full["nucleus_size"] == full["vocab_size"]).all()
     assert (full["nucleus_tokens"] == full["total_tokens"]).all()
+
+
+def test_approx_quantiles_rank_error(ray_session):
+    from chug_ray.ops.window import approx_quantiles
+
+    out = approx_quantiles(SF)
+    exact = pd.read_parquet(f"{SF}/events.parquet")["value"].to_numpy()
+    exact.sort()
+    n = len(exact)
+    assert (out["n"] == n).all()
+    for _, row in out.iterrows():
+        # rank error: the estimate's true rank is within eps*n of target
+        rank = np.searchsorted(exact, row["value"], side="right")
+        target = np.ceil(row["p_pct"] / 100.0 * n)
+        assert abs(rank - target) <= max(2, 0.02 * n), (
+            row["p_pct"], rank, target
+        )
+
+
+def test_kll_merge_associativity_and_weight():
+    from chug_ray.ops.window import (
+        _kll_compact,
+        _kll_deserialize,
+        _kll_merge,
+        _kll_serialize,
+    )
+
+    rng = np.random.default_rng(11)
+    chunks = [rng.normal(size=500) for _ in range(8)]
+    blobs = [
+        _kll_serialize(_kll_compact([c.copy()]), len(c)) for c in chunks
+    ]
+    left = _kll_merge([_kll_merge(blobs[:4]), _kll_merge(blobs[4:])])
+    flat = _kll_merge(blobs)
+    for blob in (left, flat):
+        levels, n = _kll_deserialize(blob)
+        assert n == 4000
+        w = sum((1 << i) * len(a) for i, a in enumerate(levels))
+        # compaction of odd-sized levels drifts total weight by at most
+        # one item per compaction — stays within 2% of the true count
+        assert abs(w - n) <= 0.02 * n
