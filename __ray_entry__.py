@@ -354,6 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the round-5 rotation, with anything new added after this point)
         "span_kind_stats": _span_kind_stats,  # rows-only (extraction)
         "audio_window_features": _audio_windows,  # rows-only (PCM stand-in)
+        "bpe_train": tokenize.bpe_train,  # rows-only (iterative argmax;
+        # pinned against a sequential BPE in tests/test_bpe_train.py)
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,

@@ -314,3 +314,195 @@ def chunk_documents(sf_dir: str, max_tokens: int = 32):
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(explode, batch_format="pyarrow")
+
+
+def bpe_train(sf_dir: str, n_merges: int = 10, min_freq: int = 2):
+    """Distributed BPE tokenizer induction — learn the first
+    ``n_merges`` byte-pair merges over the corpus (the tokenizer-
+    training member of the iterative family, next to
+    :func:`chug_ray.ops.knn.kmeans_lloyd`).
+
+    Reference anchor: the reference *loads* a trained HF tokenizer per
+    worker (tokenization.py:110-129); this op is the training side a
+    data-engine needs when no tokenizer exists yet.
+
+    Scale shape — iterate over the WORD TABLE, never the corpus:
+
+    1. one ``groupby(token)`` builds the distinct-word frequency table
+       (Heaps'-law bounded, stays distributed; this is the only pass
+       over raw text);
+    2. per round, ONE fused pass applies the previous merge to each
+       word's symbol sequence and emits per-batch (left, right, n) pair
+       partials; a shuffle-free tree reduce (pandas groupby-sum over
+       4096 partial rows at a time) collapses them and the driver takes
+       the argmax — the pull is bounded by the active pair vocabulary
+       (~ words), never the corpus;
+    3. ties break on (count desc, left asc, right asc), so the merge
+       sequence is deterministic under any partitioning — pinned
+       against a sequential reference implementation by pytest.
+
+    Output: one row per learned merge (rank, left, right, merged, n).
+    Iterative global argmax → not SQL-expressible → rows-only driver
+    check.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from collections import Counter
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(r"[a-z0-9]+")
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            c.update(token_re.findall(text.lower()))
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def to_symbols(batch: pd.DataFrame) -> pa.Table:
+        syms = [
+            list(w[:-1]) + [w[-1] + "</w>"]
+            for w in batch["word"].to_numpy(object)
+        ]
+        return pa.table(
+            {
+                "syms": pa.array(syms, pa.list_(pa.string())),
+                "n": pa.array(batch["n"].to_numpy(np.int64)),
+            }
+        )
+
+    words = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        )
+        .map_batches(word_partial, batch_format="pyarrow")
+        .materialize()  # partials: the sort shuffle re-executes lazy inputs
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(to_symbols, batch_format="pandas")
+        .materialize()
+    )
+
+    def make_pass(merge: tuple[str, str] | None):
+        def apply_and_count(batch: pa.Table) -> pa.Table:
+            syms_col = batch["syms"].to_pylist()
+            ns = batch["n"].to_numpy(zero_copy_only=False)
+            pairs: Counter = Counter()
+            out_syms = []
+            for syms, n in zip(syms_col, ns):
+                if merge is not None:
+                    a, b = merge
+                    merged, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == a
+                            and syms[i + 1] == b
+                        ):
+                            merged.append(a + b)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    syms = merged
+                out_syms.append(syms)
+                for l, r in zip(syms, syms[1:]):
+                    pairs[(l, r)] += int(n)
+            left, right = (
+                zip(*pairs.keys()) if pairs else ((), ())
+            )
+            return pa.table(
+                {
+                    "syms": pa.array(
+                        out_syms + [[]] * len(pairs),
+                        pa.list_(pa.string()),
+                    ),
+                    "n": pa.array(
+                        np.concatenate(
+                            [ns.astype(np.int64),
+                             np.fromiter(pairs.values(), np.int64,
+                                         len(pairs))]
+                        )
+                    ),
+                    "left": pa.array(
+                        [""] * len(out_syms) + list(left), pa.string()
+                    ),
+                    "right": pa.array(
+                        [""] * len(out_syms) + list(right), pa.string()
+                    ),
+                    "is_pair": pa.array(
+                        np.concatenate(
+                            [np.zeros(len(out_syms), np.int8),
+                             np.ones(len(pairs), np.int8)]
+                        )
+                    ),
+                }
+            )
+
+        return apply_and_count
+
+    def reduce_pairs(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby(["left", "right"], as_index=False)["n"].sum()
+        return pa.table(
+            {
+                "left": pa.array(g["left"].to_numpy(object), pa.string()),
+                "right": pa.array(g["right"].to_numpy(object), pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    def keep_words(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch["is_pair"], 0)
+        ).select(["syms", "n"])
+
+    def keep_pairs(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch["is_pair"], 1)
+        ).select(["left", "right", "n"])
+
+    merges = []
+    merge = None
+    for rank in range(n_merges):
+        both = words.map_batches(
+            make_pass(merge), batch_format="pyarrow"
+        ).materialize()
+        words = both.map_batches(keep_words, batch_format="pyarrow")
+        pair_rows = (
+            both.map_batches(keep_pairs, batch_format="pyarrow")
+            .map_batches(
+                reduce_pairs, batch_format="pandas", batch_size=4096
+            )
+            .to_pandas()
+        )
+        totals = pair_rows.groupby(["left", "right"], as_index=False)[
+            "n"
+        ].sum()
+        if not len(totals):
+            break
+        totals = totals.sort_values(
+            ["n", "left", "right"], ascending=[False, True, True]
+        )
+        best = totals.iloc[0]
+        if int(best["n"]) < min_freq:
+            break
+        merge = (str(best["left"]), str(best["right"]))
+        merges.append(
+            {
+                "rank": rank,
+                "left": merge[0],
+                "right": merge[1],
+                "merged": merge[0] + merge[1],
+                "n": int(best["n"]),
+            }
+        )
+    return pd.DataFrame(
+        merges, columns=["rank", "left", "right", "merged", "n"]
+    ).astype({"rank": np.int64, "n": np.int64})
