@@ -356,6 +356,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_window_features": _audio_windows,  # rows-only (PCM stand-in)
         "bpe_train": tokenize.bpe_train,  # rows-only (iterative argmax;
         # pinned against a sequential BPE in tests/test_bpe_train.py)
+        # --- new in round 4, session 5 (oracled; never driver-checked —
+        # first in line for the round-5 window rotation)
+        "value_histogram": window.value_histogram,
+        "user_entropy": window.user_entropy,
+        "mode_per_group": textstats.mode_per_group,
+        "monthly_revenue_series": relational.monthly_revenue_series,
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
@@ -1883,6 +1889,76 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND round(l_discount * 100, 0) BETWEEN 5 AND 7
               AND l_quantity < 24
+        """,
+        "value_histogram": """
+            WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+            r AS (
+                SELECT CASE WHEN hi = lo THEN 0.0
+                            ELSE least(floor((value - lo) * 20.0 / (hi - lo)),
+                                       19.0) END AS binf,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events, b
+            ),
+            a AS (
+                SELECT CAST(binf AS BIGINT) AS bin,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(cents) AS BIGINT) AS sum_cents
+                FROM r GROUP BY 1
+            )
+            SELECT bin, lo + CAST(bin AS DOUBLE) * (hi - lo) / 20.0 AS lo_edge,
+                   n, sum_cents
+            FROM a, b
+        """,
+        "user_entropy": """
+            WITH c AS (
+                SELECT user_id,
+                       CAST(count(*) FILTER (WHERE event_type = 'click') AS DOUBLE) AS na,
+                       CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE) AS nb,
+                       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS nc,
+                       CAST(count(*) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS nd,
+                       CAST(count(*) FILTER (WHERE event_type = 'view') AS DOUBLE) AS ne
+                FROM events GROUP BY user_id
+            ),
+            e AS (
+                SELECT user_id, na + nb + nc + nd + ne AS total,
+                       CASE WHEN na > 0 THEN na * ln(na) ELSE 0.0 END
+                     + CASE WHEN nb > 0 THEN nb * ln(nb) ELSE 0.0 END
+                     + CASE WHEN nc > 0 THEN nc * ln(nc) ELSE 0.0 END
+                     + CASE WHEN nd > 0 THEN nd * ln(nd) ELSE 0.0 END
+                     + CASE WHEN ne > 0 THEN ne * ln(ne) ELSE 0.0 END AS s
+                FROM c
+            )
+            SELECT user_id, CAST(total AS BIGINT) AS n_events,
+                   CAST(floor((ln(total) - s / total) * 1000000.0 + 0.5)
+                        AS BIGINT) AS entropy_e6
+            FROM e
+        """,
+        "mode_per_group": """
+            WITH c AS (
+                SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY lang, n_chars
+            )
+            SELECT lang, n_chars AS mode_n_chars, n AS n_docs FROM c
+            QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY n DESC, n_chars ASC) = 1
+        """,
+        "monthly_revenue_series": """
+            WITH m AS (
+                SELECT CAST(date_part('year', o_orderdate) AS BIGINT) * 12
+                       + CAST(date_part('month', o_orderdate) AS BIGINT) - 1 AS ym,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            ),
+            a AS (SELECT ym, CAST(sum(cents) AS BIGINT) AS revenue_cents,
+                         CAST(count(*) AS BIGINT) AS n_orders
+                  FROM m GROUP BY ym),
+            b AS (SELECT min(ym) AS lo, max(ym) AS hi FROM m),
+            s AS (SELECT unnest(generate_series(lo, hi)) AS ym FROM b)
+            SELECT CAST(s.ym // 12 AS BIGINT) AS year,
+                   CAST(s.ym % 12 + 1 AS BIGINT) AS month,
+                   COALESCE(a.revenue_cents, 0) AS revenue_cents,
+                   COALESCE(a.n_orders, 0) AS n_orders
+            FROM s LEFT JOIN a USING (ym)
         """,
         **_extract_parity_oracles(),
     }

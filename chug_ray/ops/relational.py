@@ -3405,3 +3405,81 @@ def forecast_revenue_change(
             "n_lines": pa.array([int(agg["n"] or 0)], pa.int64()),
         }
     )
+
+
+def monthly_revenue_series(sf_dir: str, max_months: int = 12_000):
+    """Gap-filled monthly revenue time series — the calendar-dimension
+    join: every month between the first and last order appears in the
+    output, months with no orders as explicit zero rows (the shape a
+    forecasting/reporting consumer needs; a plain GROUP BY silently
+    drops empty months).
+
+    Scale shape: one per-batch (month → cents, n) combiner feeds one
+    ``groupby(ym)`` whose output is bounded by the CALENDAR, not the
+    data (80 months at any scale factor; ``max_months`` guards the
+    driver pull loudly if a wild timestamp blows the domain — the
+    repo's no-silent-caps rule). Gap filling is a driver-side arange
+    over that bounded table; the fact table streams exactly once."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        ym = (ts.astype("datetime64[M]").astype(np.int64)) + 1970 * 12
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["o_totalprice"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy()
+        g = pd.DataFrame({"ym": ym, "cents": cents}).groupby(
+            "ym", as_index=False
+        ).agg(revenue_cents=("cents", "sum"), n_orders=("cents", "size"))
+        return pa.table(
+            {
+                "ym": pa.array(g["ym"].to_numpy(np.int64)),
+                "revenue_cents": pa.array(g["revenue_cents"].to_numpy(np.int64)),
+                "n_orders": pa.array(g["n_orders"].to_numpy(np.int64)),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs
+        .groupby("ym")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .take_all()  # bounded by the calendar domain (guarded below)
+    )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "year": pd.Series([], dtype=np.int64),
+                "month": pd.Series([], dtype=np.int64),
+                "revenue_cents": pd.Series([], dtype=np.int64),
+                "n_orders": pd.Series([], dtype=np.int64),
+            }
+        )
+    yms = np.array([r["ym"] for r in rows], np.int64)
+    lo, hi = int(yms.min()), int(yms.max())
+    if hi - lo + 1 > max_months:
+        raise ValueError(
+            f"month domain {hi - lo + 1} exceeds max_months={max_months}; "
+            "check o_orderdate for wild timestamps or raise the cap"
+        )
+    full = np.arange(lo, hi + 1, dtype=np.int64)
+    rev = np.zeros(len(full), np.int64)
+    cnt = np.zeros(len(full), np.int64)
+    rev[yms - lo] = [r["revenue_cents"] for r in rows]
+    cnt[yms - lo] = [r["n_orders"] for r in rows]
+    return pd.DataFrame(
+        {
+            "year": full // 12,
+            "month": full % 12 + 1,
+            "revenue_cents": rev,
+            "n_orders": cnt,
+        }
+    )

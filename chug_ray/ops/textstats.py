@@ -2106,3 +2106,72 @@ def token_coverage(sf_dir: str, pct: int = 90):
         .groupby("lang")
         .map_groups(nucleus, batch_format="pandas")
     )
+
+
+def mode_per_group(sf_dir: str):
+    """Exact per-group MODE — the most frequent ``n_chars`` value per
+    language, ties broken to the smallest value (a total order, so the
+    answer is partitioning-independent).
+
+    Scale shape: per-batch (lang, n_chars)→count partials feed one
+    ``groupby(lang, n_chars)`` sum; a second per-batch combiner then
+    reduces that (already bounded by the distinct-value domain) table
+    to one best row per lang per batch, and the final per-lang argmax
+    runs over ≤ |langs| × n_batches tiny rows via ``map_groups``. No
+    packed-int trick: counts can exceed 2**23 at 10^12 rows, so packing
+    (count << 40 | value) would overflow int64 — the two-level argmax
+    is overflow-free at any scale."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"].to_numpy(object), pa.string()),
+                "n_chars": pa.array(g["n_chars"].to_numpy(np.int64)),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir, ("lang", "n_chars"))
+        .map_batches(count_partial, batch_format="pyarrow", batch_size=65536)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # pinned before the argmax combiner re-reads it
+    )
+
+    def best_partial(batch: pd.DataFrame) -> pa.Table:
+        batch = batch.sort_values(
+            ["lang", "n", "n_chars"], ascending=[True, False, True]
+        ).drop_duplicates("lang")
+        return pa.table(
+            {
+                "lang": pa.array(batch["lang"].to_numpy(object), pa.string()),
+                "mode_n_chars": pa.array(batch["n_chars"].to_numpy(np.int64)),
+                "n_docs": pa.array(batch["n"].to_numpy(np.int64)),
+            }
+        )
+
+    def final_best(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(
+            ["n_docs", "mode_n_chars"], ascending=[False, True]
+        )
+        return group.iloc[:1]
+
+    return (
+        counts.map_batches(best_partial, batch_format="pandas")
+        .materialize()  # pinned: groupby samples re-execute lazy inputs
+        .groupby("lang")
+        .map_groups(final_best, batch_format="pandas")
+    )

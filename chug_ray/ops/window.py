@@ -1498,3 +1498,148 @@ def approx_quantiles(sf_dir: str, ps=(1, 5, 25, 50, 75, 95, 99)):
             "n": np.full(len(out_p), n, np.int64),
         }
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def value_histogram(sf_dir: str, bins: int = 20):
+    """Equal-width histogram over ``events.value`` — the fixed-bin
+    companion to the equal-frequency :func:`chug_ray.ops.selection.
+    decile_bucket` and the exact-quantile ops.
+
+    Scale shape: pass 1 is a tree-reduced global Min/Max (no shuffle);
+    pass 2 assigns bins vectorized and pre-aggregates per batch, so the
+    final ``groupby(bin)`` moves ≤ ``bins`` rows per batch. Nothing
+    driver-side grows with the data — only the ``bins``-row result.
+
+    Float parity with the oracle: the bin index is computed with the
+    exact expression tree ``floor((value - lo) * bins / (hi - lo))``
+    (left-assoc, doubles), and per-bin sums are integer cents, so the
+    result is bit-deterministic under any partitioning."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    src = _events(sf_dir, ["value"])
+    mm = src.aggregate(Min("value"), Max("value"))
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+    nb = float(bins)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        if hi == lo:
+            idx = np.zeros(len(v), np.int64)
+        else:
+            idx = np.minimum(
+                np.floor((v - lo) * nb / (hi - lo)), bins - 1
+            ).astype(np.int64)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(
+            np.int64
+        )
+        g = pd.DataFrame({"bin": idx, "sum_cents": cents}).groupby(
+            "bin", as_index=False
+        ).agg(n=("sum_cents", "size"), sum_cents=("sum_cents", "sum"))
+        return pa.table(
+            {
+                "bin": pa.array(g["bin"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "sum_cents": pa.array(g["sum_cents"].to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        src.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        b = batch["bin"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # lo + bin * (hi - lo) / bins — same tree as the oracle
+        lo_edge = lo + b * (hi - lo) / nb
+        return pa.table(
+            {
+                "bin": pc.cast(batch["bin"], pa.int64()),
+                "lo_edge": pa.array(lo_edge),
+                "n": pc.cast(batch["n"], pa.int64()),
+                "sum_cents": pc.cast(batch["sum_cents"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(edges, batch_format="pyarrow")
+
+
+def user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity score (a bot with one event type scores 0; a
+    uniform user scores ln(5)).
+
+    Scale shape: ONE wide combiner — each batch emits one row per user
+    with a fixed column per event type (the type domain is the 5-value
+    ``EVENT_TYPES``), so the single ``groupby(user_id)`` sums integer
+    columns and no per-(user,type) row set is ever shuffled. Entropy is
+    then a vectorized map over the summed counts.
+
+    Float parity: entropy = ln(N) - s/N with s accumulated LEFT-
+    ASSOCIATIVELY over the sorted type list (click+error+...), the same
+    explicit expression tree as the DuckDB oracle, with libm ln on both
+    sides; rounded half-away to e6 fixed point only at the edge."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    types = sorted(EVENT_TYPES)
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        pv = batch.pivot_table(
+            index="user_id",
+            columns="event_type",
+            values="ts",
+            aggfunc="size",
+            fill_value=0,
+        )
+        cols = {"user_id": pa.array(pv.index.to_numpy(np.int64))}
+        for t in types:
+            arr = (
+                pv[t].to_numpy(np.int64)
+                if t in pv.columns
+                else np.zeros(len(pv), np.int64)
+            )
+            cols[f"n_{t}"] = pa.array(arr)
+        return pa.table(cols)
+
+    agg = (
+        _events(sf_dir, ["user_id", "event_type", "ts"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types])
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        counts = [
+            batch[f"n_{t}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            for t in types
+        ]
+        total = np.zeros(len(batch), np.float64)
+        for c in counts:  # left-assoc, sorted-type order == oracle
+            total = total + c
+        s = np.zeros(len(batch), np.float64)
+        for c in counts:
+            s = s + np.where(c > 0, c * np.log(np.maximum(c, 1.0)), 0.0)
+        ent = np.log(total) - s / total
+        ent_e6 = (np.sign(ent) * np.floor(np.abs(ent) * 1e6 + 0.5)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "n_events": pa.array(total.astype(np.int64)),
+                "entropy_e6": pa.array(ent_e6),
+            }
+        )
+
+    return agg.map_batches(score, batch_format="pyarrow")

@@ -165,10 +165,10 @@ def test_shuffle_join_drops_orderless_lineitems(ray_session, tmp_path):
             }
         ),
     )
-    out = (
-        order_priority_revenue(str(tmp_path))
-        .to_pandas()
-        .sort_values(["o_orderpriority", "l_returnflag"], ignore_index=True)
+    # order_priority_revenue folds its bounded final aggregate onto the
+    # driver and returns a pandas DataFrame directly
+    out = order_priority_revenue(str(tmp_path)).sort_values(
+        ["o_orderpriority", "l_returnflag"], ignore_index=True
     )
     # order 99 has no items, lineitem 555 has no order: both absent
     assert out["o_orderpriority"].tolist() == ["1-URGENT", "2-HIGH"]
