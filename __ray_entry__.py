@@ -362,6 +362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_entropy": window.user_entropy,
         "mode_per_group": textstats.mode_per_group,
         "monthly_revenue_series": relational.monthly_revenue_series,
+        "pareto_frontier": selection.pareto_frontier,
+        "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
@@ -1959,6 +1961,27 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.revenue_cents, 0) AS revenue_cents,
                    COALESCE(a.n_orders, 0) AS n_orders
             FROM s LEFT JOIN a USING (ym)
+        """,
+        "pareto_frontier": """
+            SELECT p.p_partkey, p.p_retailprice,
+                   CAST(p.p_size AS BIGINT) AS p_size
+            FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size >= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size > p.p_size))
+        """,
+        "fuzzy_name_pairs": """
+            WITH d AS (
+                SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n
+                FROM part GROUP BY p_name
+            )
+            SELECT a.name AS name_a, b.name AS name_b,
+                   a.n AS n_a, b.n AS n_b
+            FROM d a JOIN d b
+              ON a.name < b.name AND levenshtein(a.name, b.name) = 1
         """,
         **_extract_parity_oracles(),
     }

@@ -1723,3 +1723,136 @@ def semdedup(
         .groupby("cluster")
         .map_groups(dedup_group, batch_format="pandas")
     )
+
+
+def fuzzy_name_pairs(sf_dir: str):
+    """Edit-distance-1 fuzzy self-join over the part-name DICTIONARY —
+    the typo-pair detector (FastSS / deletion-neighborhood blocking:
+    two strings are at Levenshtein distance ≤1 iff they share a member
+    of their deletion neighborhoods; Bocek et al. 2007, public
+    algorithm). Output: each unordered pair of DISTINCT names at
+    distance exactly 1, with both names' row multiplicities.
+
+    Scale shape — dictionary-level, never row-level:
+
+    1. ``groupby(p_name)`` collapses the fact table to the distinct-
+       name dictionary (vocabulary-bounded) with counts;
+    2. each name emits its identity plus one deletion variant per
+       character position; a ``groupby(variant)`` co-locates exactly
+       the candidate pairs (substitution pairs meet at the shared
+       deletion, insert/delete pairs meet at identity-vs-deletion) —
+       no all-pairs comparison, and group sizes are telemetry-recorded;
+    3. in-group verification runs a two-pointer distance-1 check (no
+       DP), and a final pair-key groupby dedups pairs that met in more
+       than one bucket (duplicated-character insertions).
+
+    Quadratic-blowup guard by construction: identical names are ONE
+    dictionary row, so equal-name row groups never pairwise-explode —
+    multiplicities ride along as counts instead."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from chug_ray.telemetry import record_group
+    from chug_ray.util import stable_hash64
+
+    names = (
+        ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+        .groupby("p_name")
+        .aggregate(Count(alias_name="n"))
+        .materialize()  # dictionary: reused as the variant emitter input
+    )
+
+    def variants(batch: pa.Table) -> pa.Table:
+        out_v, out_name, out_n = [], [], []
+        ns = batch["n"].to_numpy(zero_copy_only=False)
+        for name, n in zip(batch["p_name"].to_pylist(), ns):
+            n = int(n)
+            out_v.append(stable_hash64("fuzzy", name))
+            out_name.append(name)
+            out_n.append(n)
+            for i in range(len(name)):
+                out_v.append(
+                    stable_hash64("fuzzy", name[:i] + name[i + 1:])
+                )
+                out_name.append(name)
+                out_n.append(n)
+        return pa.table(
+            {
+                # stable_hash64 yields unsigned 64-bit values; reinterpret
+                # as signed for the int64 shuffle key
+                "vkey": pa.array(
+                    np.array(out_v, np.uint64).view(np.int64)
+                ),
+                "name": pa.array(out_name, pa.string()),
+                "n": pa.array(np.array(out_n, np.int64)),
+            }
+        )
+
+    def _dist1(a: str, b: str) -> bool:
+        la, lb = len(a), len(b)
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        if lb - la != 1:
+            return False
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1:]
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # a bucket holds each (name, n) once per emitting variant; the
+        # same name can appear twice only via hash collision — drop dups
+        group = group.drop_duplicates("name")
+        record_group("fuzzy_name_pairs", int(group["vkey"].iloc[0]), len(group))
+        rows_a, rows_b, na, nb = [], [], [], []
+        names_ = group["name"].tolist()
+        ns = group["n"].tolist()
+        for i in range(len(names_)):
+            for j in range(i + 1, len(names_)):
+                a, b = names_[i], names_[j]
+                if abs(len(a) - len(b)) > 1:
+                    continue
+                if not _dist1(a, b):
+                    continue
+                if b < a:
+                    a, b = b, a
+                    x, y = ns[j], ns[i]
+                else:
+                    x, y = ns[i], ns[j]
+                rows_a.append(a)
+                rows_b.append(b)
+                na.append(int(x))
+                nb.append(int(y))
+        # typed empty-safe Arrow table: an empty pandas object column
+        # would infer a null type and fail downstream schema unification
+        return pa.table(
+            {
+                "name_a": pa.array(rows_a, pa.string()),
+                "name_b": pa.array(rows_b, pa.string()),
+                "n_a": pa.array(np.array(na, np.int64)),
+                "n_b": pa.array(np.array(nb, np.int64)),
+            }
+        )
+
+    def dedup_pairs(group: pd.DataFrame) -> pa.Table:
+        g = group.iloc[:1]
+        return pa.table(
+            {
+                "name_a": pa.array(g["name_a"].tolist(), pa.string()),
+                "name_b": pa.array(g["name_b"].tolist(), pa.string()),
+                "n_a": pa.array(g["n_a"].to_numpy(np.int64)),
+                "n_b": pa.array(g["n_b"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        names.map_batches(variants, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs
+        .groupby("vkey")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .materialize()  # pinned before the pair-dedup shuffle
+        .groupby(["name_a", "name_b"])
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )

@@ -344,3 +344,92 @@ def export_tile_stats(sf_dir: str, tiles: int = 8):
             Max("n_chars", alias_name="max_chars"),
         )
     )
+
+
+def pareto_frontier(sf_dir: str, max_prices: int = 4_000_000):
+    """Skyline / Pareto-frontier selection over ``part``: the parts no
+    other part dominates (dominate = price ≤ AND size ≥ with at least
+    one strict) — the "cheapest for its size class" multi-objective
+    query; ``NOT EXISTS`` dominance in SQL, quadratic there, two
+    streaming passes here.
+
+    Scale shape: pass 1 is a (price → max size) combiner + groupby —
+    the shuffle is bounded by the DISTINCT PRICE domain, not the table.
+    The driver pulls that table (``max_prices`` guards the pull loudly
+    — the repo's no-silent-caps rule), sorts it once, and derives the
+    exclusive prefix-max M(p) = best size strictly cheaper than p.
+    Pass 2 re-streams the facts and keeps a row iff its size equals its
+    own price's group max AND beats M(p) — a vectorized searchsorted
+    against two broadcast arrays. No all-pairs comparison anywhere.
+
+    Ties: equal (price, size) rows don't dominate each other (no strict
+    coordinate), so whole duplicate groups survive together — same
+    semantics as the NOT EXISTS oracle."""
+    import ray.data
+    from ray.data.aggregate import Max
+
+    src = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+
+    def gmax_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "p_retailprice": batch["p_retailprice"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "p_size": batch["p_size"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("p_retailprice", as_index=False)["p_size"].max()
+        return pa.table(
+            {
+                "p_retailprice": pa.array(
+                    g["p_retailprice"].to_numpy(np.float64)
+                ),
+                "p_size": pa.array(g["p_size"].to_numpy(np.int64)),
+            }
+        )
+
+    per_price = (
+        src.map_batches(gmax_partial, batch_format="pyarrow", batch_size=65536)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs
+        .groupby("p_retailprice")
+        .aggregate(Max("p_size", alias_name="gmax"))
+        .take_all()  # bounded by the distinct-price domain (guarded below)
+    )
+    if len(per_price) > max_prices:
+        raise ValueError(
+            f"distinct price domain {len(per_price)} exceeds "
+            f"max_prices={max_prices}; the broadcast cum-table assumption "
+            "no longer holds — raise the cap or switch to the sorted-"
+            "partition variant"
+        )
+    prices = np.array([r["p_retailprice"] for r in per_price], np.float64)
+    gmax = np.array([r["gmax"] for r in per_price], np.int64)
+    order = np.argsort(prices, kind="stable")
+    prices, gmax = prices[order], gmax[order]
+    # M[i] = max size among strictly cheaper prices (exclusive cummax)
+    run = np.maximum.accumulate(gmax)
+    m_excl = np.empty_like(run)
+    m_excl[0] = np.iinfo(np.int64).min
+    m_excl[1:] = run[:-1]
+
+    def keep(batch: pa.Table) -> pa.Table:
+        p = batch["p_retailprice"].to_numpy(zero_copy_only=False)
+        s = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(prices, p)
+        mask = (s == gmax[idx]) & (s > m_excl[idx])
+        batch = batch.filter(pa.array(mask))
+        return pa.table(
+            {
+                "p_partkey": pc.cast(batch["p_partkey"], pa.int64()),
+                "p_retailprice": batch["p_retailprice"],
+                "p_size": pc.cast(batch["p_size"], pa.int64()),
+            }
+        )
+
+    return src.map_batches(keep, batch_format="pyarrow", batch_size=65536)
