@@ -255,6 +255,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from chug_ray.ops import (
         dedup,
+        graph,
         knn,
         pii,
         relational,
@@ -364,6 +365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_series": relational.monthly_revenue_series,
         "pareto_frontier": selection.pareto_frontier,
         "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
+        "pagerank": graph.pagerank,  # rows-only (iterative; bit-exact
+        # vs a sequential reference in tests/test_pagerank.py)
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
