@@ -17,14 +17,17 @@ Scale shape:
   (orders rows tag 0, lineitem rows tag 1) merges the two fact tables
   without a broadcast; per-group pandas merge + count partials feed one
   ``groupby(src, dst)`` sum. No driver-resident key map.
-- Out-weights attach to edges through a second src-bucket union — the
-  edge table with (w, W) is then STATIC across iterations and
-  materialized once.
-- Each iteration is (a) one src-bucket union of the score table with
-  the static edge table (scores are small rows; edges never reshuffle
-  their payload — the bucket column is precomputed), and (b) one
-  ``groupby(dst)`` sum of per-group contribution partials. Nothing is
-  ever pulled to the driver except the node count.
+- Iterations: the score/out-weight vectors are bounded by the NODE set
+  (the dimension tables — customers + suppliers — not the facts), so
+  they ride as one ``ray.put`` broadcast of three sorted int64 arrays
+  (the repo's promo_revenue sorted-int-map pattern); each iteration is
+  then ONE streaming pass over the static materialized edge table —
+  searchsorted score lookup, per-batch dst-sum combiner — into one
+  ``groupby(dst)`` sum. ``max_nodes`` guards the broadcast loudly (the
+  no-silent-caps rule); an edge-shuffle formulation would lift the
+  bound at ~10× the per-iteration cost (measured 34 s vs ~2 s per
+  iteration at sf0.1) and is the documented fallback if the node set
+  ever outgrows a worker heap.
 
 Integer fixed point: scores are int64 scaled by ``SCALE``; a node's
 contribution along an edge is ``score * w // W`` (exact), the damping
@@ -120,25 +123,25 @@ def build_trade_edges(sf_dir: str, num_buckets: int = 64):
             .groupby(["src", "dst"], as_index=False)
             .size()
         )
-        # doubled: emit both directions so the graph is undirected and
-        # no node dangles
+        # one direction only here: the consolidation groupby then moves
+        # half the rows; doubling happens after it (exact same edge set)
         return pa.table(
             {
-                "src": pa.array(
-                    np.concatenate(
-                        [g["src"].to_numpy(np.int64), g["dst"].to_numpy(np.int64)]
-                    )
-                ),
-                "dst": pa.array(
-                    np.concatenate(
-                        [g["dst"].to_numpy(np.int64), g["src"].to_numpy(np.int64)]
-                    )
-                ),
-                "w": pa.array(
-                    np.concatenate(
-                        [g["size"].to_numpy(np.int64), g["size"].to_numpy(np.int64)]
-                    )
-                ),
+                "src": pa.array(g["src"].to_numpy(np.int64)),
+                "dst": pa.array(g["dst"].to_numpy(np.int64)),
+                "w": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def double(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([src, dst])),
+                "dst": pa.array(np.concatenate([dst, src])),
+                "w": pa.array(np.concatenate([w, w]).astype(np.int64)),
             }
         )
 
@@ -150,6 +153,7 @@ def build_trade_edges(sf_dir: str, num_buckets: int = 64):
         .materialize()
         .groupby(["src", "dst"])
         .aggregate(Sum("w", alias_name="w"))
+        .map_batches(double, batch_format="pyarrow")
         .materialize()
     )
 
@@ -159,11 +163,13 @@ def pagerank(
     n_iter: int = 6,
     num_buckets: int = 64,
     damping_pct: int = 85,
+    max_nodes: int = 50_000_000,
 ):
     """Integer fixed-point PageRank over the trade graph. Returns one
     row per node: (kind, key, score_fp) with ``score_fp`` the final
     int64 score at ``SCALE`` fixed point — bit-identical under any
     partitioning or row order."""
+    import ray
     import ray.data
     from ray.data.aggregate import Count, Max, Sum
 
@@ -196,115 +202,35 @@ def pagerank(
     base = (SCALE * (100 - damping_pct)) // (100 * n_nodes)
     init = SCALE // n_nodes
 
-    # static per-edge table with W attached, bucketed by src once
-    def attach(group: pd.DataFrame) -> pa.Table:
-        e = group[group["tag"] == 1]
-        wmap = group[group["tag"] == 0]
-        m = e.merge(
-            wmap[["key", "other"]].rename(columns={"other": "W"}),
-            on="key",
-            how="inner",
+    # node + out-weight vectors: bounded by the dimension-table node
+    # set, pulled once (guarded) and broadcast via ray.put — each
+    # iteration is then ONE streaming pass over the static edge table
+    wrows = outw.take_all()
+    if len(wrows) > max_nodes:
+        raise ValueError(
+            f"node set {len(wrows)} exceeds max_nodes={max_nodes}; the "
+            "broadcast-score formulation no longer holds — raise the cap "
+            "or switch to the per-iteration edge-shuffle variant"
         )
-        return pa.table(
-            {
-                "src": pa.array(m["key"].to_numpy(np.int64)),
-                "dst": pa.array(m["dst"].to_numpy(np.int64)),
-                "w": pa.array(m["w"].to_numpy(np.int64)),
-                "W": pa.array(m["W"].to_numpy(np.int64)),
-            }
-        )
+    order = np.argsort([r["src"] for r in wrows], kind="stable")
+    nodes_arr = np.array([r["src"] for r in wrows], np.int64)[order]
+    w_arr = np.array([r["W"] for r in wrows], np.int64)[order]
+    score_arr = np.full(n_nodes, init, np.int64)
 
-    e_tag = edges.map_batches(
-        lambda b: pa.table(
-            {
-                "key": b["src"],
-                "dst": b["dst"],
-                "w": b["w"],
-                "other": b["w"],  # unused payload slot for schema parity
-                "tag": pa.array(np.ones(len(b), np.int8)),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    w_tag = outw.map_batches(
-        lambda b: pa.table(
-            {
-                "key": b["src"],
-                "dst": pa.array(np.zeros(len(b), np.int64)),
-                "w": pa.array(np.zeros(len(b), np.int64)),
-                "other": b["W"],
-                "tag": pa.array(np.zeros(len(b), np.int8)),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    edges_w = (
-        _bucket_union([e_tag, w_tag], "key", num_buckets)
-        .materialize()
-        .groupby("bucket")
-        .map_groups(attach, batch_format="pandas")
-        .materialize()  # static across iterations
-    )
-
-    scores = outw.map_batches(
-        lambda b: pa.table(
-            {
-                "node": b["src"],
-                "score": pa.array(np.full(len(b), init, np.int64)),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    from ray.data.aggregate import Sum as _Sum
 
     for _ in range(n_iter):
-        ew_tag = edges_w.map_batches(
-            lambda b: pa.table(
-                {
-                    "key": b["src"],
-                    "dst": b["dst"],
-                    "w": b["w"],
-                    "other": b["W"],
-                    "tag": pa.array(np.ones(len(b), np.int8)),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        # rename other→score inside contribs; recompute W column name
-        s_tag = scores.map_batches(
-            lambda b: pa.table(
-                {
-                    "key": b["node"],
-                    "dst": pa.array(np.zeros(len(b), np.int64)),
-                    "w": pa.array(np.zeros(len(b), np.int64)),
-                    "other": b["score"],
-                    "tag": pa.array(np.zeros(len(b), np.int8)),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        state_ref = ray.put((nodes_arr, w_arr, score_arr))
 
-        def contribs_w(group: pd.DataFrame) -> pa.Table:
-            e = group[group["tag"] == 1]
-            s = group[group["tag"] == 0]
-            if not len(e) or not len(s):
-                return pa.table(
-                    {
-                        "dst": pa.array([], pa.int64()),
-                        "c": pa.array([], pa.int64()),
-                    }
-                )
-            m = e.merge(
-                s[["key", "other"]].rename(columns={"other": "score"}),
-                on="key",
-                how="inner",
-            )
-            c = (
-                m["score"].to_numpy(np.int64)
-                * m["w"].to_numpy(np.int64)
-                // m["other"].to_numpy(np.int64)  # other carries W on tag-1
-            )
+        def contrib_partial(batch: pa.Table, _ref=state_ref) -> pa.Table:
+            nodes_b, W_b, score_b = ray.get(_ref)  # zero-copy, per-task
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            w = batch["w"].to_numpy(zero_copy_only=False)
+            si = np.searchsorted(nodes_b, src)
+            c = score_b[si] * w // W_b[si]
             g = (
-                pd.DataFrame({"dst": m["dst"].to_numpy(np.int64), "c": c})
+                pd.DataFrame({"dst": dst, "c": c})
                 .groupby("dst", as_index=False)["c"]
                 .sum()
             )
@@ -315,45 +241,34 @@ def pagerank(
                 }
             )
 
-        from ray.data.aggregate import Sum as _Sum
-
-        insum = (
-            _bucket_union([ew_tag, s_tag], "key", num_buckets)
-            .materialize()
-            .groupby("bucket")
-            .map_groups(contribs_w, batch_format="pandas")
-            .materialize()
+        insum_rows = (
+            edges.map_batches(
+                contrib_partial, batch_format="pyarrow", batch_size=131072
+            )
+            .materialize()  # partials: the sort shuffle re-executes lazy inputs
             .groupby("dst")
             .aggregate(_Sum("c", alias_name="c"))
+            .take_all()  # bounded by the node set (guarded above)
         )
-
-        def damp(batch: pa.Table) -> pa.Table:
-            c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-            score = base + damping_pct * c // 100
-            return pa.table(
-                {
-                    "node": pa.array(
-                        batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-                    ),
-                    "score": pa.array(score),
-                }
-            )
-
-        scores = insum.map_batches(damp, batch_format="pyarrow").materialize()
-
-    def label(batch: pa.Table) -> pa.Table:
-        node = batch["node"].to_numpy(zero_copy_only=False)
-        is_sup = node >= SUPPLIER_OFFSET
-        return pa.table(
-            {
-                "kind": pa.array(
-                    np.where(is_sup, "supplier", "customer"), pa.string()
-                ),
-                "key": pa.array(
-                    np.where(is_sup, node - SUPPLIER_OFFSET, node)
-                ),
-                "score_fp": batch["score"],
-            }
+        insum = np.zeros(n_nodes, np.int64)
+        di = np.searchsorted(
+            nodes_arr, np.array([r["dst"] for r in insum_rows], np.int64)
         )
+        insum[di] = np.array([r["c"] for r in insum_rows], np.int64)
+        score_arr = base + damping_pct * insum // 100
 
-    return scores.map_batches(label, batch_format="pyarrow")
+    is_sup = nodes_arr >= SUPPLIER_OFFSET
+    out = pa.table(
+        {
+            "kind": pa.array(
+                np.where(is_sup, "supplier", "customer"), pa.string()
+            ),
+            "key": pa.array(
+                np.where(is_sup, nodes_arr - SUPPLIER_OFFSET, nodes_arr)
+            ),
+            "score_fp": pa.array(score_arr),
+        }
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(out)
