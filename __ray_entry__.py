@@ -367,6 +367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
         "pagerank": graph.pagerank,  # rows-only (iterative; bit-exact
         # vs a sequential reference in tests/test_pagerank.py)
+        "pearson_by_lang": textstats.pearson_by_lang,
+        "winsorized_stats": textstats.winsorized_stats,
+        "first_last_touch": window.first_last_touch,
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
@@ -1985,6 +1988,69 @@ def oracle_sql() -> dict[str, str]:
                    a.n AS n_a, b.n AS n_b
             FROM d a JOIN d b
               ON a.name < b.name AND levenshtein(a.name, b.name) = 1
+        """,
+        "pearson_by_lang": """
+            WITH s AS (
+                SELECT lang, CAST(n_chars AS BIGINT) AS x,
+                       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS y
+                FROM documents
+            ),
+            m AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy
+                FROM s GROUP BY lang
+            ),
+            r AS (
+                SELECT lang, n,
+                       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS num,
+                       (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                       AS den
+                FROM m
+            )
+            SELECT lang, n,
+                   CAST(CASE WHEN num / den < 0
+                             THEN -floor(abs(num / den) * 1000000.0 + 0.5)
+                             ELSE floor(abs(num / den) * 1000000.0 + 0.5)
+                        END AS BIGINT) AS r_e6
+            FROM r WHERE den > 0
+        """,
+        "winsorized_stats": """
+            WITH q AS (
+                SELECT lang,
+                       CAST(quantile_disc(n_chars, 0.05) AS BIGINT) AS lo,
+                       CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS hi
+                FROM documents GROUP BY lang
+            )
+            SELECT d.lang, q.lo, q.hi,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(GREATEST(LEAST(CAST(d.n_chars AS BIGINT), q.hi),
+                                     q.lo)) AS BIGINT) AS sum_clipped
+            FROM documents d JOIN q USING (lang)
+            GROUP BY d.lang, q.lo, q.hi
+        """,
+        "first_last_touch": """
+            WITH r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn_d
+                FROM events
+            )
+            SELECT user_id,
+                   max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+                   max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM r GROUP BY user_id
         """,
         **_extract_parity_oracles(),
     }

@@ -2175,3 +2175,119 @@ def mode_per_group(sf_dir: str):
         .groupby("lang")
         .map_groups(final_best, batch_format="pandas")
     )
+
+
+def pearson_by_lang(sf_dir: str):
+    """Per-lang Pearson correlation of (n_chars, n_tokens) as e6 fixed
+    point — the consumer-side division :func:`grouped_moments`
+    deliberately leaves out, packaged as its own op.
+
+    Scale shape: identical to grouped_moments (one combiner pass, one
+    lang-domain groupby); the r computation is a vectorized map over
+    the ≤|langs| moment rows. Float parity: every moment is an exact
+    int64; both sides cast to DOUBLE and evaluate the SAME expression
+    tree (n·sxy − sx·sy) / (sqrt(n·sxx − sx²)·sqrt(n·syy − sy²)), so
+    the doubles (and the half-away e6 rounding) are bit-identical.
+    Zero-variance groups are excluded on both sides (den > 0)."""
+    import numpy as np
+
+    moments = grouped_moments(sf_dir)
+
+    def score(batch: pa.Table) -> pa.Table:
+        f = {
+            c: batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+        }
+        num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+        den = np.sqrt(f["n"] * f["sxx"] - f["sx"] * f["sx"]) * np.sqrt(
+            f["n"] * f["syy"] - f["sy"] * f["sy"]
+        )
+        keep = den > 0
+        r = num[keep] / den[keep]
+        r_e6 = (np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "lang": pc.cast(
+                    batch.filter(pa.array(keep))["lang"], pa.string()
+                ),
+                "n": pa.array(f["n"][keep].astype(np.int64)),
+                "r_e6": pa.array(r_e6),
+            }
+        )
+
+    return moments.map_batches(score, batch_format="pyarrow")
+
+
+def winsorized_stats(sf_dir: str, lo_pct: int = 5, hi_pct: int = 95):
+    """Per-lang winsorized sum — clip ``n_chars`` at the exact discrete
+    per-group percentiles (quantile_disc: sorted value at
+    ceil(p·n) − 1) and report the clipped integer sum, the robust-mean
+    building block (mean = sum_clipped / n on the consumer side so no
+    float crosses the wire).
+
+    Scale shape: ONE value-count combiner shuffle (cardinality =
+    distinct values per lang, domain-capped like chars_quantiles); the
+    cut points AND the clipped sum both derive from that count table in
+    the same per-lang map_groups — the fact table streams exactly
+    once."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def value_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby(["lang", "n_chars"], as_index=False).agg(
+            n=("n_chars", "size")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = (
+        _docs(sf_dir, ("lang", "n_chars"))
+        .map_batches(value_counts, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # pinned before the per-lang map_groups shuffle
+    )
+
+    def winsorize(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group(
+            "winsorized_stats(lang)", group["lang"].iloc[0], len(group)
+        )
+        if len(group) > VALUE_DOMAIN_CAP:
+            raise ValueError(
+                f"winsorized_stats: lang {group['lang'].iloc[0]!r} has "
+                f"{len(group)} distinct values (> {VALUE_DOMAIN_CAP}); "
+                "bucketize the values or widen the cap explicitly"
+            )
+        group = group.sort_values("n_chars")
+        vals = group["n_chars"].to_numpy(np.int64)
+        cnt = group["n"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        lo = int(vals[np.searchsorted(cum, math.ceil(lo_pct / 100 * n))])
+        hi = int(vals[np.searchsorted(cum, math.ceil(hi_pct / 100 * n))])
+        clipped = np.clip(vals, lo, hi)
+        s = int((clipped * cnt).sum())
+        return pa.table(
+            {
+                "lang": pa.array([group["lang"].iloc[0]], pa.string()),
+                "lo": pa.array([lo], pa.int64()),
+                "hi": pa.array([hi], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+                "sum_clipped": pa.array([s], pa.int64()),
+            }
+        )
+
+    return counts.groupby("lang").map_groups(
+        winsorize, batch_format="pandas"
+    )

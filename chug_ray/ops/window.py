@@ -1643,3 +1643,72 @@ def user_entropy(sf_dir: str):
         )
 
     return agg.map_batches(score, batch_format="pyarrow")
+
+
+def first_last_touch(sf_dir: str):
+    """First/last-touch attribution: per user, the event type of the
+    FIRST and LAST event (time order, event_id tie-break — a total
+    order) plus the full event count — the FIRST_VALUE/LAST_VALUE
+    window shape.
+
+    Scale shape: per-batch combiner keeps ONE candidate row per user
+    per batch (its local first + last + count); the single
+    ``groupby(user_id)`` then resolves over ≤ n_batches tiny summary
+    rows per user, never the raw events — same two-level design as the
+    other window ops (no whole-user group materializes)."""
+    import pyarrow as pa
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        batch = batch.sort_values(["ts", "event_id"], kind="stable")
+        g = batch.groupby("user_id", as_index=False)
+        first = g.first()
+        last = g.last()
+        cnt = g.size()
+        return pa.table(
+            {
+                "user_id": pa.array(first["user_id"].to_numpy(np.int64)),
+                "first_ts": pa.array(
+                    first["ts"].to_numpy("datetime64[us]").astype(np.int64)
+                ),
+                "first_eid": pa.array(first["event_id"].to_numpy(np.int64)),
+                "first_type": pa.array(
+                    first["event_type"].to_numpy(object), pa.string()
+                ),
+                "last_ts": pa.array(
+                    last["ts"].to_numpy("datetime64[us]").astype(np.int64)
+                ),
+                "last_eid": pa.array(last["event_id"].to_numpy(np.int64)),
+                "last_type": pa.array(
+                    last["event_type"].to_numpy(object), pa.string()
+                ),
+                "n_events": pa.array(cnt["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def resolve(group: pd.DataFrame) -> pa.Table:
+        fi = group.sort_values(
+            ["first_ts", "first_eid"], kind="stable"
+        ).iloc[0]
+        la = group.sort_values(
+            ["last_ts", "last_eid"], ascending=False, kind="stable"
+        ).iloc[0]
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [int(group["user_id"].iloc[0])], pa.int64()
+                ),
+                "first_type": pa.array([fi["first_type"]], pa.string()),
+                "last_type": pa.array([la["last_type"]], pa.string()),
+                "n_events": pa.array(
+                    [int(group["n_events"].sum())], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs
+        .groupby("user_id")
+        .map_groups(resolve, batch_format="pandas")
+    )
