@@ -370,6 +370,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pearson_by_lang": textstats.pearson_by_lang,
         "winsorized_stats": textstats.winsorized_stats,
         "first_last_touch": window.first_last_touch,
+        "triangle_count": graph.triangle_count,
+        "part_pair_support": relational.part_pair_support,
+        "embedding_covariance": knn.embedding_covariance,
+        "pca_project": knn.pca_project,  # rows-only (LAPACK eigen solve;
+        # bit-exact vs a sequential reference in tests/test_pca.py)
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
@@ -2035,6 +2040,58 @@ def oracle_sql() -> dict[str, str]:
                                      q.lo)) AS BIGINT) AS sum_clipped
             FROM documents d JOIN q USING (lang)
             GROUP BY d.lang, q.lo, q.hi
+        """,
+        # DOULION-sampled co-supplier triangle count: the md5 hex
+        # compare mirrors graph._edge_keep_mask's first-byte cut of 32
+        # ('20' hex) exactly (lexicographic 2-hex-char compare ==
+        # numeric byte compare)
+        "triangle_count": """
+            WITH os AS (
+                SELECT DISTINCT l_orderkey o, l_suppkey s FROM lineitem
+            ),
+            e0 AS (
+                SELECT DISTINCT a.s u, b.s v
+                FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+            ),
+            e AS (
+                SELECT u, v FROM e0
+                WHERE substr(md5(u || '-' || v), 1, 2) < '20'
+            )
+            SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST((SELECT count(*)
+                         FROM e e1
+                         JOIN e e2 ON e1.v = e2.u
+                         JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+                        AS BIGINT) AS n_triangles
+        """,
+        "part_pair_support": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem
+            )
+            SELECT a.p AS p1, b.p AS p2,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "embedding_covariance": """
+            WITH x AS (
+                SELECT vec_id,
+                       CAST(CASE WHEN v < 0
+                                 THEN -floor(abs(v) * 1000000.0 + 0.5)
+                                 ELSE floor(abs(v) * 1000000.0 + 0.5)
+                            END AS BIGINT) AS xe,
+                       i
+                FROM (SELECT vec_id,
+                             CAST(unnest(embedding) AS DOUBLE) AS v,
+                             unnest(range(len(embedding))) AS i
+                      FROM embeddings)
+            )
+            SELECT a.i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(a.xe) AS BIGINT) AS si,
+                   CAST(sum(b.xe) AS BIGINT) AS sj,
+                   CAST(sum(a.xe * b.xe) AS BIGINT) AS gram
+            FROM x a JOIN x b USING (vec_id) WHERE a.i <= b.i
+            GROUP BY 1, 2
         """,
         "first_last_touch": """
             WITH r AS (

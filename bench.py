@@ -115,9 +115,10 @@ def _bench_queries(
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
-        time.sleep(5)  # let the previous query's worker teardown settle
+        time.sleep(3)  # let the previous query's worker teardown settle
         # (measured: the same query runs 1.8s after a 10s settle vs 3-4s
-        # right after a heavy query's actor pools wind down)
+        # right after a heavy query's actor pools wind down; 3 s keeps
+        # the 132-query sweep under the round driver's time box)
         best = None
         try:
             # min-of-N: this VM's external noise moves identical queries

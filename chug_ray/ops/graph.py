@@ -272,3 +272,258 @@ def pagerank(
     import ray.data as rd
 
     return rd.from_arrow(out)
+
+
+# --- DOULION-sparsified exact triangle counting ------------------------
+
+EDGE_HASH_SPACE = 256  # md5 first byte; cut/256 = edge keep rate
+
+
+def _edge_keep_mask(u: np.ndarray, v: np.ndarray, cut: int) -> np.ndarray:
+    """Deterministic DOULION edge sampling: keep (u, v) iff the first
+    byte of md5(f"{u}-{v}") < ``cut``. Pure function of the edge key —
+    every task, every retry, and the DuckDB oracle (lexicographic
+    compare of the first two md5 hex chars) agree on the same set."""
+    import hashlib
+
+    if cut >= EDGE_HASH_SPACE:
+        return np.ones(len(u), bool)
+    keep = np.empty(len(u), bool)
+    for i in range(len(u)):
+        keep[i] = (
+            hashlib.md5(f"{u[i]}-{v[i]}".encode()).digest()[0] < cut
+        )
+    return keep
+
+
+def triangle_count(
+    sf_dir: str,
+    sample_cut: int = 32,
+    num_buckets: int = 64,
+    max_nodes: int = 50_000_000,
+):
+    """Exact triangle count of the (DOULION-sampled) co-supplier graph:
+    suppliers are adjacent iff they supply the same order; each distinct
+    edge is kept iff its md5 byte < ``sample_cut`` (of 256). DOULION
+    (Tsourakakis et al., KDD'09) estimates the full-graph count as
+    T_sampled / p**3; this op returns the exact count on the sampled
+    graph (oracle-checkable) plus n_edges — the estimator is one
+    driver-side division away.
+
+    Scale shape (the standard degree-orientation wedge-join, e.g.
+    Suri & Vassilvitskii WWW'11):
+
+    - edge build: per-batch (order, supp) distinct partials → ONE
+      orderkey-bucket shuffle → in-group self-merge (order sizes are
+      small) with the hash sampling applied BEFORE the global distinct,
+      shrinking that shuffle by the sample rate;
+    - global distinct: packed (u,v) int64 key, ONE hash-bucket shuffle;
+    - orientation: degrees ride a ray.put broadcast bounded by the NODE
+      set (suppliers — a dimension table; ``max_nodes`` loud guard);
+      each edge orients low→high (degree, id) rank, so out-degrees are
+      O(sqrt(m)) and the wedge set stays near-linear;
+    - wedges: ONE src-bucket shuffle, in-group self-merge emits
+      (v, w) wedge keys with per-key multiplicity partials;
+    - close: side-tagged union of wedge partials (tag 1) and oriented
+      edges (tag 0) under ONE key-bucket shuffle; a wedge key's
+      multiplicity counts iff an edge row shares the key. No driver
+      state beyond the node-degree vector and the final two integers.
+
+    Reference anchor: no chug counterpart (chug has no graph ops).
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o": b["l_orderkey"],
+                "s": b["l_suppkey"],
+                "bucket": pa.array(
+                    b["l_orderkey"].to_numpy(zero_copy_only=False)
+                    % num_buckets
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def order_pairs(group: pd.DataFrame) -> pa.Table:
+        g = group.drop_duplicates(["o", "s"])
+        m = g.merge(g, on="o")
+        m = m[m["s_x"] < m["s_y"]].drop_duplicates(["s_x", "s_y"])
+        u = m["s_x"].to_numpy(np.int64)
+        v = m["s_y"].to_numpy(np.int64)
+        keep = _edge_keep_mask(u, v, sample_cut)
+        u, v = u[keep], v[keep]
+        assert len(u) == 0 or int(v.max()) < 1 << 31, (
+            "triangle_count: suppkey exceeds the 32-bit pack width"
+        )
+        key = u * (1 << 32) + v
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "v": pa.array(v),
+                "kbucket": pa.array((key % num_buckets).astype(np.int64)),
+            }
+        )
+
+    def edge_distinct(group: pd.DataFrame) -> pa.Table:
+        g = group.drop_duplicates(["u", "v"])
+        return pa.table(
+            {
+                "u": pa.array(g["u"].to_numpy(np.int64)),
+                "v": pa.array(g["v"].to_numpy(np.int64)),
+            }
+        )
+
+    edges = (
+        lines.materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby("bucket")
+        .map_groups(order_pairs, batch_format="pandas")
+        .materialize()
+        .groupby("kbucket")
+        .map_groups(edge_distinct, batch_format="pandas")
+        .materialize()
+    )
+
+    def degree_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                batch["u"].to_numpy(zero_copy_only=False),
+                batch["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        node, cnt = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(node.astype(np.int64)),
+                "d": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    deg_rows = (
+        edges.map_batches(degree_partial, batch_format="pyarrow")
+        .materialize()
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="d"))
+        .take_all()  # bounded by the supplier dimension (guarded below)
+    )
+    n_nodes = len(deg_rows)
+    assert n_nodes <= max_nodes, (
+        f"triangle_count: {n_nodes} nodes exceed max_nodes={max_nodes}; "
+        "switch the orientation rank to an edge-shuffle join"
+    )
+    zero = pd.DataFrame(
+        {
+            "n_edges": pd.Series([0], dtype=np.int64),
+            "n_triangles": pd.Series([0], dtype=np.int64),
+        }
+    )
+    if n_nodes == 0:
+        return zero
+
+    nodes_arr = np.array(sorted(r["node"] for r in deg_rows), np.int64)
+    deg_map = {r["node"]: r["d"] for r in deg_rows}
+    deg_arr = np.array([deg_map[n] for n in nodes_arr], np.int64)
+    # total orientation rank: position in the (degree, node) sort
+    order = np.lexsort((nodes_arr, deg_arr))
+    rank_arr = np.empty(n_nodes, np.int64)
+    rank_arr[order] = np.arange(n_nodes, dtype=np.int64)
+    rank_ref = ray.put((nodes_arr, rank_arr))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        nodes, rank = ray.get(rank_ref)
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        ru = rank[np.searchsorted(nodes, u)]
+        rv = rank[np.searchsorted(nodes, v)]
+        a = np.where(ru < rv, u, v)
+        b = np.where(ru < rv, v, u)
+        ra = np.minimum(ru, rv)
+        rb = np.maximum(ru, rv)
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "ra": pa.array(ra),
+                "rb": pa.array(rb),
+                "abucket": pa.array((a % num_buckets).astype(np.int64)),
+            }
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow").materialize()
+    n_edges = oriented.count()
+
+    def wedge_partial(group: pd.DataFrame) -> pa.Table:
+        m = group.merge(group[["a", "b", "rb"]], on="a")
+        m = m[m["rb_x"] < m["rb_y"]]
+        if not len(m):
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "tag": pa.array([], pa.int8()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        key = (
+            m["b_x"].to_numpy(np.int64) * (1 << 32)
+            + m["b_y"].to_numpy(np.int64)
+        )
+        k, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(k),
+                "tag": pa.array(np.ones(len(k), np.int8)),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    wedges = (
+        oriented.groupby("abucket")
+        .map_groups(wedge_partial, batch_format="pandas")
+    )
+    edge_keys = oriented.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pa.array(
+                    b["a"].to_numpy(zero_copy_only=False) * (1 << 32)
+                    + b["b"].to_numpy(zero_copy_only=False)
+                ),
+                "tag": pa.array(np.zeros(len(b), np.int8)),
+                "c": pa.array(np.zeros(len(b), np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def add_kbucket(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "kb", pa.array((k % num_buckets).astype(np.int64))
+        )
+
+    def close_partial(group: pd.DataFrame) -> pa.Table:
+        has_edge = group[group["tag"] == 0]["key"].unique()
+        w = group[group["tag"] == 1]
+        t = int(w[w["key"].isin(has_edge)]["c"].sum())
+        return pa.table({"t": pa.array([t], pa.int64())})
+
+    tri_rows = (
+        wedges.union(edge_keys)
+        .map_batches(add_kbucket, batch_format="pyarrow")
+        .materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby("kb")
+        .map_groups(close_partial, batch_format="pandas")
+        .take_all()  # ≤ num_buckets one-int rows
+    )
+    n_tri = sum(r["t"] for r in tri_rows)
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([n_edges], dtype=np.int64),
+            "n_triangles": pd.Series([int(n_tri)], dtype=np.int64),
+        }
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 DEFAULT_K = 10
 N_QUERIES = 8
@@ -639,4 +640,126 @@ def radius_search(sf_dir: str, threshold_e4: int = 2500):
 
     return _read_embeddings(sf_dir).map_batches(
         score_batch, batch_format="pandas", batch_size=4096
+    )
+
+
+# --- distributed second moments / PCA ----------------------------------
+
+
+def _emb_e6(mat: np.ndarray) -> np.ndarray:
+    """Embedding values → e6 fixed-point int64 with the repo's
+    half-away-from-zero rule (mirrors the oracle's sign·floor form)."""
+    m = mat.astype(np.float64)
+    return (np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5)).astype(np.int64)
+
+
+def embedding_covariance(sf_dir: str):
+    """Exact distributed Gram/covariance moments of the embedding
+    table: for every dimension pair i ≤ j, int64 (n, Σxᵢ, Σxⱼ, Σxᵢxⱼ)
+    over e6 fixed-point values — the building block for PCA / whitening
+    / Mahalanobis, with floats never crossing the wire (order-invariant,
+    hash-exact; ``grouped_moments`` generalized to d dimensions).
+
+    Scale shape: ONE map-only pass — each batch contributes a d(d+1)/2
+    -row partial (one int64 matmul per batch) — into a d²-bounded
+    groupby. Overflow: n·max|x_e6|² must stay under 2⁶³, asserted per
+    batch in Python ints (the grouped_moments rule; at 10¹²-row scale
+    shard the sum by a row-bucket column first)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        mat = np.stack(batch["embedding"].to_numpy())
+        x = _emb_e6(mat)
+        mx = int(np.abs(x).max(initial=0))
+        assert len(x) * mx * mx < (1 << 63), (
+            "gram sum would overflow int64; shrink batch_size"
+        )
+        d = x.shape[1]
+        g = x.T @ x
+        s = x.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "n": pa.array(np.full(len(iu), len(x), np.int64)),
+                "si": pa.array(s[iu]),
+                "sj": pa.array(s[ju]),
+                "gram": pa.array(g[iu, ju]),
+            }
+        )
+
+    return (
+        _read_embeddings(sf_dir)
+        .map_batches(partial, batch_format="pandas", batch_size=4096)
+        .materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby(["i", "j"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("si", alias_name="si"),
+            Sum("sj", alias_name="sj"),
+            Sum("gram", alias_name="gram"),
+        )
+    )
+
+
+def pca_project(sf_dir: str, k: int = 2):
+    """Project every embedding onto the top-k principal components of
+    the corpus. The covariance comes from :func:`embedding_covariance`
+    (exact ints — identical under any partitioning), the d×d eigen
+    solve runs once on the driver, and the components ride a ray.put
+    broadcast into a map-only projection pass. Deterministic: the
+    eigenvector sign is fixed so each component's largest-|coordinate|
+    entry is positive (ties: lowest index). Rows-only op (the eigen
+    solve is LAPACK, not SQL); pinned bit-exact against a sequential
+    reference in tests/test_pca.py."""
+    import ray
+
+    rows = embedding_covariance(sf_dir).take_all()  # bounded: d(d+1)/2
+    if not rows:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype=np.int64),
+                **{
+                    f"pc{c + 1}": pd.Series([], dtype=np.float64)
+                    for c in range(k)
+                },
+            }
+        )
+    d = max(r["j"] for r in rows) + 1
+    n = rows[0]["n"]
+    cov = np.zeros((d, d), np.float64)
+    mean_e6 = np.zeros(d, np.float64)
+    for r in rows:
+        # exact-int numerator first, one double division: n·Σxy − Σx·Σy
+        c = float(r["n"] * r["gram"] - r["si"] * r["sj"]) / (
+            float(n) * float(n)
+        )
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = c
+        if r["i"] == r["j"]:
+            mean_e6[r["i"]] = r["si"] / n
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, np.argsort(vals)[::-1][:k]]  # columns = top-k PCs
+    for c in range(comps.shape[1]):
+        pivot = np.argmax(np.abs(comps[:, c]))
+        if comps[pivot, c] < 0:
+            comps[:, c] = -comps[:, c]
+    state = ray.put((mean_e6 / 1e6, comps))
+
+    def project(batch) -> pa.Table:
+        mean, cm = ray.get(state)
+        mat = _emb_e6(np.stack(batch["embedding"].to_numpy())) / 1e6
+        proj = (mat - mean) @ cm  # per-row dots: batching-invariant
+        cols = {
+            "vec_id": pa.array(batch["vec_id"].to_numpy(np.int64))
+        }
+        for c in range(cm.shape[1]):
+            cols[f"pc{c + 1}"] = pa.array(proj[:, c])
+        return pa.table(cols)
+
+    return _read_embeddings(sf_dir).map_batches(
+        project, batch_format="pandas", batch_size=4096
     )

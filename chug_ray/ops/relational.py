@@ -3483,3 +3483,86 @@ def monthly_revenue_series(sf_dir: str, max_months: int = 12_000):
             "n_orders": cnt,
         }
     )
+
+
+def part_pair_support(
+    sf_dir: str, min_support: int = 2, num_buckets: int = 64
+):
+    """Market-basket co-occurrence: every part pair ordered together in
+    ``min_support`` or more distinct orders, with its support count —
+    the candidate-pair half of A-priori / frequent-itemset mining.
+
+    Scale shape: per-order pair expansion happens INSIDE the orderkey
+    bucket groups (order sizes are small — the per-order fanout is
+    C(lines, 2), bounded by the order-size cap), and each group emits
+    per-pair COUNT partials, so the second shuffle moves one row per
+    distinct pair per bucket, not one per occurrence. The packed-key
+    hash bucket keeps that groupby off Ray's global sort path. No
+    driver state; output is bounded by the support threshold.
+
+    Reference anchor: no chug counterpart; composition follows the
+    repo's bucketed-combiner relational ops."""
+    import ray.data
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o": b["l_orderkey"],
+                "p": b["l_partkey"],
+                "bucket": pa.array(
+                    b["l_orderkey"].to_numpy(zero_copy_only=False)
+                    % num_buckets
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pair_partial(group: pd.DataFrame) -> pa.Table:
+        g = group.drop_duplicates(["o", "p"])
+        m = g.merge(g, on="o")
+        m = m[m["p_x"] < m["p_y"]]
+        if not len(m):
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "kbucket": pa.array([], pa.int64()),
+                }
+            )
+        p1 = m["p_x"].to_numpy(np.int64)
+        p2 = m["p_y"].to_numpy(np.int64)
+        assert int(p2.max()) < 1 << 31, (
+            "part_pair_support: partkey exceeds the 32-bit pack width"
+        )
+        key, c = np.unique(p1 * (1 << 32) + p2, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(key.astype(np.int64)),
+                "c": pa.array(c.astype(np.int64)),
+                "kbucket": pa.array((key % num_buckets).astype(np.int64)),
+            }
+        )
+
+    def resolve(group: pd.DataFrame) -> pa.Table:
+        agg = group.groupby("key", as_index=False)["c"].sum()
+        agg = agg[agg["c"] >= min_support]
+        key = agg["key"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "p1": pa.array(key >> 32),
+                "p2": pa.array(key & ((1 << 32) - 1)),
+                "support": pa.array(agg["c"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        lines.materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby("bucket")
+        .map_groups(pair_partial, batch_format="pandas")
+        .materialize()
+        .groupby("kbucket")
+        .map_groups(resolve, batch_format="pandas")
+    )

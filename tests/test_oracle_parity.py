@@ -73,6 +73,7 @@ ROWS_ONLY = [
     "sample_frames",
     "audio_window_features",
     "span_kind_stats",
+    "pca_project",
 ]
 
 
