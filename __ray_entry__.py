@@ -375,6 +375,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": knn.embedding_covariance,
         "pca_project": knn.pca_project,  # rows-only (LAPACK eigen solve;
         # bit-exact vs a sequential reference in tests/test_pca.py)
+        "ols_by_lang": textstats.ols_by_lang,
+        "pair_lift": relational.pair_lift,
+        "retention_cohorts": window.retention_cohorts,
+        "kcore": graph.kcore,  # rows-only (iterative peel; equal to a
+        # sequential reference in tests/test_assoc_cohort_graph.py)
+        "mahalanobis_outliers": knn.mahalanobis_outliers,  # rows-only
+        # (LAPACK inverse; bit-exact vs sequential in tests/test_pca.py)
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
@@ -2092,6 +2099,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(a.xe * b.xe) AS BIGINT) AS gram
             FROM x a JOIN x b USING (vec_id) WHERE a.i <= b.i
             GROUP BY 1, 2
+        """,
+        "ols_by_lang": """
+            WITH s AS (
+                SELECT lang, CAST(n_chars AS BIGINT) AS x,
+                       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS y
+                FROM documents
+            ),
+            m AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(x * y) AS BIGINT) AS sxy
+                FROM s GROUP BY lang
+            ),
+            r AS (
+                SELECT lang, n,
+                       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS num,
+                       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS den,
+                       CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                       CAST(n AS DOUBLE) AS nd
+                FROM m
+            ),
+            f AS (
+                SELECT lang, n, num / den AS slope,
+                       (syd - (num / den) * sxd) / nd AS icept
+                FROM r WHERE den > 0
+            )
+            SELECT lang, n,
+                   CAST(CASE WHEN slope < 0
+                             THEN -floor(abs(slope) * 1000000.0 + 0.5)
+                             ELSE floor(abs(slope) * 1000000.0 + 0.5)
+                        END AS BIGINT) AS slope_e6,
+                   CAST(CASE WHEN icept < 0
+                             THEN -floor(abs(icept) * 1000000.0 + 0.5)
+                             ELSE floor(abs(icept) * 1000000.0 + 0.5)
+                        END AS BIGINT) AS intercept_e6
+            FROM f
+        """,
+        "pair_lift": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem
+            ),
+            ps AS (SELECT p, CAST(count(*) AS BIGINT) s FROM op GROUP BY p),
+            nn AS (SELECT CAST(count(DISTINCT o) AS BIGINT) n FROM op),
+            pairs AS (
+                SELECT a.p p1, b.p p2, CAST(count(*) AS BIGINT) support
+                FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            f AS (
+                SELECT p1, p2, support,
+                       CAST(support AS DOUBLE) / CAST(sa.s AS DOUBLE) AS conf,
+                       CAST(nn.n AS DOUBLE) * CAST(support AS DOUBLE)
+                         / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE))
+                         AS lift
+                FROM pairs JOIN ps sa ON sa.p = pairs.p1
+                           JOIN ps sb ON sb.p = pairs.p2 CROSS JOIN nn
+            )
+            SELECT p1, p2, support,
+                   CAST(floor(abs(conf) * 1000000.0 + 0.5) AS BIGINT)
+                       AS conf_e6,
+                   CAST(floor(abs(lift) * 1000000.0 + 0.5) AS BIGINT)
+                       AS lift_e6
+            FROM f
+        """,
+        "retention_cohorts": """
+            WITH um AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) m FROM events
+            ),
+            fm AS (SELECT user_id, min(m) f FROM um GROUP BY user_id)
+            SELECT strftime(f, '%Y-%m-%d') AS cohort_date,
+                   CAST(datediff('day', f, m) AS BIGINT) AS day_offset,
+                   CAST(count(DISTINCT um.user_id) AS BIGINT) AS n_users
+            FROM um JOIN fm USING (user_id) GROUP BY 1, 2
         """,
         "first_last_touch": """
             WITH r AS (

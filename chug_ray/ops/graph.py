@@ -296,6 +296,73 @@ def _edge_keep_mask(u: np.ndarray, v: np.ndarray, cut: int) -> np.ndarray:
     return keep
 
 
+def cosupplier_edges(
+    sf_dir: str, sample_cut: int = 32, num_buckets: int = 64
+):
+    """Distinct (u < v) supplier pairs sharing an order, DOULION-sampled
+    by :func:`_edge_keep_mask` — the shared edge build for
+    triangle_count and kcore. Per-batch (order, supp) distinct partials
+    → ONE orderkey-bucket shuffle (in-group self-merge; the sampling
+    prunes BEFORE the global distinct) → ONE packed-key hash-bucket
+    distinct. Returns a materialized (u, v) dataset."""
+    import ray.data
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o": b["l_orderkey"],
+                "s": b["l_suppkey"],
+                "bucket": pa.array(
+                    b["l_orderkey"].to_numpy(zero_copy_only=False)
+                    % num_buckets
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def order_pairs(group: pd.DataFrame) -> pa.Table:
+        g = group.drop_duplicates(["o", "s"])
+        m = g.merge(g, on="o")
+        m = m[m["s_x"] < m["s_y"]].drop_duplicates(["s_x", "s_y"])
+        u = m["s_x"].to_numpy(np.int64)
+        v = m["s_y"].to_numpy(np.int64)
+        keep = _edge_keep_mask(u, v, sample_cut)
+        u, v = u[keep], v[keep]
+        assert len(u) == 0 or int(v.max()) < 1 << 31, (
+            "cosupplier_edges: suppkey exceeds the 32-bit pack width"
+        )
+        key = u * (1 << 32) + v
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "v": pa.array(v),
+                "kbucket": pa.array((key % num_buckets).astype(np.int64)),
+            }
+        )
+
+    def edge_distinct(group: pd.DataFrame) -> pa.Table:
+        g = group.drop_duplicates(["u", "v"])
+        return pa.table(
+            {
+                "u": pa.array(g["u"].to_numpy(np.int64)),
+                "v": pa.array(g["v"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        lines.materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby("bucket")
+        .map_groups(order_pairs, batch_format="pandas")
+        .materialize()
+        .groupby("kbucket")
+        .map_groups(edge_distinct, batch_format="pandas")
+        .materialize()
+    )
+
+
 def triangle_count(
     sf_dir: str,
     sample_cut: int = 32,
@@ -332,63 +399,9 @@ def triangle_count(
     Reference anchor: no chug counterpart (chug has no graph ops).
     """
     import ray
-    import ray.data
     from ray.data.aggregate import Sum
 
-    lines = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
-    ).map_batches(
-        lambda b: pa.table(
-            {
-                "o": b["l_orderkey"],
-                "s": b["l_suppkey"],
-                "bucket": pa.array(
-                    b["l_orderkey"].to_numpy(zero_copy_only=False)
-                    % num_buckets
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-
-    def order_pairs(group: pd.DataFrame) -> pa.Table:
-        g = group.drop_duplicates(["o", "s"])
-        m = g.merge(g, on="o")
-        m = m[m["s_x"] < m["s_y"]].drop_duplicates(["s_x", "s_y"])
-        u = m["s_x"].to_numpy(np.int64)
-        v = m["s_y"].to_numpy(np.int64)
-        keep = _edge_keep_mask(u, v, sample_cut)
-        u, v = u[keep], v[keep]
-        assert len(u) == 0 or int(v.max()) < 1 << 31, (
-            "triangle_count: suppkey exceeds the 32-bit pack width"
-        )
-        key = u * (1 << 32) + v
-        return pa.table(
-            {
-                "u": pa.array(u),
-                "v": pa.array(v),
-                "kbucket": pa.array((key % num_buckets).astype(np.int64)),
-            }
-        )
-
-    def edge_distinct(group: pd.DataFrame) -> pa.Table:
-        g = group.drop_duplicates(["u", "v"])
-        return pa.table(
-            {
-                "u": pa.array(g["u"].to_numpy(np.int64)),
-                "v": pa.array(g["v"].to_numpy(np.int64)),
-            }
-        )
-
-    edges = (
-        lines.materialize()  # partials: sort shuffle re-executes lazy inputs
-        .groupby("bucket")
-        .map_groups(order_pairs, batch_format="pandas")
-        .materialize()
-        .groupby("kbucket")
-        .map_groups(edge_distinct, batch_format="pandas")
-        .materialize()
-    )
+    edges = cosupplier_edges(sf_dir, sample_cut, num_buckets)
 
     def degree_partial(batch: pa.Table) -> pa.Table:
         both = np.concatenate(
@@ -526,4 +539,94 @@ def triangle_count(
             "n_edges": pd.Series([n_edges], dtype=np.int64),
             "n_triangles": pd.Series([int(n_tri)], dtype=np.int64),
         }
+    )
+
+
+def kcore(
+    sf_dir: str,
+    k: int = 8,
+    sample_cut: int = 32,
+    num_buckets: int = 64,
+    max_nodes: int = 50_000_000,
+    max_iters: int = 200,
+):
+    """k-core decomposition of the (DOULION-sampled) co-supplier graph:
+    the maximal subgraph where every node keeps degree ≥ k. Returns one
+    row per surviving supplier with its within-core degree. The k-core
+    is unique (peel order never matters), so the result is
+    deterministic under any partitioning; pinned against a sequential
+    peeling reference in tests/test_graph_triangles.py.
+
+    Scale shape: the iterative-peel member of the graph family (the
+    pagerank pattern): per round, degrees come from one streaming edge
+    pass into a node-bounded groupby; the sub-k removal set — bounded
+    by the NODE dimension (``max_nodes`` loud guard) — rides a ray.put
+    broadcast into one edge filter pass. Edges shrink monotonically;
+    ``max_iters`` raises loudly rather than spinning."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    edges = cosupplier_edges(sf_dir, sample_cut, num_buckets)
+
+    def degree_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                batch["u"].to_numpy(zero_copy_only=False),
+                batch["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        node, cnt = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(node.astype(np.int64)),
+                "d": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def degrees(ds):
+        rows = (
+            ds.map_batches(degree_partial, batch_format="pyarrow")
+            .materialize()
+            .groupby("node")
+            .aggregate(Sum("d", alias_name="d"))
+            .take_all()  # bounded by the supplier dimension
+        )
+        assert len(rows) <= max_nodes, (
+            f"kcore: {len(rows)} nodes exceed max_nodes={max_nodes}"
+        )
+        return rows
+
+    empty = pd.DataFrame(
+        {
+            "suppkey": pd.Series([], dtype=np.int64),
+            "core_degree": pd.Series([], dtype=np.int64),
+        }
+    )
+    for _ in range(max_iters):
+        deg_rows = degrees(edges)
+        if not deg_rows:
+            return empty
+        drop = np.array(
+            sorted(r["node"] for r in deg_rows if r["d"] < k), np.int64
+        )
+        if len(drop) == 0:
+            out = pd.DataFrame(
+                {
+                    "suppkey": [r["node"] for r in deg_rows],
+                    "core_degree": [r["d"] for r in deg_rows],
+                }
+            ).astype(np.int64)
+            return out.sort_values("suppkey", ignore_index=True)
+        drop_ref = ray.put(drop)
+
+        def peel(batch: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            keep = ~(np.isin(u, d) | np.isin(v, d))
+            return batch.filter(pa.array(keep))
+
+        edges = edges.map_batches(peel, batch_format="pyarrow").materialize()
+    raise RuntimeError(
+        f"kcore: did not converge within max_iters={max_iters} rounds"
     )

@@ -763,3 +763,54 @@ def pca_project(sf_dir: str, k: int = 2):
     return _read_embeddings(sf_dir).map_batches(
         project, batch_format="pandas", batch_size=4096
     )
+
+
+def mahalanobis_outliers(sf_dir: str, ridge: float = 1e-6):
+    """Mahalanobis distance² of every embedding from the corpus
+    distribution — the covariance-aware outlier score (the
+    multivariate sibling of mad_outliers). The exact-int covariance
+    comes from :func:`embedding_covariance`; the d×d ridge-regularized
+    inverse runs once on the driver and rides a ray.put broadcast into
+    a map-only scoring pass. Rows-only op (matrix inverse is LAPACK);
+    pinned bit-exact against a sequential reference in tests/test_pca.py
+    — per-row quadratic forms are batching-invariant."""
+    import pandas as pd
+    import ray
+
+    rows = embedding_covariance(sf_dir).take_all()  # bounded: d(d+1)/2
+    if not rows:
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype=np.int64),
+                "m2": pd.Series([], dtype=np.float64),
+            }
+        )
+    d = max(r["j"] for r in rows) + 1
+    n = rows[0]["n"]
+    cov = np.zeros((d, d), np.float64)
+    mean_e6 = np.zeros(d, np.float64)
+    for r in rows:
+        c = float(r["n"] * r["gram"] - r["si"] * r["sj"]) / (
+            float(n) * float(n)
+        )
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = c
+        if r["i"] == r["j"]:
+            mean_e6[r["i"]] = r["si"] / n
+    cov = cov / 1e12  # moments are e6-scaled: back to raw data units
+    sinv = np.linalg.inv(cov + ridge * np.eye(d))
+    state = ray.put((mean_e6 / 1e6, sinv))
+
+    def score(batch) -> pa.Table:
+        mean, si = ray.get(state)
+        x = _emb_e6(np.stack(batch["embedding"].to_numpy())) / 1e6 - mean
+        m2 = np.einsum("ij,jk,ik->i", x, si, x)
+        return pa.table(
+            {
+                "vec_id": pa.array(batch["vec_id"].to_numpy(np.int64)),
+                "m2": pa.array(m2),
+            }
+        )
+
+    return _read_embeddings(sf_dir).map_batches(
+        score, batch_format="pandas", batch_size=4096
+    )

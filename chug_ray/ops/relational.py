@@ -3566,3 +3566,152 @@ def part_pair_support(
         .groupby("kbucket")
         .map_groups(resolve, batch_format="pandas")
     )
+
+
+def pair_lift(sf_dir: str, min_support: int = 2, num_buckets: int = 64):
+    """Association-rule metrics over the frequent part pairs: support,
+    confidence(p1→p2) and lift as e6 fixed point — the scoring half of
+    A-priori on top of the part_pair_support shape.
+
+    Scale shape: ONE orderkey-bucket shuffle emits BOTH the per-pair
+    count partials and (from the same in-group distinct) the per-part /
+    order-count partials, so lineitem is scanned and deduped once; the
+    pair partials resolve under the packed-key hash bucket, the
+    part-support vector — bounded by the PART dimension — rides a
+    ray.put broadcast (sorted-int-map pattern) into a map-only scoring
+    pass. Float parity: lift = (N·sup)/(s₁·s₂) and conf = sup/s₁
+    evaluate the same double tree both sides."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o": b["l_orderkey"],
+                "p": b["l_partkey"],
+                "bucket": pa.array(
+                    b["l_orderkey"].to_numpy(zero_copy_only=False)
+                    % num_buckets
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def fused_partial(group: pd.DataFrame) -> pa.Table:
+        g = group.drop_duplicates(["o", "p"])
+        m = g.merge(g, on="o")
+        m = m[m["p_x"] < m["p_y"]]
+        if len(m):
+            p1 = m["p_x"].to_numpy(np.int64)
+            p2 = m["p_y"].to_numpy(np.int64)
+            assert int(p2.max()) < 1 << 31, (
+                "pair_lift: partkey exceeds the 32-bit pack width"
+            )
+            pkey, pc = np.unique(p1 * (1 << 32) + p2, return_counts=True)
+        else:
+            pkey = pc = np.array([], np.int64)
+        per_part = g.groupby("p", as_index=False).size()
+        key = np.concatenate(
+            [
+                pkey,
+                per_part["p"].to_numpy(np.int64),
+                np.array([-1], np.int64),
+            ]
+        )
+        c = np.concatenate(
+            [
+                pc.astype(np.int64),
+                per_part["size"].to_numpy(np.int64),
+                np.array([g["o"].nunique()], np.int64),
+            ]
+        )
+        kind = np.concatenate(
+            [
+                np.zeros(len(pkey), np.int8),
+                np.ones(len(per_part) + 1, np.int8),
+            ]
+        )
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "c": pa.array(c),
+                "kind": pa.array(kind),
+                "kbucket": pa.array((key % num_buckets).astype(np.int64)),
+            }
+        )
+
+    partials = (
+        lines.materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby("bucket")
+        .map_groups(fused_partial, batch_format="pandas")
+        .materialize()
+    )
+
+    def resolve_pairs(group: pd.DataFrame) -> pa.Table:
+        g = group[group["kind"] == 0]
+        agg = g.groupby("key", as_index=False)["c"].sum()
+        agg = agg[agg["c"] >= min_support]
+        key = agg["key"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "p1": pa.array(key >> 32),
+                "p2": pa.array(key & ((1 << 32) - 1)),
+                "support": pa.array(agg["c"].to_numpy(np.int64)),
+            }
+        )
+
+    pairs = (
+        partials.groupby("kbucket")
+        .map_groups(resolve_pairs, batch_format="pandas")
+        .materialize()
+    )
+    rows = (
+        partials.map_batches(
+            lambda b: b.filter(
+                pa.array(b["kind"].to_numpy(zero_copy_only=False) == 1)
+            ).select(["key", "c"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+        .groupby("key")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # bounded by the part dimension (+1 order-count row)
+    )
+    n_orders = next(r["c"] for r in rows if r["key"] == -1)
+    part_rows = sorted((r["key"], r["c"]) for r in rows if r["key"] >= 0)
+    parts_arr = np.array([p for p, _ in part_rows], np.int64)
+    sup_arr = np.array([c for _, c in part_rows], np.int64)
+    state = ray.put((parts_arr, sup_arr, int(n_orders)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        parts, sup, n = ray.get(state)
+        p1 = batch["p1"].to_numpy(zero_copy_only=False)
+        p2 = batch["p2"].to_numpy(zero_copy_only=False)
+        s = batch["support"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        s1 = sup[np.searchsorted(parts, p1)].astype(np.float64)
+        s2 = sup[np.searchsorted(parts, p2)].astype(np.float64)
+        lift = float(n) * s / (s1 * s2)
+        conf = s / s1
+
+        def e6(x: np.ndarray) -> np.ndarray:
+            return (np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5)).astype(
+                np.int64
+            )
+
+        return pa.table(
+            {
+                "p1": batch["p1"],
+                "p2": batch["p2"],
+                "support": batch["support"],
+                "conf_e6": pa.array(e6(conf)),
+                "lift_e6": pa.array(e6(lift)),
+            }
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow")

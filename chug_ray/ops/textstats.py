@@ -2291,3 +2291,46 @@ def winsorized_stats(sf_dir: str, lo_pct: int = 5, hi_pct: int = 95):
     return counts.groupby("lang").map_groups(
         winsorize, batch_format="pandas"
     )
+
+
+def ols_by_lang(sf_dir: str):
+    """Per-lang ordinary-least-squares fit of n_tokens ~ n_chars as e6
+    fixed point — the regression consumer of :func:`grouped_moments`
+    (Pearson's sibling; same one-combiner-pass scale shape).
+
+    Float parity: slope = (n·sxy − sx·sy)/(n·sxx − sx²) and intercept =
+    (sy − slope·sx)/n are evaluated over exact int64 moments with the
+    SAME double expression tree on both sides; zero-x-variance groups
+    are excluded (den > 0)."""
+    import numpy as np
+
+    moments = grouped_moments(sf_dir)
+
+    def score(batch: pa.Table) -> pa.Table:
+        f = {
+            c: batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in ("n", "sx", "sy", "sxx", "sxy")
+        }
+        num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+        den = f["n"] * f["sxx"] - f["sx"] * f["sx"]
+        keep = den > 0
+        slope = num[keep] / den[keep]
+        intercept = (f["sy"][keep] - slope * f["sx"][keep]) / f["n"][keep]
+
+        def e6(x: np.ndarray) -> np.ndarray:
+            return (np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5)).astype(
+                np.int64
+            )
+
+        return pa.table(
+            {
+                "lang": pc.cast(
+                    batch.filter(pa.array(keep))["lang"], pa.string()
+                ),
+                "n": pa.array(f["n"][keep].astype(np.int64)),
+                "slope_e6": pa.array(e6(slope)),
+                "intercept_e6": pa.array(e6(intercept)),
+            }
+        )
+
+    return moments.map_batches(score, batch_format="pyarrow")

@@ -1712,3 +1712,92 @@ def first_last_touch(sf_dir: str):
         .groupby("user_id")
         .map_groups(resolve, batch_format="pandas")
     )
+
+
+def retention_cohorts(sf_dir: str, num_buckets: int = 64):
+    """Classic retention-cohort matrix at DAY granularity (the corpus
+    spans ~one month): users are cohorted by the calendar day of their
+    FIRST event; each cell counts the cohort's distinct users active
+    ``day_offset`` days later.
+
+    Scale shape: ONE user-bucket shuffle (a user's whole history lands
+    in one group — group sizes bounded by per-user event counts,
+    telemetry via record_group); in-group work is vectorized distinct
+    (user, day) + per-user min; the final groupby runs over
+    (cohort, offset) partials bounded by the day-domain square."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from chug_ray.telemetry import record_group
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((u % num_buckets).astype(np.int64))
+        )
+
+    def cohort_partial(group: pd.DataFrame) -> pa.Table:
+        record_group(
+            "retention_cohorts(user bucket)",
+            int(group["bucket"].iloc[0]),
+            len(group),
+        )
+        day = (
+            group["ts"]
+            .to_numpy("datetime64[us]")
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        um = pd.DataFrame(
+            {"u": group["user_id"].to_numpy(np.int64), "d": day}
+        ).drop_duplicates()
+        first = um.groupby("u", as_index=False)["d"].min().rename(
+            columns={"d": "f"}
+        )
+        m = um.merge(first, on="u")
+        cell = (
+            pd.DataFrame(
+                {
+                    "cohort_day": m["f"].to_numpy(np.int64),
+                    "day_offset": (m["d"] - m["f"]).to_numpy(np.int64),
+                }
+            )
+            .groupby(["cohort_day", "day_offset"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "cohort_day": pa.array(cell["cohort_day"].to_numpy(np.int64)),
+                "day_offset": pa.array(
+                    cell["day_offset"].to_numpy(np.int64)
+                ),
+                "n_users": pa.array(cell["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch["cohort_day"].to_numpy(zero_copy_only=False)
+        iso = (
+            d.astype("datetime64[D]").astype("datetime64[us]").astype(object)
+        )
+        return pa.table(
+            {
+                "cohort_date": pa.array(
+                    [x.strftime("%Y-%m-%d") for x in iso], pa.string()
+                ),
+                "day_offset": batch["day_offset"],
+                "n_users": batch["n_users"],
+            }
+        )
+
+    return (
+        _events(sf_dir, ["user_id", "ts"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby("bucket")
+        .map_groups(cohort_partial, batch_format="pandas")
+        .materialize()
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -1,0 +1,95 @@
+"""Planted-structure semantics for kcore, pair_lift and
+retention_cohorts (oracle parity covers the TPC-H-scale shapes)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tests.test_graph_triangles import _write_lineitem
+
+
+def test_kcore_triangle_with_tail(ray_session, tmp_path):
+    """Triangle {1,2,3} plus a pendant 3-4 edge: the 2-core is exactly
+    the triangle (node 4 peels, which drops no one else)."""
+    from chug_ray.ops.graph import kcore
+
+    _write_lineitem(
+        tmp_path,
+        orderkeys=[1, 1, 1, 2, 2],
+        suppkeys=[1, 2, 3, 3, 4],
+    )
+    out = kcore(str(tmp_path), k=2, sample_cut=256)
+    assert out["suppkey"].tolist() == [1, 2, 3]
+    assert out["core_degree"].tolist() == [2, 2, 2]
+
+
+def test_kcore_cascading_peel(ray_session, tmp_path):
+    """A path 1-2-3-4-5 has no 2-core: each endpoint removal exposes
+    the next (multiple peel rounds), ending empty."""
+    from chug_ray.ops.graph import kcore
+
+    _write_lineitem(
+        tmp_path,
+        orderkeys=[1, 1, 2, 2, 3, 3, 4, 4],
+        suppkeys=[1, 2, 2, 3, 3, 4, 4, 5],
+    )
+    out = kcore(str(tmp_path), k=2, sample_cut=256)
+    assert len(out) == 0
+
+
+def test_pair_lift_known_values(ray_session, tmp_path):
+    """Orders {1,2}, {1,2}, {1,3}: pair (1,2) support 2, conf = 2/3,
+    lift = 3·2/(3·2) = 1.0 exactly."""
+    from chug_ray.ops.relational import pair_lift
+
+    _write_lineitem(
+        tmp_path,
+        orderkeys=[1, 1, 2, 2, 3, 3],
+        suppkeys=[1] * 6,
+        partkeys=[1, 2, 1, 2, 1, 3],
+    )
+    out = pair_lift(str(tmp_path), min_support=2).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["p1"], row["p2"], row["support"]) == (1, 2, 2)
+    assert row["conf_e6"] == 666667  # floor(2/3 · 1e6 + .5)
+    assert row["lift_e6"] == 1_000_000
+
+
+def test_retention_cohorts_planted(ray_session, tmp_path):
+    """User 1 active day 0 and day 2; user 2 active day 0 only — cells
+    (day0, 0) = 2 users and (day0, 2) = 1 user."""
+    from chug_ray.ops.window import retention_cohorts
+
+    ts = np.array(
+        [
+            "2024-03-01T10:00:00",
+            "2024-03-03T09:00:00",
+            "2024-03-01T11:00:00",
+        ],
+        dtype="datetime64[us]",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array(ts),
+                "user_id": pa.array([1, 1, 2], pa.int64()),
+                "event_type": pa.array(["view"] * 3),
+                "value": pa.array([0.0] * 3),
+                "props": pa.array(["{}"] * 3),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+        row_group_size=1,
+    )
+    out = (
+        retention_cohorts(str(tmp_path))
+        .to_pandas()
+        .sort_values("day_offset", ignore_index=True)
+    )
+    assert out["cohort_date"].tolist() == ["2024-03-01"] * 2
+    assert out["day_offset"].tolist() == [0, 2]
+    assert out["n_users"].tolist() == [2, 1]

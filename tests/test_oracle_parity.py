@@ -74,6 +74,8 @@ ROWS_ONLY = [
     "audio_window_features",
     "span_kind_stats",
     "pca_project",
+    "kcore",
+    "mahalanobis_outliers",
 ]
 
 

@@ -60,3 +60,36 @@ def test_pca_components_capture_variance_order(ray_session):
 
     out = pca_project(SF_DIR).to_pandas()
     assert out["pc1"].var() >= out["pc2"].var()
+
+
+def test_mahalanobis_matches_sequential_and_trace_identity(ray_session):
+    """Distributed scores equal the sequential recipe bit-exactly, and
+    the sample mean of m² equals d (trace(S⁻¹S) identity, up to the
+    tiny ridge)."""
+    from chug_ray.ops.knn import _emb_e6, mahalanobis_outliers
+
+    out = (
+        mahalanobis_outliers(SF_DIR)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    x = _emb_e6(np.stack(t["embedding"].to_numpy()))
+    n, d = x.shape
+    s = x.sum(axis=0)
+    g = x.T @ x
+    cov = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            c = float(int(n) * int(g[i, j]) - int(s[i]) * int(s[j])) / (
+                float(n) * float(n)
+            )
+            cov[i, j] = cov[j, i] = c
+    sinv = np.linalg.inv(cov / 1e12 + 1e-6 * np.eye(d))
+    xc = x / 1e6 - (s / n) / 1e6
+    m2 = np.einsum("ij,jk,ik->i", xc, sinv, xc)
+    ref = pd.DataFrame(
+        {"vec_id": t["vec_id"].astype(np.int64), "m2": m2}
+    ).sort_values("vec_id", ignore_index=True)
+    pd.testing.assert_frame_equal(out, ref, check_exact=True)
+    assert abs(out["m2"].mean() - d) < 0.1
