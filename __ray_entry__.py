@@ -382,6 +382,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequential reference in tests/test_assoc_cohort_graph.py)
         "mahalanobis_outliers": knn.mahalanobis_outliers,  # rows-only
         # (LAPACK inverse; bit-exact vs sequential in tests/test_pca.py)
+        "cube_revenue": relational.cube_revenue,
+        "table_checksum": textstats.table_checksum,
+        "hits": graph.hits,  # rows-only (iterative; bit-exact vs a
+        # sequential reference in tests/test_assoc_cohort_graph.py)
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
@@ -2166,6 +2170,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(abs(lift) * 1000000.0 + 0.5) AS BIGINT)
                        AS lift_e6
             FROM f
+        """,
+        "cube_revenue": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "table_checksum": """
+            SELECT CAST(sum(('0x' || substr(md5(doc_id || '|' || lang
+                           || '|' || CAST(n_chars AS VARCHAR)), 1, 8)
+                           )::BIGINT) % 4294967296 AS BIGINT) AS checksum,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM documents
         """,
         "retention_cohorts": """
             WITH um AS (

@@ -3715,3 +3715,76 @@ def pair_lift(sf_dir: str, min_support: int = 2, num_buckets: int = 64):
         )
 
     return pairs.map_batches(score, batch_format="pyarrow")
+
+
+def cube_revenue(sf_dir: str):
+    """Revenue + line counts by CUBE(l_returnflag, l_linestatus) — all
+    four grouping sets, with 'ALL' as the rolled-up marker (no literal
+    'ALL' exists in either column). Completes the grouping-set family
+    next to rollup_revenue.
+
+    Scale shape: one combiner pass emits the four grouping-set partials
+    per batch (4× the per-batch group rows, still bounded by the tiny
+    flag×status domain), one domain-bounded groupby. Integer cents."""
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(disc, pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "flag": batch["l_returnflag"].to_pylist(),
+                "status": batch["l_linestatus"].to_pylist(),
+                "cents": cents,
+            }
+        )
+        outs = []
+        for fcol, scol in (
+            (df["flag"], df["status"]),
+            (df["flag"], "ALL"),
+            ("ALL", df["status"]),
+            ("ALL", "ALL"),
+        ):
+            g = (
+                pd.DataFrame(
+                    {"flag": fcol, "status": scol, "cents": df["cents"]}
+                )
+                .groupby(["flag", "status"], as_index=False)
+                .agg(revenue_cents=("cents", "sum"), n_lines=("cents", "size"))
+            )
+            outs.append(g)
+        out = pd.concat(outs, ignore_index=True)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out["flag"].tolist(), pa.string()),
+                "l_linestatus": pa.array(out["status"].tolist(), pa.string()),
+                "revenue_cents": pa.array(
+                    out["revenue_cents"].to_numpy(np.int64)
+                ),
+                "n_lines": pa.array(out["n_lines"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_lines", alias_name="n_lines"),
+        )
+    )

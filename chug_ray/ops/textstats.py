@@ -2334,3 +2334,53 @@ def ols_by_lang(sf_dir: str):
         )
 
     return moments.map_batches(score, batch_format="pyarrow")
+
+
+def table_checksum(sf_dir: str):
+    """Order-invariant content checksum of the documents table: the
+    per-row 32-bit md5 prefix of ``doc_id|lang|n_chars`` summed mod
+    2³² — the cheap equality probe for incremental/sync validation
+    (two snapshots match iff their checksums and row counts match,
+    with hash-collision probability, not proof).
+
+    Scale shape: map-only combiner (one partial per batch, each
+    already reduced mod 2³² so partial sums never overflow int64 even
+    at 10¹² rows), one tiny final fold."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    MOD = 1 << 32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        nchars = batch["n_chars"].to_numpy(zero_copy_only=False)
+        total = 0
+        for i in range(len(ids)):
+            h = hashlib.md5(
+                f"{ids[i]}|{langs[i]}|{nchars[i]}".encode()
+            ).hexdigest()[:8]
+            total += int(h, 16)
+        return pa.table(
+            {
+                "checksum": pa.array([total % MOD], pa.int64()),
+                "n_rows": pa.array([len(ids)], pa.int64()),
+            }
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    agg = (
+        _docs(sf_dir, ("doc_id", "lang", "n_chars"))
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .materialize()
+        .aggregate(Sum("checksum", alias_name="s"), Sum("n_rows", alias_name="n"))
+    )
+    return pd.DataFrame(
+        {
+            "checksum": pd.Series([int(agg["s"]) % MOD], dtype=np.int64),
+            "n_rows": pd.Series([int(agg["n"])], dtype=np.int64),
+        }
+    )

@@ -93,3 +93,49 @@ def test_retention_cohorts_planted(ray_session, tmp_path):
     assert out["cohort_date"].tolist() == ["2024-03-01"] * 2
     assert out["day_offset"].tolist() == [0, 2]
     assert out["n_users"].tolist() == [2, 1]
+
+
+def test_hits_matches_sequential_bit_exact(ray_session):
+    """Distributed max-normalized integer HITS equals a sequential
+    reference over the identical edge set, score for score."""
+    import duckdb
+    import pandas as pd
+
+    from chug_ray.ops.graph import SCALE, SUPPLIER_OFFSET, hits
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+    e = con.execute(
+        f"""SELECT o_custkey src, l_suppkey + {SUPPLIER_OFFSET} dst,
+                   CAST(count(*) AS BIGINT) w
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1, 2"""
+    ).fetchdf()
+    hubs = sorted(e["src"].unique())
+    auths = sorted(e["dst"].unique())
+    h = {int(x): SCALE for x in hubs}
+    a = {int(x): SCALE for x in auths}
+    for _ in range(6):
+        # Jacobi: both raws from the PREVIOUS iterate, one edge pass
+        raw_a = {int(x): 0 for x in auths}
+        raw_h = {int(x): 0 for x in hubs}
+        for s, d, w in e.itertuples(index=False):
+            raw_a[int(d)] += h[int(s)] * int(w)
+            raw_h[int(s)] += a[int(d)] * int(w)
+        mx = max(raw_a.values())
+        a = {k: (v * SCALE) // mx for k, v in raw_a.items()}
+        mx = max(raw_h.values())
+        h = {k: (v * SCALE) // mx for k, v in raw_h.items()}
+    ref = pd.DataFrame(
+        [("customer", int(k), h[int(k)]) for k in hubs]
+        + [("supplier", int(k) - SUPPLIER_OFFSET, a[int(k)]) for k in auths],
+        columns=["kind", "key", "score_fp"],
+    ).sort_values(["kind", "key"], ignore_index=True)
+    got = hits(sf).sort_values(["kind", "key"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False, check_exact=True)
+    # max normalization: the best hub and best authority sit at SCALE
+    assert (got.groupby("kind")["score_fp"].max() == SCALE).all()

@@ -76,6 +76,7 @@ ROWS_ONLY = [
     "pca_project",
     "kcore",
     "mahalanobis_outliers",
+    "hits",
 ]
 
 
