@@ -386,6 +386,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_checksum": textstats.table_checksum,
         "hits": graph.hits,  # rows-only (iterative; bit-exact vs a
         # sequential reference in tests/test_assoc_cohort_graph.py)
+        "char_entropy": textstats.char_entropy,
+        "greedy_coverage": textstats.greedy_coverage,  # rows-only
+        # (iterative greedy; equal to sequential in tests/test_greedy_coverage.py)
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
@@ -2186,6 +2189,24 @@ def oracle_sql() -> dict[str, str]:
                            )::BIGINT) % 4294967296 AS BIGINT) AS checksum,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM documents
+        """,
+        "char_entropy": """
+            WITH c AS (
+                SELECT doc_id, length(text) n, unnest(split(text, '')) ch
+                FROM documents WHERE length(text) > 0
+            ),
+            cc AS (
+                SELECT doc_id, any_value(n) n, ch, count(*) c
+                FROM c GROUP BY doc_id, ch
+            )
+            SELECT doc_id,
+                   CAST(any_value(n) AS BIGINT) AS n_chars_text,
+                   CAST(count(*) AS BIGINT) AS distinct_chars,
+                   CAST(sum(CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                             * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+                             * 1000000000.0) AS BIGINT)) AS BIGINT)
+                       AS entropy_e9
+            FROM cc GROUP BY doc_id
         """,
         "retention_cohorts": """
             WITH um AS (

@@ -2384,3 +2384,156 @@ def table_checksum(sf_dir: str):
             "n_rows": pd.Series([int(agg["n"])], dtype=np.int64),
         }
     )
+
+
+def char_entropy(sf_dir: str):
+    """Per-document character-level Shannon entropy — the
+    compression-ratio quality proxy (low entropy ⇔ repetitive /
+    boilerplate text), next to repetition_stats and quality_score.
+
+    Float parity without an ordered float sum: each character's term
+    (c/n)·ln(n/c) is floored to e9 fixed point FIRST, and the per-doc
+    result is the INTEGER sum of those terms — order-invariant, so the
+    unordered SQL aggregate and the numpy sum agree exactly. Empty
+    texts are excluded on both sides. Map-only (no shuffle); the
+    per-doc char count is the inherent per-row kernel (parser-style),
+    vectorized per document via np.unique."""
+    import numpy as np
+    import pandas as pd
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        keep_idx, out_n, out_d, out_e = [], [], [], []
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            chars, cnt = np.unique(list(t), return_counts=True)
+            n = float(len(t))
+            c = cnt.astype(np.float64)
+            terms = np.floor((c / n) * np.log(n / c) * 1e9)
+            keep_idx.append(i)
+            out_n.append(len(t))
+            out_d.append(len(chars))
+            out_e.append(int(terms.astype(np.int64).sum()))
+        return pa.table(
+            {
+                # native doc_id type carried through (int64 in the
+                # synthetic tables, string in ingested corpora)
+                "doc_id": batch["doc_id"].take(pa.array(keep_idx, pa.int64())),
+                "n_chars_text": pa.array(out_n, pa.int64()),
+                "distinct_chars": pa.array(out_d, pa.int64()),
+                "entropy_e9": pa.array(out_e, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        score, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def greedy_coverage(sf_dir: str, k: int = 10, max_vocab: int = 50_000_000):
+    """Greedy maximum-coverage data selection: pick ``k`` documents,
+    each round choosing the doc adding the most NOT-yet-covered
+    distinct tokens (ties: smallest doc_id) — the classic submodular
+    facility-location/set-cover selector for pretraining-subset
+    curation (next to dsir_select and temperature_mixture). Greedy is
+    deterministic, so the result is partitioning-independent; pinned
+    against a sequential reference in tests/test_greedy_coverage.py.
+
+    Scale shape: documents are tokenized ONCE into a materialized
+    (doc_id, token-hash list) table; each of the ≤k rounds is one
+    streaming pass over it — per-batch local argmax partials (each
+    carrying only its winner's hash list) with the covered set
+    broadcast via ray.put, bounded by the distinct-token vocabulary
+    (Heaps-bounded; ``max_vocab`` loud guard). Early-stops when no doc
+    adds coverage."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    token_re = re.compile(TOKEN_RE)
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        hashes = []
+        for t in texts:
+            toks = set(token_re.findall(t.lower()))
+            hashes.append(
+                sorted(
+                    int.from_bytes(
+                        hashlib.md5(w.encode()).digest()[:8], "big"
+                    )
+                    >> 1  # keep int64-positive
+                    for w in toks
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "hashes": pa.array(hashes, pa.list_(pa.int64())),
+            }
+        )
+
+    toks = (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(tokenize, batch_format="pyarrow", batch_size=4096)
+        .materialize()
+    )
+
+    covered = np.array([], np.int64)
+    picks = []
+    for rank in range(1, k + 1):
+        cov_ref = ray.put(covered)
+
+        def best_partial(batch: pa.Table, _ref=cov_ref) -> pa.Table:
+            cov = ray.get(_ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            lists = batch["hashes"].to_pylist()
+            best = (-1, None, None)  # (new_count, doc_id, hashes)
+            for i, hs in enumerate(lists):
+                h = np.asarray(hs, np.int64)
+                new = int(len(h) - np.isin(h, cov, assume_unique=True).sum())
+                if new > best[0] or (
+                    new == best[0] and best[1] is not None and ids[i] < best[1]
+                ):
+                    best = (new, int(ids[i]), hs)
+            if best[1] is None:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "new": pa.array([], pa.int64()),
+                        "hashes": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array([best[1]], pa.int64()),
+                    "new": pa.array([best[0]], pa.int64()),
+                    "hashes": pa.array([best[2]], pa.list_(pa.int64())),
+                }
+            )
+
+        rows = toks.map_batches(
+            best_partial, batch_format="pyarrow"
+        ).take_all()  # ≤ one row per batch
+        if not rows:
+            break
+        rows.sort(key=lambda r: (-r["new"], r["doc_id"]))
+        top = rows[0]
+        if top["new"] <= 0:
+            break
+        covered = np.union1d(
+            covered, np.asarray(top["hashes"], np.int64)
+        )
+        assert len(covered) <= max_vocab, (
+            f"greedy_coverage: covered vocabulary {len(covered)} exceeds "
+            f"max_vocab={max_vocab}"
+        )
+        picks.append((rank, top["doc_id"], top["new"], len(covered)))
+
+    return pd.DataFrame(
+        picks, columns=["rank", "doc_id", "new_tokens", "covered_total"]
+    ).astype(np.int64)

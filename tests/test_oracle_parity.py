@@ -77,6 +77,7 @@ ROWS_ONLY = [
     "kcore",
     "mahalanobis_outliers",
     "hits",
+    "greedy_coverage",
 ]
 
 
