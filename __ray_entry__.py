@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": textstats.char_entropy,
         "greedy_coverage": textstats.greedy_coverage,  # rows-only
         # (iterative greedy; equal to sequential in tests/test_greedy_coverage.py)
+        "orders_per_nation": relational.orders_per_nation,
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
@@ -2189,6 +2190,14 @@ def oracle_sql() -> dict[str, str]:
                            )::BIGINT) % 4294967296 AS BIGINT) AS checksum,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM documents
+        """,
+        "orders_per_nation": """
+            SELECT c_nationkey,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS total_price_cents,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
         """,
         "char_entropy": """
             WITH c AS (

@@ -3788,3 +3788,219 @@ def cube_revenue(sf_dir: str):
             Sum("n_lines", alias_name="n_lines"),
         )
     )
+
+
+BROADCAST_JOIN_THRESHOLD = 5_000_000  # dim rows; ~80 MB of int64 keys
+
+
+def auto_join(
+    sf_dir: str,
+    fact_table: str,
+    dim_table: str,
+    fact_key: str,
+    dim_key: str,
+    fact_cols: list,
+    dim_cols: list,
+    broadcast_threshold_rows: int = BROADCAST_JOIN_THRESHOLD,
+    num_buckets: int = 64,
+):
+    """Adaptive inner equi-join: pick broadcast vs co-partitioned
+    shuffle from the dimension side's parquet FOOTER row count (no data
+    read) — the engine's two hand-written join strategies behind one
+    plan-time switch.
+
+    - dim rows ≤ threshold → ray.put the sorted key + payload arrays
+      (the promo_revenue sorted-int-map pattern); the fact side never
+      shuffles.
+    - dim rows > threshold → side-tagged union under ONE key-bucket
+      shuffle, in-group pandas merge (the order_priority_revenue
+      co-partition pattern).
+
+    Both paths return identical rows (asserted in
+    tests/test_auto_join.py, which forces each). Returns the joined
+    dataset with ``fact_cols + dim_cols``."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+    import ray
+    import ray.data
+
+    dim_path = f"{sf_dir}/{dim_table}.parquet"
+    if os.path.isdir(dim_path):
+        n_dim = sum(
+            pq_mod.ParquetFile(os.path.join(dim_path, f)).metadata.num_rows
+            for f in os.listdir(dim_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        n_dim = pq_mod.ParquetFile(dim_path).metadata.num_rows
+
+    fact = ray.data.read_parquet(
+        f"{sf_dir}/{fact_table}.parquet",
+        columns=list(dict.fromkeys([fact_key, *fact_cols])),
+    )
+
+    if n_dim <= broadcast_threshold_rows:
+        dim_tbl = pq_mod.read_table(
+            dim_path, columns=list(dict.fromkeys([dim_key, *dim_cols]))
+        )
+        keys = dim_tbl[dim_key].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(keys, kind="stable")
+        payload = {
+            c: dim_tbl[c].to_numpy(zero_copy_only=False)[order]
+            for c in dim_cols
+        }
+        state = ray.put((keys[order], payload))
+
+        def probe(batch: pa.Table) -> pa.Table:
+            skeys, pay = ray.get(state)
+            fk = batch[fact_key].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(skeys, fk)
+            pos_c = np.clip(pos, 0, len(skeys) - 1)
+            hit = (len(skeys) > 0) & (skeys[pos_c] == fk)
+            batch = batch.filter(pa.array(hit))
+            cols = {c: batch[c] for c in [fact_key, *fact_cols]}
+            for c in dim_cols:
+                cols[c] = pa.array(pay[c][pos_c[hit]])
+            return pa.table(cols)
+
+        return fact.map_batches(probe, batch_format="pyarrow")
+
+    dim = ray.data.read_parquet(
+        dim_path, columns=list(dict.fromkeys([dim_key, *dim_cols]))
+    )
+    # one unified schema for the side-tagged union: each side pads the
+    # other side's payload columns with typed nulls
+    fact_schema = pq_mod.read_schema(
+        f"{sf_dir}/{fact_table}.parquet"
+        if not os.path.isdir(f"{sf_dir}/{fact_table}.parquet")
+        else os.path.join(
+            f"{sf_dir}/{fact_table}.parquet",
+            next(
+                f
+                for f in os.listdir(f"{sf_dir}/{fact_table}.parquet")
+                if f.endswith(".parquet")
+            ),
+        )
+    )
+    dim_schema = pq_mod.read_schema(
+        dim_path
+        if not os.path.isdir(dim_path)
+        else os.path.join(
+            dim_path,
+            next(f for f in os.listdir(dim_path) if f.endswith(".parquet")),
+        )
+    )
+    types = {
+        **{c: fact_schema.field(c).type for c in fact_cols},
+        **{c: dim_schema.field(c).type for c in dim_cols},
+    }
+
+    def tag(side: int, key_col: str, own_cols: list, other_cols: list):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = {"jkey": pa.array(k)}
+            for c in own_cols:
+                cols[c] = batch[c]
+            for c in other_cols:
+                cols[c] = pa.nulls(len(batch), types[c])
+            cols["side"] = pa.array(np.full(len(batch), side, np.int8))
+            cols["bucket"] = pa.array(k % num_buckets)
+            return pa.table(cols)
+
+        return fn
+
+    tagged = fact.map_batches(
+        tag(0, fact_key, fact_cols, dim_cols), batch_format="pyarrow"
+    ).union(
+        dim.map_batches(
+            tag(1, dim_key, dim_cols, fact_cols), batch_format="pyarrow"
+        )
+    )
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        f = group[group["side"] == 0]
+        d = group[group["side"] == 1]
+        m = f.merge(
+            d[["jkey", *dim_cols]],
+            on="jkey",
+            how="inner",
+            suffixes=("_drop", ""),
+        )
+        cols = {}
+        for c in [fact_key, *fact_cols]:
+            src = "jkey" if c == fact_key else c
+            cols[c] = pa.array(m[src].to_numpy(), types.get(c))
+        for c in dim_cols:
+            cols[c] = pa.array(m[c].to_numpy(), types[c])
+        return pa.table(cols)
+
+    return (
+        tagged.materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def orders_per_nation(sf_dir: str, broadcast_threshold_rows: int = None):
+    """Orders count + total price per customer nation — the auto_join
+    demo composite: orders⋈customer through the adaptive join (footer
+    row count picks broadcast here; the shuffle path returns the same
+    rows — tests force both), then the usual combiner groupby over the
+    nation-bounded domain."""
+    from ray.data.aggregate import Sum
+
+    kwargs = {}
+    if broadcast_threshold_rows is not None:
+        kwargs["broadcast_threshold_rows"] = broadcast_threshold_rows
+    joined = auto_join(
+        sf_dir,
+        "orders",
+        "customer",
+        "o_custkey",
+        "c_custkey",
+        ["o_totalprice"],
+        ["c_nationkey"],
+        **kwargs,
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["o_totalprice"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "c_nationkey": batch["c_nationkey"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "cents": cents,
+            }
+        )
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            total_price_cents=("cents", "sum"), n_orders=("cents", "size")
+        )
+        return pa.table(
+            {
+                "c_nationkey": pa.array(g["c_nationkey"].to_numpy(np.int64)),
+                "total_price_cents": pa.array(
+                    g["total_price_cents"].to_numpy(np.int64)
+                ),
+                "n_orders": pa.array(g["n_orders"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        joined.map_batches(prep, batch_format="pyarrow")
+        .materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("total_price_cents", alias_name="total_price_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
