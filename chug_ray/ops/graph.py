@@ -358,6 +358,13 @@ def cosupplier_edges(
     )
 
     def order_pairs(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group(
+            "cosupplier_edges(order bucket)",
+            int(group["bucket"].iloc[0]),
+            len(group),
+        )
         g = group.drop_duplicates(["o", "s"])
         m = g.merge(g, on="o")
         m = m[m["s_x"] < m["s_y"]].drop_duplicates(["s_x", "s_y"])
@@ -508,6 +515,13 @@ def triangle_count(
     n_edges = oriented.count()
 
     def wedge_partial(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group(
+            "triangle_count(src bucket)",
+            int(group["abucket"].iloc[0]),
+            len(group),
+        )
         m = group.merge(group[["a", "b", "rb"]], on="a")
         m = m[m["rb_x"] < m["rb_y"]]
         if not len(m):

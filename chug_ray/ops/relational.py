@@ -3521,6 +3521,13 @@ def part_pair_support(
     )
 
     def pair_partial(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group(
+            "part_pair_support(order bucket)",
+            int(group["bucket"].iloc[0]),
+            len(group),
+        )
         g = group.drop_duplicates(["o", "p"])
         m = g.merge(g, on="o")
         m = m[m["p_x"] < m["p_y"]]
@@ -3602,6 +3609,13 @@ def pair_lift(sf_dir: str, min_support: int = 2, num_buckets: int = 64):
     )
 
     def fused_partial(group: pd.DataFrame) -> pa.Table:
+        from chug_ray.telemetry import record_group
+
+        record_group(
+            "pair_lift(order bucket)",
+            int(group["bucket"].iloc[0]),
+            len(group),
+        )
         g = group.drop_duplicates(["o", "p"])
         m = g.merge(g, on="o")
         m = m[m["p_x"] < m["p_y"]]
