@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "greedy_coverage": textstats.greedy_coverage,  # rows-only
         # (iterative greedy; equal to sequential in tests/test_greedy_coverage.py)
         "orders_per_nation": relational.orders_per_nation,
+        "bounce_rate": window.bounce_rate,
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
@@ -2190,6 +2191,41 @@ def oracle_sql() -> dict[str, str]:
                            )::BIGINT) % 4294967296 AS BIGINT) AS checksum,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM documents
+        """,
+        "bounce_rate": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                                 > INTERVAL 30 MINUTE OR
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM e
+            ),
+            sess AS (
+                SELECT user_id, sid, min(ts) start_ts, count(*) n_events
+                FROM s GROUP BY user_id, sid
+            ),
+            d AS (
+                SELECT strftime(date_trunc('day', start_ts), '%Y-%m-%d')
+                           AS day,
+                       CAST(count(*) AS BIGINT) n_sessions,
+                       CAST(count(*) FILTER (n_events = 1) AS BIGINT)
+                           n_bounces
+                FROM sess GROUP BY 1
+            )
+            SELECT day, n_sessions, n_bounces,
+                   CAST(floor(CAST(n_bounces AS DOUBLE)
+                              / CAST(n_sessions AS DOUBLE)
+                              * 1000000.0 + 0.5) AS BIGINT) AS bounce_e6
+            FROM d
         """,
         "orders_per_nation": """
             SELECT c_nationkey,

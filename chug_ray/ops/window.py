@@ -1801,3 +1801,76 @@ def retention_cohorts(sf_dir: str, num_buckets: int = 64):
         .aggregate(Sum("n_users", alias_name="n_users"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def bounce_rate(sf_dir: str, gap_minutes: int = 30):
+    """Daily bounce rate: of the sessions STARTING each day, the share
+    with exactly one event — the product-analytics composite on top of
+    :func:`sessionize` (which already guarantees no whole-user group
+    materializes). bounce_e6 mirrors the oracle's double tree.
+
+    Scale shape: sessionize's two bucket shuffles + one day-domain
+    groupby over per-batch (day, sessions, bounces) partials."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    sessions = sessionize(sf_dir, gap_minutes=gap_minutes)
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        day = (
+            batch["start_ts"]
+            .to_numpy("datetime64[us]")
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {
+                "day": day,
+                "one": np.ones(len(batch), np.int64),
+                "bounce": (batch["n_events"].to_numpy(np.int64) == 1).astype(
+                    np.int64
+                ),
+            }
+        )
+        g = df.groupby("day", as_index=False).sum()
+        return pa.table(
+            {
+                "day": pa.array(g["day"].to_numpy(np.int64)),
+                "n_sessions": pa.array(g["one"].to_numpy(np.int64)),
+                "n_bounces": pa.array(g["bounce"].to_numpy(np.int64)),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch["day"].to_numpy(zero_copy_only=False)
+        iso = d.astype("datetime64[D]").astype("datetime64[us]").astype(object)
+        s = batch["n_sessions"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        b = batch["n_bounces"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        rate = b / s
+        return pa.table(
+            {
+                "day": pa.array(
+                    [x.strftime("%Y-%m-%d") for x in iso], pa.string()
+                ),
+                "n_sessions": batch["n_sessions"],
+                "n_bounces": batch["n_bounces"],
+                "bounce_e6": pa.array(
+                    np.floor(rate * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        sessions.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby("day")
+        .aggregate(
+            Sum("n_sessions", alias_name="n_sessions"),
+            Sum("n_bounces", alias_name="n_bounces"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
