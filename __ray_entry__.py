@@ -391,6 +391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (iterative greedy; equal to sequential in tests/test_greedy_coverage.py)
         "orders_per_nation": relational.orders_per_nation,
         "bounce_rate": window.bounce_rate,
+        "hourly_anomalies": window.hourly_anomalies,
+        "systematic_sample": selection.systematic_sample,
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
@@ -2191,6 +2193,49 @@ def oracle_sql() -> dict[str, str]:
                            )::BIGINT) % 4294967296 AS BIGINT) AS checksum,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM documents
+        """,
+        "hourly_anomalies": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) hr,
+                       CAST(count(*) AS BIGINT) n
+                FROM events GROUP BY 1
+            ),
+            m AS (
+                SELECT CAST(count(*) AS BIGINT) k,
+                       CAST(sum(n) AS BIGINT) s,
+                       CAST(sum(n * n) AS BIGINT) ss
+                FROM h
+            ),
+            z AS (
+                SELECT hr, n,
+                       (CAST(n AS DOUBLE)
+                        - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+                       / sqrt(CAST(k * ss - s * s AS DOUBLE)
+                              / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)))
+                           AS zv
+                FROM h CROSS JOIN m WHERE k * ss - s * s > 0
+            )
+            SELECT strftime(hr, '%Y-%m-%d %H:00:00') AS hour_ts,
+                   n AS n_events,
+                   CAST(CASE WHEN zv < 0
+                             THEN -floor(abs(zv) * 1000000.0 + 0.5)
+                             ELSE floor(abs(zv) * 1000000.0 + 0.5)
+                        END AS BIGINT) AS z_e6,
+                   abs(CAST(CASE WHEN zv < 0
+                                 THEN -floor(abs(zv) * 1000000.0 + 0.5)
+                                 ELSE floor(abs(zv) * 1000000.0 + 0.5)
+                            END AS BIGINT)) > 2000000 AS is_anomaly
+            FROM z
+        """,
+        "systematic_sample": """
+            WITH r AS (
+                SELECT doc_id, CAST(n_chars AS BIGINT) n_chars,
+                       ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1
+                           AS rank
+                FROM documents
+            )
+            SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank % 10 = 0
         """,
         "bounce_rate": """
             WITH e AS (

@@ -433,3 +433,101 @@ def pareto_frontier(sf_dir: str, max_prices: int = 4_000_000):
         )
 
     return src.map_batches(keep, batch_format="pyarrow", batch_size=65536)
+
+
+def systematic_sample(sf_dir: str, k: int = 10, num_buckets: int = 64):
+    """Systematic (every k-th) sample under the total order
+    (n_chars, doc_id) — the equal-spacing sampler that preserves the
+    marginal distribution, next to uniform/weighted/stratified bottom-k.
+
+    Scale shape: global ranks WITHOUT a global sort — one value-count
+    combiner groupby (bounded by the n_chars domain, same cap story as
+    chars_quantiles) builds the exclusive-cumsum offset table, which
+    broadcasts into ONE value-bucket shuffle where each value group
+    sorts only its own doc_ids: global_rank = offset[value] +
+    local_rank. The keep mask (rank % k == 0) prunes inside the
+    groups, so only ~1/k of rows leave the shuffle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from chug_ray.ops.textstats import VALUE_DOMAIN_CAP
+    from chug_ray.telemetry import record_group
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            batch["n_chars"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "v": pa.array(v.astype(np.int64)),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # bounded by the value domain (guarded below)
+    )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_chars": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int64),
+            }
+        )
+    if len(rows) > VALUE_DOMAIN_CAP:
+        raise ValueError(
+            f"systematic_sample: {len(rows)} distinct values exceed the "
+            f"domain cap {VALUE_DOMAIN_CAP}; bucketize first"
+        )
+    rows.sort(key=lambda r: r["v"])
+    values = np.array([r["v"] for r in rows], np.int64)
+    counts = np.array([r["c"] for r in rows], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    state = ray.put((values, offsets))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((v % num_buckets).astype(np.int64))
+        )
+
+    def rank_group(group: pd.DataFrame) -> pa.Table:
+        record_group(
+            "systematic_sample(value bucket)",
+            int(group["bucket"].iloc[0]),
+            len(group),
+        )
+        vals, offs = ray.get(state)
+        g = group.sort_values(["n_chars", "doc_id"], kind="stable")
+        local = g.groupby("n_chars").cumcount().to_numpy(np.int64)
+        v = g["n_chars"].to_numpy(np.int64)
+        rank = offs[np.searchsorted(vals, v)] + local
+        keep = rank % k == 0
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)[keep]),
+                "n_chars": pa.array(v[keep]),
+                "rank": pa.array(rank[keep]),
+            }
+        )
+
+    return (
+        docs.map_batches(add_bucket, batch_format="pyarrow")
+        .materialize()
+        .groupby("bucket")
+        .map_groups(rank_group, batch_format="pandas")
+    )

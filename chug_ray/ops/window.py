@@ -1874,3 +1874,98 @@ def bounce_rate(sf_dir: str, gap_minutes: int = 30):
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def hourly_anomalies(sf_dir: str, z_threshold_e6: int = 2_000_000):
+    """Hours whose event volume deviates anomalously from the mean
+    hourly volume: per-hour z-scores from exact integer moments, with
+    |z| > threshold flagged — the volume-anomaly-detection composite.
+
+    Scale shape: one hour-domain combiner groupby (≤ observed-hours
+    rows); the population moments (k, Σn, Σn²) come from ONE aggregate
+    over that bounded table and broadcast into a map-only scorer.
+    Float parity: mean = S/k, var = (k·Σn² − S²)/k², z = (n − mean)/sd
+    evaluate the same double tree both sides; zero-variance domains
+    return no rows (den > 0)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = (
+            batch["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[h]")
+            .astype(np.int64)
+        )
+        h, c = np.unique(hour, return_counts=True)
+        return pa.table(
+            {"hour": pa.array(h), "n": pa.array(c.astype(np.int64))}
+        )
+
+    hourly = (
+        _events(sf_dir, ["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def mom_partial(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array([len(n)], pa.int64()),
+                "s": pa.array([int(n.sum())], pa.int64()),
+                "ss": pa.array([int((n * n).sum())], pa.int64()),
+            }
+        )
+
+    mom = (
+        hourly.map_batches(mom_partial, batch_format="pyarrow")
+        .materialize()
+        .aggregate(
+            Sum("k", alias_name="k"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+    )
+    k, s, ss = int(mom["k"]), int(mom["s"]), int(mom["ss"])
+    den = k * ss - s * s  # Python ints: no wraparound
+    if k == 0 or den <= 0:
+        return pd.DataFrame(
+            {
+                "hour_ts": pd.Series([], dtype=object),
+                "n_events": pd.Series([], dtype=np.int64),
+                "z_e6": pd.Series([], dtype=np.int64),
+                "is_anomaly": pd.Series([], dtype=bool),
+            }
+        )
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = float(s) / float(k)
+        sd = np.sqrt(float(den) / (float(k) * float(k)))
+        z = (n - mean) / sd
+        z_e6 = (np.sign(z) * np.floor(np.abs(z) * 1e6 + 0.5)).astype(
+            np.int64
+        )
+        hour = batch["hour"].to_numpy(zero_copy_only=False)
+        iso = hour.astype("datetime64[h]").astype("datetime64[us]").astype(
+            object
+        )
+        return pa.table(
+            {
+                "hour_ts": pa.array(
+                    [x.strftime("%Y-%m-%d %H:00:00") for x in iso],
+                    pa.string(),
+                ),
+                "n_events": batch["n"],
+                "z_e6": pa.array(z_e6),
+                "is_anomaly": pa.array(
+                    np.abs(z_e6) > z_threshold_e6
+                ),
+            }
+        )
+
+    return hourly.map_batches(score, batch_format="pyarrow")
