@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_rate": window.bounce_rate,
         "hourly_anomalies": window.hourly_anomalies,
         "systematic_sample": selection.systematic_sample,
+        "weighted_sample_per_lang": textstats.weighted_sample_per_lang,
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
@@ -2193,6 +2194,25 @@ def oracle_sql() -> dict[str, str]:
                            )::BIGINT) % 4294967296 AS BIGINT) AS checksum,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM documents
+        """,
+        "weighted_sample_per_lang": """
+            WITH s AS (
+                SELECT lang, doc_id, CAST(n_chars AS BIGINT) n_chars,
+                       ln(((CAST(doc_id AS HUGEINT) * 2654435761)
+                           % 4294967296 + 0.5) / 4294967296.0)
+                       / CAST(n_chars AS DOUBLE) AS skey
+                FROM documents
+            ),
+            r AS (
+                SELECT lang, doc_id, n_chars, skey,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY skey DESC, doc_id ASC)
+                           AS rank
+                FROM s
+            )
+            SELECT lang, CAST(rank AS BIGINT) rank, doc_id, n_chars,
+                   round(skey, 8) AS sample_key
+            FROM r WHERE rank <= 5
         """,
         "hourly_anomalies": """
             WITH h AS (

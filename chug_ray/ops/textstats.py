@@ -2537,3 +2537,70 @@ def greedy_coverage(sf_dir: str, k: int = 10, max_vocab: int = 50_000_000):
     return pd.DataFrame(
         picks, columns=["rank", "doc_id", "new_tokens", "covered_total"]
     ).astype(np.int64)
+
+
+def weighted_sample_per_lang(sf_dir: str, k: int = 5):
+    """Stratified A-ES: deterministic weighted sampling WITHOUT
+    replacement, k docs PER LANG proportionally to length — the
+    per-group variant of :func:`weighted_sample_k` (same keyed-uniform
+    ln(u)/w score, same float-parity recipe), for per-language audit /
+    eval-set draws.
+
+    Scale shape: per-batch per-lang top-k partials (each batch ships
+    ≤ k rows per lang it contains) into a lang-domain groupby — the
+    sample_per_group shape with A-ES keys instead of raw hashes."""
+    import numpy as np
+    import pandas as pd
+
+    M = np.uint64(2654435761)
+    MOD = np.uint64(4294967296)
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        h = (d * M) % MOD
+        u = (h.astype(np.float64) + 0.5) / 4294967296.0
+        skey = np.log(u) / w
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "doc_id": d.astype(np.int64),
+                "n_chars": batch["n_chars"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "skey": skey,
+            }
+        )
+        top = (
+            df.sort_values(["lang", "skey", "doc_id"],
+                           ascending=[True, False, True], kind="stable")
+            .groupby("lang", group_keys=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def final_topk(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(
+            ["skey", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"].tolist(), pa.string()),
+                "rank": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64)
+                ),
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "n_chars": pa.array(g["n_chars"].to_numpy(np.int64)),
+                "sample_key": pa.array(np.round(g["skey"].to_numpy(), 8)),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ("doc_id", "lang", "n_chars"))
+        .map_batches(score_partial, batch_format="pyarrow")
+        .materialize()  # partials before the shuffle
+        .groupby("lang")
+        .map_groups(final_topk, batch_format="pandas")
+    )
