@@ -394,6 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_anomalies": window.hourly_anomalies,
         "systematic_sample": selection.systematic_sample,
         "weighted_sample_per_lang": textstats.weighted_sample_per_lang,
+        "k_anonymity": textstats.k_anonymity,
+        "max_streak": window.max_streak,
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
@@ -2194,6 +2196,40 @@ def oracle_sql() -> dict[str, str]:
                            )::BIGINT) % 4294967296 AS BIGINT) AS checksum,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM documents
+        """,
+        "k_anonymity": """
+            SELECT lang, source,
+                   CAST(n_chars // 100 AS BIGINT) AS chars_bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5
+        """,
+        "max_streak": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS DATE) d
+                FROM events
+            ),
+            r AS (
+                SELECT user_id, d,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY d) rk
+                FROM ud
+            ),
+            isl AS (
+                SELECT user_id, d - CAST(rk AS INTEGER) island FROM r
+            ),
+            runs AS (
+                SELECT user_id, island, CAST(count(*) AS BIGINT) run
+                FROM isl GROUP BY 1, 2
+            ),
+            act AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) n_active_days
+                FROM ud GROUP BY 1
+            )
+            SELECT runs.user_id,
+                   CAST(max(run) AS BIGINT) max_streak_days,
+                   any_value(n_active_days) n_active_days
+            FROM runs JOIN act USING (user_id) GROUP BY 1
         """,
         "weighted_sample_per_lang": """
             WITH s AS (

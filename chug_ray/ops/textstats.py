@@ -2604,3 +2604,55 @@ def weighted_sample_per_lang(sf_dir: str, k: int = 5):
         .groupby("lang")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+def k_anonymity(sf_dir: str, k: int = 5, bucket_chars: int = 100):
+    """k-anonymity audit over the quasi-identifier tuple
+    (lang, source, n_chars bucket): combinations shared by fewer than
+    ``k`` documents are re-identification risks — the privacy-audit
+    companion to pii_redact. Returns the violating combos with counts.
+
+    Scale shape: one combiner pass (per-batch per-combo counts) into a
+    quasi-identifier-domain groupby; output bounded by the violating
+    combos."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "source": batch["source"].to_pylist(),
+                "chars_bucket": (
+                    batch["n_chars"].to_numpy(zero_copy_only=False)
+                    // bucket_chars
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby(
+            ["lang", "source", "chars_bucket"], as_index=False
+        ).size()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"].tolist(), pa.string()),
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "chars_bucket": pa.array(
+                    g["chars_bucket"].to_numpy(np.int64)
+                ),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def violations(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["n"], pa.scalar(k))
+        return batch.filter(keep)
+
+    return (
+        _docs(sf_dir, ("lang", "source", "n_chars"))
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby(["lang", "source", "chars_bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(violations, batch_format="pyarrow")
+    )

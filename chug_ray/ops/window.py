@@ -1969,3 +1969,72 @@ def hourly_anomalies(sf_dir: str, z_threshold_e6: int = 2_000_000):
         )
 
     return hourly.map_batches(score, batch_format="pyarrow")
+
+
+def max_streak(sf_dir: str, num_buckets: int = 64):
+    """Longest run of CONSECUTIVE active days per user — the
+    gaps-and-islands engagement metric. A user's distinct active days
+    d sorted ascending form islands where d − rank(d) is constant; the
+    longest island is the answer.
+
+    Scale shape: ONE user-bucket shuffle (whole-user history per
+    group, record_group telemetry); in-group work is the vectorized
+    island trick over distinct (user, day) rows."""
+    import pyarrow as pa
+
+    from chug_ray.telemetry import record_group
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((u % num_buckets).astype(np.int64))
+        )
+
+    def streaks(group: pd.DataFrame) -> pa.Table:
+        record_group(
+            "max_streak(user bucket)",
+            int(group["bucket"].iloc[0]),
+            len(group),
+        )
+        day = (
+            group["ts"]
+            .to_numpy("datetime64[us]")
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        um = (
+            pd.DataFrame(
+                {"u": group["user_id"].to_numpy(np.int64), "d": day}
+            )
+            .drop_duplicates()
+            .sort_values(["u", "d"], kind="stable")
+        )
+        rank = um.groupby("u").cumcount().to_numpy(np.int64)
+        island = um["d"].to_numpy(np.int64) - rank
+        runs = (
+            pd.DataFrame({"u": um["u"].to_numpy(np.int64), "i": island})
+            .groupby(["u", "i"], as_index=False)
+            .size()
+        )
+        best = runs.groupby("u", as_index=False)["size"].max()
+        active = um.groupby("u", as_index=False).size()
+        out = best.merge(active, on="u", suffixes=("_streak", "_days"))
+        return pa.table(
+            {
+                "user_id": pa.array(out["u"].to_numpy(np.int64)),
+                "max_streak_days": pa.array(
+                    out["size_streak"].to_numpy(np.int64)
+                ),
+                "n_active_days": pa.array(
+                    out["size_days"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["user_id", "ts"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby("bucket")
+        .map_groups(streaks, batch_format="pandas")
+    )
