@@ -396,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_per_lang": textstats.weighted_sample_per_lang,
         "k_anonymity": textstats.k_anonymity,
         "max_streak": window.max_streak,
+        "balanced_shards": selection.balanced_shards,
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
@@ -2196,6 +2197,24 @@ def oracle_sql() -> dict[str, str]:
                            )::BIGINT) % 4294967296 AS BIGINT) AS checksum,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM documents
+        """,
+        "balanced_shards": """
+            WITH r AS (
+                SELECT CAST(n_chars AS BIGINT) cst,
+                       ROW_NUMBER() OVER (ORDER BY n_chars DESC,
+                                          doc_id ASC) - 1 AS rank
+                FROM documents
+            ),
+            a AS (
+                SELECT cst,
+                       CASE WHEN (rank // 16) % 2 = 0 THEN rank % 16
+                            ELSE 15 - rank % 16 END AS shard
+                FROM r
+            )
+            SELECT CAST(shard AS BIGINT) shard,
+                   CAST(count(*) AS BIGINT) n_docs,
+                   CAST(sum(cst) AS BIGINT) cost_sum
+            FROM a GROUP BY 1
         """,
         "k_anonymity": """
             SELECT lang, source,

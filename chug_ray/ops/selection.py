@@ -531,3 +531,119 @@ def systematic_sample(sf_dir: str, k: int = 10, num_buckets: int = 64):
         .groupby("bucket")
         .map_groups(rank_group, batch_format="pandas")
     )
+
+
+def balanced_shards(sf_dir: str, n_shards: int = 16, num_buckets: int = 64):
+    """Cost-balanced shard planning: rank documents by estimated cost
+    (n_chars desc, doc_id tie-break) and deal them serpentine
+    (boustrophedon) across ``n_shards`` — block b assigns left-to-right
+    when even, right-to-left when odd — so each shard's cost sum is
+    near-equal even under heavy-tailed costs. The planner behind
+    skew-aware extraction partitioning, exposed as a first-class op.
+
+    Scale shape: the systematic_sample rank machinery with a DESCENDING
+    value order (value-count cum-table broadcast + ONE value-bucket
+    shuffle computing offset[value]+local_rank); the shard assignment
+    is a pure function of the rank, and only per-shard (docs, cost)
+    partials leave the groups."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from chug_ray.ops.textstats import VALUE_DOMAIN_CAP
+    from chug_ray.telemetry import record_group
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            batch["n_chars"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "v": pa.array(v.astype(np.int64)),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # bounded by the value domain (guarded below)
+    )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "shard": pd.Series([], dtype=np.int64),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "cost_sum": pd.Series([], dtype=np.int64),
+            }
+        )
+    if len(rows) > VALUE_DOMAIN_CAP:
+        raise ValueError(
+            f"balanced_shards: {len(rows)} distinct costs exceed the "
+            f"domain cap {VALUE_DOMAIN_CAP}; bucketize first"
+        )
+    rows.sort(key=lambda r: -r["v"])  # descending cost order
+    values_desc = np.array([r["v"] for r in rows], np.int64)
+    counts = np.array([r["c"] for r in rows], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    # searchsorted needs ascending: store ascending values with the
+    # matching descending-rank offsets
+    asc = np.argsort(values_desc, kind="stable")
+    state = ray.put((values_desc[asc], offsets[asc]))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((v % num_buckets).astype(np.int64))
+        )
+
+    def assign_group(group: pd.DataFrame) -> pa.Table:
+        record_group(
+            "balanced_shards(value bucket)",
+            int(group["bucket"].iloc[0]),
+            len(group),
+        )
+        vals, offs = ray.get(state)
+        g = group.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="stable"
+        )
+        local = g.groupby("n_chars").cumcount().to_numpy(np.int64)
+        v = g["n_chars"].to_numpy(np.int64)
+        rank = offs[np.searchsorted(vals, v)] + local
+        block, pos = rank // n_shards, rank % n_shards
+        shard = np.where(block % 2 == 0, pos, n_shards - 1 - pos)
+        part = (
+            pd.DataFrame({"shard": shard, "cost": v})
+            .groupby("shard", as_index=False)
+            .agg(n_docs=("cost", "size"), cost_sum=("cost", "sum"))
+        )
+        return pa.table(
+            {
+                "shard": pa.array(part["shard"].to_numpy(np.int64)),
+                "n_docs": pa.array(part["n_docs"].to_numpy(np.int64)),
+                "cost_sum": pa.array(part["cost_sum"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        docs.map_batches(add_bucket, batch_format="pyarrow")
+        .materialize()
+        .groupby("bucket")
+        .map_groups(assign_group, batch_format="pandas")
+        .materialize()
+        .groupby("shard")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("cost_sum", alias_name="cost_sum"),
+        )
+    )
