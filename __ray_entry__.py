@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": textstats.k_anonymity,
         "max_streak": window.max_streak,
         "balanced_shards": selection.balanced_shards,
+        "balanced_lang_sample": textstats.balanced_lang_sample,
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
@@ -2197,6 +2198,17 @@ def oracle_sql() -> dict[str, str]:
                            )::BIGINT) % 4294967296 AS BIGINT) AS checksum,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM documents
+        """,
+        "balanced_lang_sample": """
+            WITH lc AS (
+                SELECT lang, CAST(count(*) AS BIGINT) c
+                FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN lc USING (lang)
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                  )::BIGINT
+                  < CAST(floor(40.0 / c * 4294967296.0) AS BIGINT)
         """,
         "balanced_shards": """
             WITH r AS (

@@ -2656,3 +2656,63 @@ def k_anonymity(sf_dir: str, k: int = 5, bucket_chars: int = 100):
         .aggregate(Sum("n", alias_name="n"))
         .map_batches(violations, batch_format="pyarrow")
     )
+
+
+def balanced_lang_sample(sf_dir: str, target_per_lang: int = 40):
+    """Language-rebalancing sample: keep each document with probability
+    ``target_per_lang / count(lang)`` via a deterministic md5 cut on
+    doc_id — the inverse-frequency resampler that flattens a skewed
+    language mix (the shard-level weighted_union's row-level sibling).
+    Expected kept docs per lang ≈ target regardless of the original
+    distribution; fully deterministic and resharding-proof (the keep
+    decision is a pure function of doc_id and the lang's global count).
+
+    Scale shape: one combiner lang-count pass (lang-domain bounded,
+    broadcast) + one map-only filter; no shuffle of the fact table.
+    Float parity: the threshold floor(target/count·2³²) and the 32-bit
+    md5 prefix compare are mirrored integer-for-integer in the oracle."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        langs, c = np.unique(batch["lang"].to_pylist(), return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(list(langs), pa.string()),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        _docs(sf_dir, ("lang",))
+        .map_batches(count_partial, batch_format="pyarrow")
+        .materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby("lang")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # bounded by the lang domain
+    )
+    thresholds = {
+        r["lang"]: int(np.floor(target_per_lang / r["c"] * 4294967296.0))
+        for r in rows
+    }
+    thr_ref = ray.put(thresholds)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        langs = batch["lang"].to_pylist()
+        mask = np.zeros(len(ids), bool)
+        for i in range(len(ids)):
+            h = int(
+                hashlib.md5(str(ids[i]).encode()).hexdigest()[:8], 16
+            )
+            mask[i] = h < thr.get(langs[i], 0)
+        return batch.filter(pa.array(mask))
+
+    return _docs(sf_dir, ("doc_id", "lang", "n_chars")).map_batches(
+        keep, batch_format="pyarrow"
+    )
