@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_streak": window.max_streak,
         "balanced_shards": selection.balanced_shards,
         "balanced_lang_sample": textstats.balanced_lang_sample,
+        "zorder_layout": selection.zorder_layout,
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
@@ -2198,6 +2199,40 @@ def oracle_sql() -> dict[str, str]:
                            )::BIGINT) % 4294967296 AS BIGINT) AS checksum,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM documents
+        """,
+        "zorder_layout": """
+            WITH b AS (
+                SELECT CAST(min(n_chars) AS BIGINT) xmin,
+                       CAST(max(n_chars) AS BIGINT)
+                           - CAST(min(n_chars) AS BIGINT) + 1 xspan,
+                       CAST(min(doc_id) AS BIGINT) ymin,
+                       CAST(max(doc_id) AS BIGINT)
+                           - CAST(min(doc_id) AS BIGINT) + 1 yspan
+                FROM documents
+            ),
+            q AS (
+                SELECT (CAST(n_chars AS BIGINT) - xmin) * 65536 // xspan
+                           AS x16,
+                       (CAST(doc_id AS BIGINT) - ymin) * 65536 // yspan
+                           AS y16
+                FROM documents CROSS JOIN b
+            ),
+            z AS (
+                SELECT list_sum(list_transform(range(16), i ->
+                           (((x16 >> i) & 1) << (2 * i + 1))
+                           + (((y16 >> i) & 1) << (2 * i)))) AS code
+                FROM q
+            ),
+            a AS (
+                SELECT CAST(code AS BIGINT) code,
+                       CAST(code AS BIGINT) >> 28 AS zfile
+                FROM z
+            )
+            SELECT CAST(zfile AS BIGINT) zfile,
+                   CAST(count(*) AS BIGINT) n_docs,
+                   CAST(min(code) AS BIGINT) code_min,
+                   CAST(max(code) AS BIGINT) code_max
+            FROM a GROUP BY 1
         """,
         "balanced_lang_sample": """
             WITH lc AS (

@@ -647,3 +647,85 @@ def balanced_shards(sf_dir: str, n_shards: int = 16, num_buckets: int = 64):
             Sum("cost_sum", alias_name="cost_sum"),
         )
     )
+
+
+def _part1by1(n: "np.ndarray") -> "np.ndarray":
+    """Spread the low 16 bits of each value across even bit positions
+    (the classic Morton magic-number sequence)."""
+    n = n.astype(np.uint64) & np.uint64(0xFFFF)
+    n = (n | (n << np.uint64(8))) & np.uint64(0x00FF00FF)
+    n = (n | (n << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    n = (n | (n << np.uint64(2))) & np.uint64(0x33333333)
+    n = (n | (n << np.uint64(1))) & np.uint64(0x55555555)
+    return n
+
+
+def zorder_layout(sf_dir: str, n_files: int = 16):
+    """Z-order (Morton-curve) layout assignment over
+    (n_chars, doc_id): quantize both keys to the full 16-bit range
+    with exact integer scaling ((v − min)·2¹⁶ // (max − min + 1)),
+    interleave into a 32-bit space-filling code, and split its range
+    into ``n_files`` target files — the lakehouse OPTIMIZE ZORDER
+    clustering primitive (range scans on EITHER key touch few files).
+    Returns per-file row counts plus each file's code range.
+
+    Scale shape: one tree-reduced Min/Max pass (the value_histogram
+    pattern), then map-only code assignment (magic-number bit
+    spreading, fully vectorized) + one file-domain combiner groupby;
+    no shuffle of the fact table — the actual file write would reuse
+    the export_range_partitioned sink keyed by zfile."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    shift = 32 - int(np.log2(n_files))
+    assert 1 << (32 - shift) == n_files, "n_files must be a power of two"
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    b = docs.aggregate(
+        Min("n_chars", alias_name="xmin"),
+        Max("n_chars", alias_name="xmax"),
+        Min("doc_id", alias_name="ymin"),
+        Max("doc_id", alias_name="ymax"),
+    )
+    xmin, xspan = int(b["xmin"]), int(b["xmax"]) - int(b["xmin"]) + 1
+    ymin, yspan = int(b["ymin"]), int(b["ymax"]) - int(b["ymin"]) + 1
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x16 = (x - xmin) * 65536 // xspan
+        y16 = (y - ymin) * 65536 // yspan
+        code = (
+            (_part1by1(x16) << np.uint64(1)) | _part1by1(y16)
+        ).astype(np.int64)
+        zfile = code >> shift
+        df = pd.DataFrame({"zfile": zfile, "code": code})
+        g = df.groupby("zfile", as_index=False).agg(
+            n_docs=("code", "size"),
+            code_min=("code", "min"),
+            code_max=("code", "max"),
+        )
+        return pa.table(
+            {
+                "zfile": pa.array(g["zfile"].to_numpy(np.int64)),
+                "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+                "code_min": pa.array(g["code_min"].to_numpy(np.int64)),
+                "code_max": pa.array(g["code_max"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        docs.map_batches(assign, batch_format="pyarrow")
+        .materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby("zfile")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Min("code_min", alias_name="code_min"),
+            Max("code_max", alias_name="code_max"),
+        )
+    )
