@@ -399,6 +399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balanced_shards": selection.balanced_shards,
         "balanced_lang_sample": textstats.balanced_lang_sample,
         "zorder_layout": selection.zorder_layout,
+        "order_cadence": relational.order_cadence,
+        "churned_users": window.churned_users,
         # --- new in round 4, session 4 (oracled; never driver-checked)
         "user_journey": window.user_journey,
         "sliding_distinct_users": window.sliding_distinct_users,
@@ -2199,6 +2201,35 @@ def oracle_sql() -> dict[str, str]:
                            )::BIGINT) % 4294967296 AS BIGINT) AS checksum,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM documents
+        """,
+        "order_cadence": """
+            WITH g AS (
+                SELECT o_custkey custkey, CAST(count(*) AS BIGINT)
+                           n_orders,
+                       CAST(datediff('day', min(o_orderdate),
+                                     max(o_orderdate)) AS BIGINT)
+                           span_days
+                FROM orders GROUP BY 1 HAVING count(*) >= 2
+            )
+            SELECT custkey, n_orders, span_days,
+                   CAST(floor(CAST(span_days AS DOUBLE)
+                              / (CAST(n_orders AS DOUBLE) - 1.0)
+                              * 1000000.0 + 0.5) AS BIGINT) AS avg_gap_e6
+            FROM g
+        """,
+        "churned_users": """
+            WITH pu AS (
+                SELECT user_id, max(ts) lst,
+                       CAST(count(*) AS BIGINT) n_events
+                FROM events GROUP BY 1
+            ),
+            gm AS (SELECT max(lst) g FROM pu)
+            SELECT user_id, n_events,
+                   CAST((epoch_us(g) - epoch_us(lst)) // 86400000000
+                        AS BIGINT) AS days_inactive,
+                   epoch_us(g) - epoch_us(lst) > 1 * 86400000000
+                       AS churned
+            FROM pu CROSS JOIN gm
         """,
         "zorder_layout": """
             WITH b AS (

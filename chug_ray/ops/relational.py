@@ -4018,3 +4018,76 @@ def orders_per_nation(sf_dir: str, broadcast_threshold_rows: int = None):
             Sum("n_orders", alias_name="n_orders"),
         )
     )
+
+
+def order_cadence(sf_dir: str):
+    """Per-customer ordering cadence: for customers with ≥ 2 orders,
+    the day span between first and last order and the average gap —
+    exploiting that consecutive gaps telescope (Σ gaps = last − first),
+    so ONE (min, max, count) combiner answers it with no per-customer
+    sort. avg_gap_e6 mirrors the oracle's double tree.
+
+    Scale shape: map-only per-batch per-customer partials into a
+    customer-bounded groupby; nothing order-sorted anywhere."""
+    from ray.data.aggregate import Count, Max, Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {
+                "custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+                "day": day,
+            }
+        )
+        g = df.groupby("custkey", as_index=False).agg(
+            dmin=("day", "min"), dmax=("day", "max"), n=("day", "size")
+        )
+        return pa.table(
+            {
+                "custkey": pa.array(g["custkey"].to_numpy(np.int64)),
+                "dmin": pa.array(g["dmin"].to_numpy(np.int64)),
+                "dmax": pa.array(g["dmax"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        keep = n >= 2
+        batch = batch.filter(pa.array(keep))
+        n = n[keep].astype(np.float64)
+        span = (
+            batch["dmax"].to_numpy(zero_copy_only=False)
+            - batch["dmin"].to_numpy(zero_copy_only=False)
+        )
+        gap = span.astype(np.float64) / (n - 1.0)
+        return pa.table(
+            {
+                "custkey": batch["custkey"],
+                "n_orders": pa.array(n.astype(np.int64)),
+                "span_days": pa.array(span.astype(np.int64)),
+                "avg_gap_e6": pa.array(
+                    np.floor(gap * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby("custkey")
+        .aggregate(
+            Min("dmin", alias_name="dmin"),
+            Max("dmax", alias_name="dmax"),
+            Sum("n", alias_name="n"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

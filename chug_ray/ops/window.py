@@ -2038,3 +2038,66 @@ def max_streak(sf_dir: str, num_buckets: int = 64):
         .groupby("bucket")
         .map_groups(streaks, batch_format="pandas")
     )
+
+
+def churned_users(sf_dir: str, inactive_days: int = 1):
+    """Churn label builder: users whose LAST event is more than
+    ``inactive_days`` before the corpus's latest event — the standard
+    supervised-churn target next to retention_cohorts.
+
+    Scale shape: one per-user Max combiner groupby (user-bounded) plus
+    a tree-reduced global max broadcast into the flagging map; exact
+    integer microsecond arithmetic throughout."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {"user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+             "ts": ts}
+        )
+        g = df.groupby("user_id", as_index=False).agg(
+            last=("ts", "max"), n=("ts", "size")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+                "last": pa.array(g["last"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_user = (
+        _events(sf_dir, ["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()  # partials: sort shuffle re-executes lazy inputs
+        .groupby("user_id")
+        .aggregate(
+            Max("last", alias_name="last"), Sum("n", alias_name="n")
+        )
+        .materialize()
+    )
+    global_max = int(per_user.aggregate(Max("last"))["max(last)"])
+    cutoff_us = inactive_days * 86_400_000_000
+
+    def flag(batch: pa.Table) -> pa.Table:
+        last = batch["last"].to_numpy(zero_copy_only=False)
+        days = (global_max - last) // 86_400_000_000
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "n_events": batch["n"],
+                "days_inactive": pa.array(days.astype(np.int64)),
+                "churned": pa.array(global_max - last > cutoff_us),
+            }
+        )
+
+    return per_user.map_batches(flag, batch_format="pyarrow")
