@@ -289,9 +289,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return media_ops.phash_dups(media_path)
 
     # NOTE on ordering: the driver's correctness harness records only the
-    # FIRST 50 dict entries. Entries that have never had a driver row (or
-    # were last checked in r02) lead; long-green entries rotate to the back.
-    return {
+    # FIRST 50 dict entries. The literal dict below keeps its historical
+    # grouping; _R5_WINDOW (after the dict) re-orders the first 50 for the
+    # round-5 rotation — the 44 entries that have never had a driver
+    # CORRECTNESS row in rounds 1-4 (33 SQL-oracled + 11 rows-only), the
+    # two flagship parity queries, and the 4 stalest r02-green entries.
+    base = {
         # --- extraction parity: pipeline vs sequential per-doc oracle,
         # compared distributed; SQL oracle asserts matched=TRUE per doc
         "extract_parity_all_valid": lambda sf: _extract_parity(
@@ -484,6 +487,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang_source": relational.docs_by_lang_source,
         "flatten_props": sources.flatten_props,  # r02-green, rotated out
     }
+
+    # Round-5 window rotation (VERDICT r4 task #1): the driver records only
+    # the first 50 dict entries, so lead with everything that has never had
+    # a driver CORRECTNESS row in any round.
+    _R5_WINDOW = [
+        # 33 SQL-oracled, never driver-checked (r4 sessions 3-5)
+        "value_histogram", "user_entropy", "mode_per_group",
+        "monthly_revenue_series", "pareto_frontier", "fuzzy_name_pairs",
+        "pearson_by_lang", "winsorized_stats", "first_last_touch",
+        "triangle_count", "part_pair_support", "embedding_covariance",
+        "ols_by_lang", "pair_lift", "retention_cohorts", "cube_revenue",
+        "table_checksum", "char_entropy", "orders_per_nation",
+        "bounce_rate", "hourly_anomalies", "systematic_sample",
+        "weighted_sample_per_lang", "k_anonymity", "max_streak",
+        "balanced_shards", "balanced_lang_sample", "zorder_layout",
+        "order_cadence", "churned_users", "user_journey",
+        "sliding_distinct_users", "token_coverage",
+        # 11 rows-only, never driver-checked (each pinned by pytest)
+        "span_kind_stats", "audio_window_features", "bpe_train",
+        "pagerank", "pca_project", "kcore", "mahalanobis_outliers",
+        "hits", "greedy_coverage", "phash_dups", "approx_quantiles",
+        # flagship extraction parity (r04-green; keep visible in the
+        # final round's window)
+        "extract_parity_all_valid", "extract_parity_random",
+        # stalest oracled evidence (last green r02)
+        "customers_without_events", "flatten_props", "hfds_docs",
+        "orders_by_segment",
+    ]
+    ordered = {k: base[k] for k in _R5_WINDOW}
+    ordered.update({k: v for k, v in base.items() if k not in ordered})
+    return ordered
 
 
 # ---------------------------------------------------------------------------

@@ -90,7 +90,11 @@ def build_trade_edges(sf_dir: str, num_buckets: int = 64):
 
     import os
 
-    mt = os.path.getmtime(f"{sf_dir}/lineitem.parquet")  # stale on rewrite
+    # key over ALL input mtimes so a rewrite of either table invalidates
+    mt = tuple(
+        os.path.getmtime(f"{sf_dir}/{t}.parquet")
+        for t in ("lineitem", "orders")
+    )
     key = _session_cache_key(f"trade_edges:{sf_dir}:{num_buckets}:{mt}")
     cached = _DATASET_CACHE.get(key)
     if cached is not None:

@@ -381,26 +381,113 @@ class PhashStage:
         )
 
 
-def phash_dups(media_path: str, max_dist: int = 10, n_bands: int = 4):
+_POP8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(1).astype(np.int64)
+
+
+def _hamming_strip_pairs(
+    h: np.ndarray, max_dist: int, tile: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact all-pairs Hamming verify over DISTINCT hashes, tiled so
+    peak memory is O(tile · n · 8) bytes (a strip of byte-LUT popcounts),
+    never the full n × n matrix. Returns strictly-upper (i < j) index
+    pairs with dist ≤ max_dist."""
+    n = len(h)
+    # shrink the strip so a row-tile × n byte matrix stays ≈ ≤256 MB
+    tile = max(64, min(tile, (32 << 20) // max(n, 1)))
+    ia, ib, dd = [], [], []
+    for i0 in range(0, n, tile):
+        hi = h[i0 : i0 + tile]
+        x = (hi[:, None] ^ h[None, :]).view(np.uint8)
+        dist = _POP8[x].reshape(len(hi), n, 8).sum(-1)
+        ii, jj = np.nonzero(dist <= max_dist)
+        keep = jj > ii + i0  # strictly upper in GLOBAL indices
+        ia.append(ii[keep] + i0)
+        ib.append(jj[keep])
+        dd.append(dist[ii[keep], jj[keep]])
+    empty = np.array([], np.int64)
+    return (
+        np.concatenate(ia) if ia else empty,
+        np.concatenate(ib) if ib else empty,
+        np.concatenate(dd) if dd else empty,
+    )
+
+
+def _subband_hamming_pairs(
+    h: np.ndarray, max_dist: int, tile: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Oversize-bucket fallback (the ``_banded_cos_pairs`` pattern from
+    :mod:`chug_ray.ops.dedup`): re-bucket the bucket's DISTINCT hashes
+    by each of the 8 bytes of the full hash and strip-verify only
+    within sub-buckets — O(n · 8 · sub-bucket) instead of O(n²).
+    Every emitted distance is exact; approximate only in recall (a
+    pair whose ≤ max_dist flipped bits touch all 8 bytes collides in
+    no sub-table — impossible for max_dist < 8, so exact there)."""
+    seen: set[tuple[int, int]] = set()
+    va, vb, dd = [], [], []
+    bytes_ = h.view(np.uint8).reshape(len(h), 8)
+    for b in range(8):
+        codes = bytes_[:, b]
+        order = np.argsort(codes, kind="stable")
+        bounds = np.nonzero(np.diff(codes[order]))[0] + 1
+        for members in np.split(order, bounds):
+            if len(members) < 2:
+                continue
+            ia, ib, d = _hamming_strip_pairs(h[members], max_dist, tile)
+            for x, y, v in zip(members[ia], members[ib], d):
+                key = (int(x), int(y)) if x < y else (int(y), int(x))
+                if key not in seen:
+                    seen.add(key)
+                    va.append(key[0])
+                    vb.append(key[1])
+                    dd.append(int(v))
+    return (
+        np.array(va, np.int64),
+        np.array(vb, np.int64),
+        np.array(dd, np.int64),
+    )
+
+
+def phash_dups(
+    media_path: str,
+    max_dist: int = 10,
+    n_bands: int = 4,
+    max_group_rows: int = 20_000,
+    tile: int = 4096,
+):
     """Image near-duplicate pairs by perceptual hash + banded LSH — the
     multimodal member of the dedup family (crop/re-encode duplicates
     that exact byte dedup misses).
 
-    Scale shape (mirrors the MinHash banding plan in
-    :mod:`chug_ray.ops.dedup`): each frame's 64-bit pHash splits into
-    ``n_bands`` 16-bit bands; one ``groupby`` on (band, band bits)
-    co-locates candidates (two hashes within Hamming ``max_dist`` < 16
-    collide on ≥1 band whenever the flipped bits avoid one band — the
-    standard LSH recall trade, pinned by the planted-duplicate test);
-    exact Hamming verify runs inside each bucket, quadratic only in the
-    bucket size (telemetry records the hottest bucket). Pair dedup
-    across bands is one last groupby over candidate pairs, bounded by
-    the number of near-dup pairs, not frames.
+    Scale shape (mirrors the MinHash banding plan plus the
+    ``fuzzy_name_pairs`` multiplicity collapse in
+    :mod:`chug_ray.ops.dedup`): identical pHashes — the common web case
+    (blank/near-constant frames) — are collapsed FIRST by one
+    ``groupby(phash)`` that elects a representative per distinct hash
+    and emits the group as distance-0 star pairs (rep, member): m−1
+    rows instead of C(m,2), no pairwise verify at all. Only DISTINCT
+    hashes enter banding: each 64-bit pHash splits into ``n_bands``
+    16-bit bands; one ``groupby`` on (band, band bits) co-locates
+    candidates (two hashes within Hamming ``max_dist`` < 16 collide on
+    ≥1 band whenever the flipped bits avoid one band — the standard
+    LSH recall trade, pinned by the planted-duplicate test). In-bucket
+    exact verify is a tiled strip scan (peak memory O(tile · n), never
+    n × n); a bucket over ``max_group_rows`` falls back to 8-bit
+    sub-band re-bucketing + strip verify (the ``_banded_cos_pairs``
+    pattern — near-linear, exact distances, approximate only in
+    recall, and exact for max_dist < 8). Pair dedup across bands is
+    one last groupby over candidate pairs, bounded by the number of
+    near-dup DISTINCT-hash pairs, not frames; star pairs bypass it
+    (disjoint by construction). Connected components over the output
+    equal those of the full pairwise-emission semantics.
 
     Not SQL-expressible over the parquet views (payload decode) →
-    rows-only driver check; recall/precision pinned by pytest.
+    rows-only driver check; recall/precision + hot-bucket boundedness
+    pinned by pytest.
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data
 
     hashes = ray.data.read_parquet(media_path).map_batches(
@@ -409,62 +496,119 @@ def phash_dups(media_path: str, max_dist: int = 10, n_bands: int = 4):
         batch_size=64,  # payloads are large binaries — small batches
     )
 
-    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        h = batch["phash"].to_numpy(np.uint64)
+    def to_keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        # int64 bit-view of the uint64 hash: Ray's sort shuffle keys on
+        # int64; the bits round-trip exactly
+        out = batch.copy()
+        out["hkey"] = out["phash"].to_numpy(np.uint64).view(np.int64)
+        return out.drop(columns=["phash"])
+
+    def collapse_hash(group: pd.DataFrame) -> pa.Table:
+        """One group per DISTINCT hash: row 0 (sorted) is the elected
+        representative; the rest become distance-0 star pairs. Linear
+        in the group — a 10k-identical-frame pile emits 9,999 rows."""
+        from chug_ray.telemetry import record_group
+
+        record_group("phash_dups(hash)", None, len(group))
+        g = group.sort_values(["media_ref", "frame"], ignore_index=True)
+        refs = g["media_ref"].to_numpy(object)
+        frm = g["frame"].to_numpy(np.int64)
+        m = len(g)
+        rep = np.zeros(m, bool)
+        rep[0] = True
+        return pa.table(
+            {
+                "is_rep": pa.array(rep),
+                "a_ref": pa.array([refs[0]] * m, pa.string()),
+                "a_frame": pa.array(np.full(m, frm[0]), pa.int64()),
+                "b_ref": pa.array(refs, pa.string()),
+                "b_frame": pa.array(frm, pa.int64()),
+                "hkey": pa.array(
+                    g["hkey"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    collapsed = (
+        hashes.map_batches(to_keyed, batch_format="pandas")
+        .materialize()  # partials: the sort shuffle re-executes lazy inputs
+        .groupby("hkey")
+        .map_groups(collapse_hash, batch_format="pandas")
+        .materialize()  # consumed twice (stars + reps): pin the shuffle
+    )
+    def stars_only(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.invert(b["is_rep"]))
+        return pa.table(
+            {
+                "a_ref": b["a_ref"],
+                "a_frame": b["a_frame"],
+                "b_ref": b["b_ref"],
+                "b_frame": b["b_frame"],
+                "hamming": pa.array(np.zeros(len(b), np.int64)),
+            }
+        )
+
+    star_pairs = collapsed.map_batches(stars_only, batch_format="pyarrow")
+    reps = collapsed.map_batches(
+        lambda b: b.filter(b["is_rep"]), batch_format="pyarrow"
+    )
+
+    def band_rows(batch: pa.Table) -> pd.DataFrame:
+        h = batch["hkey"].to_numpy(zero_copy_only=False).view(np.uint64)
+        refs = np.asarray(batch["b_ref"].to_pylist(), object)
+        frm = batch["b_frame"].to_numpy(zero_copy_only=False)
         outs = []
         for b in range(n_bands):
             bits = (h >> np.uint64(b * 16)) & np.uint64(0xFFFF)
             outs.append(
                 pd.DataFrame(
                     {
-                        "bk": (np.uint64(b) << np.uint64(16)) | bits,
-                        "media_ref": batch["media_ref"].to_numpy(object),
-                        "frame": batch["frame"].to_numpy(np.int64),
-                        "phash": h,
+                        "bk": (
+                            (np.uint64(b) << np.uint64(16)) | bits
+                        ).view(np.int64),
+                        "media_ref": refs,
+                        "frame": frm.astype(np.int64),
+                        "hkey": h.view(np.int64),
                     }
                 )
             )
         return pd.concat(outs, ignore_index=True)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
         from chug_ray.telemetry import record_group
 
         record_group("phash_dups(bucket)", None, len(group))
         g = group.sort_values(["media_ref", "frame"], ignore_index=True)
-        h = g["phash"].to_numpy(np.uint64)
+        h = g["hkey"].to_numpy(np.int64).view(np.uint64)
         n = len(g)
-        ok = np.zeros(0, bool)
-        ia = ib = np.zeros(0, np.int64)
-        dist = np.zeros(0, np.int64)
         if n > 1:
-            ia, ib = np.triu_indices(n, k=1)
-            x = h[ia] ^ h[ib]
-            dist = np.zeros(len(x), np.int64)
-            while x.any():
-                dist += (x & np.uint64(1)).astype(np.int64)
-                x = x >> np.uint64(1)
-            ok = dist <= max_dist
+            verify = (
+                _hamming_strip_pairs
+                if n <= max_group_rows
+                else _subband_hamming_pairs
+            )
+            ia, ib, dist = verify(h, max_dist, tile)
+        else:
+            ia = ib = dist = np.array([], np.int64)
         refs = g["media_ref"].to_numpy(object) if n else np.zeros(0, object)
         frm = g["frame"].to_numpy(np.int64) if n else np.zeros(0, np.int64)
-        import pyarrow as pa
-
-        # typed Arrow output: single-frame buckets emit EMPTY tables,
-        # which must not degrade to null-typed columns in the union
+        # canonical (a < b by ref,frame) so the cross-band dedup keys agree:
+        # rows were sorted, and strip/subband pairs keep i < j
         return pa.table(
             {
-                "a_ref": pa.array(refs[ia[ok]], pa.string()),
-                "a_frame": pa.array(frm[ia[ok]], pa.int64()),
-                "b_ref": pa.array(refs[ib[ok]], pa.string()),
-                "b_frame": pa.array(frm[ib[ok]], pa.int64()),
-                "hamming": pa.array(dist[ok], pa.int64()),
+                "a_ref": pa.array(refs[ia], pa.string()),
+                "a_frame": pa.array(frm[ia], pa.int64()),
+                "b_ref": pa.array(refs[ib], pa.string()),
+                "b_frame": pa.array(frm[ib], pa.int64()),
+                "hamming": pa.array(dist, pa.int64()),
             }
         )
 
     def first_row(group: pd.DataFrame) -> pd.DataFrame:
         return group.head(1)
 
-    return (
-        hashes.map_batches(band_rows, batch_format="pandas")
+    rep_pairs = (
+        reps.map_batches(band_rows, batch_format="pyarrow")
         .materialize()  # partials: the sort shuffle re-executes lazy inputs
         .groupby("bk")
         .map_groups(bucket_pairs, batch_format="pandas")
@@ -472,3 +616,6 @@ def phash_dups(media_path: str, max_dist: int = 10, n_bands: int = 4):
         .groupby(["a_ref", "a_frame", "b_ref", "b_frame"])
         .map_groups(first_row, batch_format="pandas")
     )
+    # star pairs are disjoint from rep-rep pairs (a star's b side is a
+    # non-representative) — union after the dedup, no extra shuffle
+    return rep_pairs.union(star_pairs)

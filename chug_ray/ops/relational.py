@@ -3754,10 +3754,17 @@ def cube_revenue(sf_dir: str):
             ),
             pa.int64(),
         ).to_numpy(zero_copy_only=False)
+        # fill nulls with the rolled-up marker up front: pandas groupby
+        # drops null keys by default, and the oracle COALESCEs nulls into
+        # 'ALL' — same treatment here so null flag/status rows survive
         df = pd.DataFrame(
             {
-                "flag": batch["l_returnflag"].to_pylist(),
-                "status": batch["l_linestatus"].to_pylist(),
+                "flag": pc.coalesce(
+                    batch["l_returnflag"], pa.scalar("ALL")
+                ).to_pylist(),
+                "status": pc.coalesce(
+                    batch["l_linestatus"], pa.scalar("ALL")
+                ).to_pylist(),
                 "cents": cents,
             }
         )
@@ -3870,10 +3877,17 @@ def auto_join(
 
         def probe(batch: pa.Table) -> pa.Table:
             skeys, pay = ray.get(state)
+            if len(skeys) == 0:
+                # empty dim table: inner join yields nothing; short-circuit
+                # before skeys[pos_c] indexes into an empty array
+                out = {c: batch[c].slice(0, 0) for c in [fact_key, *fact_cols]}
+                for c in dim_cols:
+                    out[c] = pa.array(pay[c][:0])
+                return pa.table(out)
             fk = batch[fact_key].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(skeys, fk)
             pos_c = np.clip(pos, 0, len(skeys) - 1)
-            hit = (len(skeys) > 0) & (skeys[pos_c] == fk)
+            hit = skeys[pos_c] == fk
             batch = batch.filter(pa.array(hit))
             cols = {c: batch[c] for c in [fact_key, *fact_cols]}
             for c in dim_cols:
@@ -3910,6 +3924,9 @@ def auto_join(
     types = {
         **{c: fact_schema.field(c).type for c in fact_cols},
         **{c: dim_schema.field(c).type for c in dim_cols},
+        # fact key too, so the shuffle path rebuilds it with the same
+        # arrow type the broadcast path preserves
+        fact_key: fact_schema.field(fact_key).type,
     }
 
     def tag(side: int, key_col: str, own_cols: list, other_cols: list):

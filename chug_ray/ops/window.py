@@ -1661,9 +1661,19 @@ def first_last_touch(sf_dir: str):
     def partial(batch: pd.DataFrame) -> pa.Table:
         batch = batch.sort_values(["ts", "event_id"], kind="stable")
         g = batch.groupby("user_id", as_index=False)
-        first = g.first()
-        last = g.last()
-        cnt = g.size()
+        # nth() is positional: the whole first/last ROW in (ts, event_id)
+        # order. first()/last() would skip nulls per column independently,
+        # mixing fields from different rows when ts/event_id/type is null.
+        first = g.nth(0).sort_values("user_id", kind="stable")
+        last = g.nth(-1).sort_values("user_id", kind="stable")
+        cnt = batch.groupby("user_id", as_index=False).size()
+
+        def _types(s: pd.Series) -> pa.Array:
+            # positional rows can carry a null type — keep it null
+            return pa.array(
+                s.where(s.notna(), None).to_numpy(object), pa.string()
+            )
+
         return pa.table(
             {
                 "user_id": pa.array(first["user_id"].to_numpy(np.int64)),
@@ -1671,16 +1681,12 @@ def first_last_touch(sf_dir: str):
                     first["ts"].to_numpy("datetime64[us]").astype(np.int64)
                 ),
                 "first_eid": pa.array(first["event_id"].to_numpy(np.int64)),
-                "first_type": pa.array(
-                    first["event_type"].to_numpy(object), pa.string()
-                ),
+                "first_type": _types(first["event_type"]),
                 "last_ts": pa.array(
                     last["ts"].to_numpy("datetime64[us]").astype(np.int64)
                 ),
                 "last_eid": pa.array(last["event_id"].to_numpy(np.int64)),
-                "last_type": pa.array(
-                    last["event_type"].to_numpy(object), pa.string()
-                ),
+                "last_type": _types(last["event_type"]),
                 "n_events": pa.array(cnt["size"].to_numpy(np.int64)),
             }
         )
@@ -1697,8 +1703,14 @@ def first_last_touch(sf_dir: str):
                 "user_id": pa.array(
                     [int(group["user_id"].iloc[0])], pa.int64()
                 ),
-                "first_type": pa.array([fi["first_type"]], pa.string()),
-                "last_type": pa.array([la["last_type"]], pa.string()),
+                "first_type": pa.array(
+                    [None if pd.isna(fi["first_type"]) else fi["first_type"]],
+                    pa.string(),
+                ),
+                "last_type": pa.array(
+                    [None if pd.isna(la["last_type"]) else la["last_type"]],
+                    pa.string(),
+                ),
                 "n_events": pa.array(
                     [int(group["n_events"].sum())], pa.int64()
                 ),

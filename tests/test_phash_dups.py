@@ -2,7 +2,15 @@
 The SIMG renderer is seed-deterministic, so near-duplicates are planted
 as cropped/extended variants of the same pix_seed (the literal use-case
 pHash exists for) and unrelated images are fresh seeds (uncorrelated
-random rasters — expected Hamming ≈ 32)."""
+random rasters — expected Hamming ≈ 32).
+
+Output contract (round-5 skew guard): identical pHashes collapse to a
+representative + distance-0 STAR pairs (rep, member) — m−1 rows per
+identical class, not C(m,2) — and banding/verify runs over DISTINCT
+hashes only. Connected components equal the full pairwise semantics;
+these tests assert components, pair counts under the star contract,
+and bounded behavior on a planted hot bucket.
+"""
 
 from __future__ import annotations
 
@@ -12,7 +20,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from chug_ray.kernels import simg
-from chug_ray.ops.media import phash64, phash_dups
+from chug_ray.ops.media import (
+    _hamming_strip_pairs,
+    _subband_hamming_pairs,
+    phash64,
+    phash_dups,
+)
 
 
 def _img(ref: str, h: int, seed: int) -> dict:
@@ -24,6 +37,25 @@ def _write(tmp_path, rows) -> str:
     p = str(tmp_path / "media.parquet")
     pq.write_table(pa.Table.from_pylist(rows), p)
     return p
+
+
+def _components(out: pd.DataFrame) -> dict[str, int]:
+    """Union-find over the pair rows → ref -> component id."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(out["a_ref"], out["b_ref"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    roots = sorted({find(k) for k in parent})
+    return {k: roots.index(find(k)) for k in parent}
 
 
 def test_phash_identical_and_crop_variants():
@@ -48,24 +80,19 @@ def test_phash_dups_finds_planted_pairs(ray_session, tmp_path):
         _img("other-3", 64, 303),
     ]
     out = phash_dups(_write(tmp_path, rows)).to_pandas()
-    pairs = {
-        tuple(sorted((a, b)))
-        for a, b in zip(out["a_ref"], out["b_ref"])
-    }
-    assert ("exact", "orig") in pairs
-    assert ("crop", "orig") in pairs
-    exact = out[
-        (out[["a_ref", "b_ref"]].apply(tuple, axis=1).map(sorted).map(tuple))
-        == ("exact", "orig")
-    ]
-    assert (exact["hamming"] == 0).all()
+    comp = _components(out)
+    # the three seed-7 variants land in ONE component
+    assert comp["orig"] == comp["exact"] == comp["crop"]
+    # the identical pair surfaces as a distance-0 star pair
+    star = out[(out["a_ref"] == "exact") & (out["b_ref"] == "orig")]
+    assert len(star) == 1 and (star["hamming"] == 0).all()
     # unrelated seeds never pair up with anything
     flat = set(out["a_ref"]) | set(out["b_ref"])
     assert not {"other-1", "other-2", "other-3"} & flat
 
 
 def test_phash_dups_deterministic(ray_session, tmp_path):
-    rows = [_img(f"m{i}", 64, i % 3) for i in range(12)]
+    rows = [_img(f"m{i:02d}", 64, i % 3) for i in range(12)]
     p = _write(tmp_path, rows)
 
     def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -75,6 +102,90 @@ def test_phash_dups_deterministic(ray_session, tmp_path):
     a = canon(phash_dups(p).to_pandas())
     b = canon(phash_dups(p).to_pandas())
     pd.testing.assert_frame_equal(a, b)
-    # 3 seed-classes of 4 identical images -> 3 * C(4,2) = 18 pairs
-    assert len(a) == 18
+    # 3 seed-classes of 4 identical images -> star pairs: 3 * (4-1) = 9
+    assert len(a) == 9
     assert (a["hamming"] == 0).all()
+    comp = _components(a)
+    assert len(set(comp.values())) == 3
+    for i in range(12):
+        assert comp[f"m{i:02d}"] == comp[f"m{i % 3:02d}"]
+
+
+def test_phash_dups_hot_bucket_bounded(ray_session, tmp_path):
+    """The planted hot bucket: many identical frames (one pHash). The
+    collapse emits exactly m−1 star pairs — linear, no pairwise verify
+    — plus the cross-hash pair to the crop variant's representative."""
+    m = 2000
+    rows = [_img(f"dup{i:04d}", 64, 7) for i in range(m)]
+    rows.append(_img("crop", 66, 7))
+    out = phash_dups(_write(tmp_path, rows)).to_pandas()
+    stars = out[out["hamming"] == 0]
+    assert len(stars) == m - 1  # star pairs, not C(m, 2)
+    assert (stars["a_ref"] == "dup0000").all()  # elected representative
+    cross = out[out["hamming"] > 0]
+    assert len(cross) == 1
+    assert set(cross[["a_ref", "b_ref"]].iloc[0]) == {"dup0000", "crop"}
+    comp = _components(out)
+    assert len(set(comp.values())) == 1
+
+
+def test_phash_dups_subband_fallback(ray_session, tmp_path):
+    """Force the oversize-bucket sub-band path (max_group_rows=1) on
+    the planted set: same components as the strip path."""
+    rows = [
+        _img("orig", 64, 7),
+        _img("exact", 64, 7),
+        _img("crop", 66, 7),
+        _img("other-1", 64, 101),
+    ]
+    p = _write(tmp_path, rows)
+    base = simg.render_frame(simg.Frame(64, 64, 7, ("x",)))
+    crop = simg.render_frame(simg.Frame(64, 66, 7, ("x",)))
+    d_crop = bin(phash64(base) ^ phash64(crop)).count("1")
+    out = phash_dups(p, max_group_rows=1).to_pandas()
+    comp = _components(out)
+    if d_crop < 8:
+        # sub-banding is EXACT below 8 flipped bits (pigeonhole over
+        # the 8 hash bytes) — the crop edge must survive
+        assert comp["orig"] == comp["crop"]
+    assert comp["orig"] == comp["exact"]
+    assert "other-1" not in comp
+
+
+def test_hamming_strip_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    h = rng.integers(0, 2**63, 300, dtype=np.int64).view(np.uint64)
+    h = np.unique(h)
+    ia, ib, d = _hamming_strip_pairs(h, max_dist=30, tile=37)
+    got = {(int(a), int(b), int(v)) for a, b, v in zip(ia, ib, d)}
+    want = set()
+    for i in range(len(h)):
+        for j in range(i + 1, len(h)):
+            v = bin(int(h[i]) ^ int(h[j])).count("1")
+            if v <= 30:
+                want.add((i, j, v))
+    assert got == want
+
+
+def test_subband_exact_below_eight_bits():
+    """Every pair within Hamming 7 shares at least one untouched hash
+    byte, so the sub-band fallback is exact there."""
+    rng = np.random.default_rng(12)
+    base = rng.integers(0, 2**63, 40, dtype=np.int64).view(np.uint64)
+    flips = []
+    for i, b in enumerate(base):
+        x = int(b)
+        for k in range(1 + i % 7):
+            x ^= 1 << ((i * 7 + k * 11) % 64)
+        flips.append(x)
+    h = np.unique(
+        np.concatenate([base, np.array(flips, np.uint64)])
+    )
+    ia, ib, d = _subband_hamming_pairs(h, max_dist=7, tile=64)
+    got = {(int(a), int(b)) for a, b in zip(ia, ib)}
+    want = set()
+    for i in range(len(h)):
+        for j in range(i + 1, len(h)):
+            if bin(int(h[i]) ^ int(h[j])).count("1") <= 7:
+                want.add((i, j))
+    assert got == want
