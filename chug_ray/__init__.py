@@ -42,6 +42,14 @@ def ingest_ocr_dataset(ds, line_break="\n"):
     return _ing(ds, line_break=line_break)
 
 
+def iter_training_batches(ds, batch_size, *, drop_last=False):
+    """Lazy import of the training-batch consumer adapter (the
+    reference-collate-semantics seam for torch-side consumers)."""
+    from chug_ray.collate import iter_training_batches as _itb
+
+    return _itb(ds, batch_size, drop_last=drop_last)
+
+
 __all__ = [
     "CorpusConfig",
     "ExtractConfig",
@@ -51,5 +59,6 @@ __all__ = [
     "build_extract_pipeline",
     "run_job",
     "ingest_ocr_dataset",
+    "iter_training_batches",
     "__version__",
 ]

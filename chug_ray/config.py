@@ -42,7 +42,12 @@ class ExtractConfig:
     # table once (small stores); "ranged" prepares a ref-sorted small-
     # row-group copy and actors do ranged row-group reads + LRU — the
     # backend for payload corpora that exceed the object store.
+    # "auto" (the CLI default) picks from the media parquet's footer
+    # stats at plan time — the auto_join pattern: broadcast below
+    # media_broadcast_threshold_bytes of uncompressed payload, ranged
+    # above, so a forgotten flag can't ray.put a 100 TB payload table.
     media_store_mode: str = "broadcast"
+    media_broadcast_threshold_bytes: int = 256 << 20
     # plan-time internal: the prepared ranged-store dir (set by
     # build_extract_pipeline, shipped to workers inside cfg_json)
     media_store_ranged_path: str | None = None

@@ -30,6 +30,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import logging
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -91,6 +93,27 @@ def _resolve_bcast(ref):
 
 
 _STORE_REF_CACHE: dict = {}
+
+
+def _media_store_nbytes(path: str) -> int:
+    """Uncompressed payload bytes from parquet FOOTERS only (no data
+    read): sum of row-group total_byte_size across the file or every
+    file of a directory store."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def one(p: str) -> int:
+        md = pq.ParquetFile(p).metadata
+        return sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+
+    if os.path.isdir(path):
+        return sum(
+            one(os.path.join(path, f))
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    return one(path)
 
 
 def _store_ref_for(path: str):
@@ -524,11 +547,28 @@ def build_extract_pipeline(docs, cfg: ExtractConfig, media_meta_ref=None):
         import dataclasses
 
         cfg = dataclasses.replace(cfg, error_policy=base_policy)
-    if cfg.media_store_mode not in ("broadcast", "ranged"):
+    if cfg.media_store_mode not in ("auto", "broadcast", "ranged"):
         raise ValueError(
             f"unknown media_store_mode {cfg.media_store_mode!r}; "
-            "expected 'broadcast' or 'ranged'"
+            "expected 'auto', 'broadcast' or 'ranged'"
         )
+    if cfg.media_store_mode == "auto":
+        # footer-stats plan-time switch (the auto_join pattern): the
+        # parquet footer's uncompressed byte total approximates the
+        # in-memory payload table the broadcast path would ray.put.
+        import dataclasses
+
+        picked = "broadcast"
+        if cfg.media_store_path is not None:
+            nbytes = _media_store_nbytes(cfg.media_store_path)
+            if nbytes > cfg.media_broadcast_threshold_bytes:
+                picked = "ranged"
+            logging.getLogger(__name__).info(
+                "media_store_mode=auto picked %s (%d footer bytes, "
+                "threshold %d)",
+                picked, nbytes, cfg.media_broadcast_threshold_bytes,
+            )
+        cfg = dataclasses.replace(cfg, media_store_mode=picked)
     if cfg.media_store_mode == "ranged" and cfg.media_store_path is not None:
         # prepare the ref-sorted ranged store once (cached by mtime);
         # workers open it lazily — nothing is broadcast.

@@ -187,10 +187,12 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--page-sampling", default="all_valid")
     parser.add_argument(
         "--media-mode",
-        default="broadcast",
-        choices=["broadcast", "ranged"],
-        help="payload store backend: broadcast (ray.put once) or ranged "
-        "(per-actor row-group reads + LRU over a ref-sorted store)",
+        default="auto",
+        choices=["auto", "broadcast", "ranged"],
+        help="payload store backend: broadcast (ray.put once), ranged "
+        "(per-actor row-group reads + LRU over a ref-sorted store), or "
+        "auto (default: footer-stats pick — broadcast for small stores, "
+        "ranged when uncompressed payload bytes exceed the threshold)",
     )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-resume", action="store_true")

@@ -61,6 +61,47 @@ def test_store_backends_bit_identical(ray_session, t1_corpus, mode):
     _assert_matches_oracle(ray_session, t1_corpus, cfg)
 
 
+@pytest.mark.parametrize(
+    "threshold,picked",
+    [(10**15, "broadcast"), (0, "ranged")],
+)
+def test_auto_media_mode_footer_pick(
+    ray_session, t1_corpus, threshold, picked, caplog
+):
+    """media_store_mode='auto' picks from the parquet footer byte total
+    (the auto_join pattern) and the picked backend still matches the
+    sequential oracle bit-for-bit."""
+    import logging
+
+    _, docs_path, media_path = t1_corpus
+    cfg = ExtractConfig(
+        page_sampling="all_valid",
+        seed=3,
+        media_store_path=media_path,
+        media_store_mode="auto",
+        media_broadcast_threshold_bytes=threshold,
+        heavy_cost_threshold=40,
+    )
+    with caplog.at_level(logging.INFO, logger="chug_ray.pipeline"):
+        _assert_matches_oracle(ray_session, t1_corpus, cfg)
+    assert any(
+        f"picked {picked}" in r.getMessage() for r in caplog.records
+    )
+
+
+def test_auto_media_mode_nbytes_matches_footer(t1_corpus):
+    import pyarrow.parquet as pq2
+
+    from chug_ray.pipeline import _media_store_nbytes
+
+    _, _, media_path = t1_corpus
+    md = pq2.ParquetFile(media_path).metadata
+    want = sum(
+        md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+    )
+    assert _media_store_nbytes(media_path) == want > 0
+
+
 def test_ranged_store_lookup_with_tiny_lru(ray_session, t1_corpus):
     """Cache capacity 1 still answers every ref correctly (evict+reload)."""
     import pyarrow.parquet as pq2
