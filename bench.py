@@ -239,7 +239,7 @@ def _scaling_main(sf_dir: str, lo: int, hi: int, repeats: int = 2) -> None:
     # machine-readable artifact: the efficiency claim as a data file
     # (VERDICT r3 task #5), not BASELINE.md prose
     out_json = os.environ.get(
-        "GRAFT_SCALING_OUT", os.path.join(REPO, "SCALING_r04.json")
+        "GRAFT_SCALING_OUT", os.path.join(REPO, "SCALING_r05.json")
     )
     with open(out_json, "w") as f:
         json.dump(line, f, indent=1)
