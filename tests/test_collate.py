@@ -74,3 +74,70 @@ def test_iter_training_batches_streams(ray_session):
     # drop_last trims the tail partial batch
     full = list(iter_training_batches(ds, batch_size=4, drop_last=True))
     assert [len(b["x"]) for b in full] == [4, 4]
+
+
+# --- property: collate over arbitrary mixed tables (pure function) ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _tables(draw):
+    n = draw(st.integers(min_value=0, max_value=8))
+    cols = {
+        "__skip": ["x"] * n,
+        "_keep": draw(
+            st.lists(st.text(max_size=5), min_size=n, max_size=n)
+        ),
+        "num": draw(
+            st.lists(
+                st.integers(min_value=-(2**40), max_value=2**40),
+                min_size=n,
+                max_size=n,
+            )
+        ),
+        "txt": draw(
+            st.lists(st.text(max_size=8), min_size=n, max_size=n)
+        ),
+        "lst": draw(
+            st.lists(
+                st.lists(
+                    st.floats(allow_nan=False, allow_infinity=False,
+                              width=64),
+                    max_size=4,
+                ),
+                min_size=n,
+                max_size=n,
+            )
+        ),
+    }
+    return pa.table(
+        {
+            "__skip": pa.array(cols["__skip"], pa.string()),
+            "_keep": pa.array(cols["_keep"], pa.string()),
+            "num": pa.array(cols["num"], pa.int64()),
+            "txt": pa.array(cols["txt"], pa.string()),
+            "lst": pa.array(cols["lst"], pa.list_(pa.float64())),
+        }
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(_tables())
+def test_collate_properties(tbl):
+    out = collate_arrow_batch(tbl)
+    n = len(tbl)
+    assert "__skip" not in out
+    assert out["_keep"] == tbl["_keep"].to_pylist()
+    assert isinstance(out["num"], np.ndarray) and len(out["num"]) == n
+    assert out["txt"] == tbl["txt"].to_pylist()
+    rows = tbl["lst"].to_pylist()
+    lens = {len(r) for r in rows}
+    if n and len(lens) == 1:
+        assert isinstance(out["lst"], np.ndarray)
+        assert out["lst"].shape == (n, lens.pop())
+    else:
+        assert out["lst"] == rows
+    # every non-__ column survives with all n rows, in order
+    assert set(out) == {"_keep", "num", "txt", "lst"}
