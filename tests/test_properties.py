@@ -145,3 +145,89 @@ def test_anti_join_with_empty_events_passes_all_customers(
     )
     out = customers_without_events(str(tmp_path)).take_all()
     assert sorted(r["c_custkey"] for r in out) == [1, 2, 3]
+
+
+# --- Morton interleave: magic-number spread vs naive per-bit reference ---
+
+import numpy as np
+
+from chug_ray.ops.selection import _part1by1
+
+
+def _part1by1_naive(v: int) -> int:
+    out = 0
+    for bit in range(16):
+        out |= ((v >> bit) & 1) << (2 * bit)
+    return out
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 2**16 - 1), min_size=1, max_size=64))
+def test_part1by1_matches_naive_interleave(vals):
+    arr = np.asarray(vals, dtype=np.uint64)
+    spread = _part1by1(arr)
+    assert spread.tolist() == [_part1by1_naive(v) for v in vals]
+    # interleaving two 16-bit halves is injective: codes round-trip
+    x, y = arr[: len(arr) // 2], arr[len(arr) // 2 :]
+    n = min(len(x), len(y))
+    if n:
+        code = (_part1by1(x[:n]) << np.uint64(1)) | _part1by1(y[:n])
+        # de-interleave by collecting alternating bits
+        def gather(c, phase):
+            return sum(((int(c) >> (2 * b + phase)) & 1) << b for b in range(16))
+        assert [gather(c, 1) for c in code] == x[:n].tolist()
+        assert [gather(c, 0) for c in code] == y[:n].tolist()
+
+
+# --- brace expansion: structural invariants on generated patterns ---
+
+from chug_ray.urls import expand_braces
+
+_atom = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd")), max_size=3
+)
+
+
+@st.composite
+def _brace_patterns(draw):
+    """Build a pattern from literal atoms, alternative groups and numeric
+    ranges; return (pattern, expected_count)."""
+    n_parts = draw(st.integers(1, 4))
+    pattern, count = "", 1
+    for _ in range(n_parts):
+        kind = draw(st.sampled_from(["lit", "alts", "range"]))
+        if kind == "lit":
+            pattern += draw(_atom)
+        elif kind == "alts":
+            alts = draw(st.lists(_atom, min_size=2, max_size=4))
+            pattern += "{" + ",".join(alts) + "}"
+            count *= len(alts)
+        else:
+            lo = draw(st.integers(0, 30))
+            hi = draw(st.integers(0, 30))
+            pattern += "{%d..%d}" % (lo, hi)
+            count *= abs(hi - lo) + 1
+    return pattern, count
+
+
+@settings(max_examples=100, deadline=None)
+@given(_brace_patterns())
+def test_expand_braces_count_and_shape(pat_count):
+    pattern, count = pat_count
+    out = expand_braces(pattern)
+    assert len(out) == count
+    assert all("{" not in u and "}" not in u for u in out)
+    # no expansion groups → identity; deterministic across calls
+    assert expand_braces(pattern) == out
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 50), st.integers(0, 50), st.integers(1, 3))
+def test_expand_braces_zero_padded_range(lo, hi, width):
+    a, b = str(lo).zfill(width), str(hi).zfill(width)
+    out = expand_braces("s-{%s..%s}" % (a, b))
+    step = 1 if hi >= lo else -1
+    expect_w = width if (len(a) > len(str(lo)) or len(b) > len(str(hi))) else 0
+    assert out == [
+        "s-" + str(n).zfill(expect_w) for n in range(lo, hi + step, step)
+    ]
