@@ -288,6 +288,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, media_path, _ = corpus_for_sf_dir(sf_dir)
         return media_ops.phash_dups(media_path)
 
+    def _augment_frames(sf_dir: str):
+        _, media_path, _ = corpus_for_sf_dir(sf_dir)
+        return media_ops.augment_frames(media_path, size=(32, 32), seed=0)
+
     # NOTE on ordering: the driver's correctness harness records only the
     # FIRST 50 dict entries. The literal dict below keeps its historical
     # grouping; _R5_WINDOW (after the dict) re-orders the first 50 for the
@@ -486,6 +490,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_tokens": relational.explode_tokens,
         "docs_by_lang_source": relational.docs_by_lang_source,
         "flatten_props": sources.flatten_props,  # r02-green, rotated out
+        # keyed-RNG train augmentation stack (SURVEY §2.11 random half;
+        # rows-only: pixel warps aren't SQL-expressible). Appended last —
+        # the r05 window above is frozen.
+        "augment_frames": _augment_frames,
     }
 
     # Round-5 window rotation (VERDICT r4 task #1): the driver records only

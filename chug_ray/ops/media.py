@@ -228,6 +228,69 @@ def imagespec_decode(
     )
 
 
+class FrameAugmenter:
+    """Actor: decode each image payload's first frame and run the
+    keyed-RNG train augmentation stack (`chug_ray/kernels/augment.py`,
+    the numpy port of
+    `/root/reference/src/chug/image/build_transforms_doc.py:52-174`).
+
+    The stack is compiled once per actor in ``__init__``; every sample's
+    draws are keyed by ``(seed, media_ref)``, so the emitted features
+    (and the applied-stage bitmask) are identical at any batch size /
+    actor count — the distributed-reproducibility property the
+    reference's global-torch-RNG stack cannot give."""
+
+    def __init__(self, size: tuple[int, int] = (64, 64), seed: int = 0):
+        from chug_ray.kernels.augment import DocAugment
+
+        self.aug = DocAugment(size, seed)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for ref, payload, kind in zip(
+            batch["media_ref"], batch["payload"], batch["kind"]
+        ):
+            if kind != "image":
+                continue
+            try:
+                frames = simg.decode(bytes(payload))
+            except simg.SimgError:
+                continue
+            if not frames:
+                continue
+            raster = simg.render_frame(frames[0])
+            out, applied = self.aug(raster, ref)
+            rows.append(
+                {
+                    "media_ref": ref,
+                    "out_h": out.shape[0],
+                    "out_w": out.shape[1],
+                    "applied_mask": applied,
+                    "mean_e4": int(np.floor(float(np.mean(out)) * 1e4 + 0.5)),
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["media_ref", "out_h", "out_w", "applied_mask", "mean_e4"],
+        )
+
+
+def augment_frames(
+    media_path: str, size: tuple[int, int] = (64, 64), seed: int = 0
+):
+    """Actor-pool keyed-RNG train-augmentation stage over a media table
+    (SURVEY §2.11's random half). Emits per-frame output shape, the
+    STAGE_BITS bitmask of augmentations that fired, and a fixed-point
+    pixel mean — auditable, order-invariant evidence of the draw."""
+    import ray.data
+
+    return ray.data.read_parquet(media_path).map_batches(
+        FrameAugmenter(size, seed),
+        batch_format="pandas",
+        batch_size=64,
+    )
+
+
 def decode_real_audio(payload: bytes) -> "np.ndarray":
     """Stub for a real audio codec (soundfile/ffmpeg/torchaudio).
 

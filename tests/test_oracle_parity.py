@@ -78,6 +78,7 @@ ROWS_ONLY = [
     "mahalanobis_outliers",
     "hits",
     "greedy_coverage",
+    "augment_frames",
 ]
 
 
