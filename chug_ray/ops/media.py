@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from chug_ray.kernels import simg, spdf
 
@@ -229,13 +230,16 @@ def imagespec_decode(
 
 
 class FrameAugmenter:
-    """Actor: decode each image payload's first frame and run the
-    keyed-RNG train augmentation stack (`chug_ray/kernels/augment.py`,
-    the numpy port of
+    """Per-task callable: decode each image payload's first frame and
+    run the keyed-RNG train augmentation stack
+    (`chug_ray/kernels/augment.py`, the numpy port of
     `/root/reference/src/chug/image/build_transforms_doc.py:52-174`).
+    Stack construction is trivial (a dict copy), so this ships as a
+    pickled task callable rather than an actor pool — the repo-measured
+    rule that task pools beat autoscaling actors for short stages.
 
-    The stack is compiled once per actor in ``__init__``; every sample's
-    draws are keyed by ``(seed, media_ref)``, so the emitted features
+    Every sample's draws are keyed by ``(seed, media_ref)``, so the
+    emitted features
     (and the applied-stage bitmask) are identical at any batch size /
     actor count — the distributed-reproducibility property the
     reference's global-torch-RNG stack cannot give."""
@@ -269,9 +273,21 @@ class FrameAugmenter:
                     "mean_e4": int(np.floor(float(np.mean(out)) * 1e4 + 0.5)),
                 }
             )
-        return pd.DataFrame(
-            rows,
-            columns=["media_ref", "out_h", "out_w", "applied_mask", "mean_e4"],
+        # typed Arrow output: an all-non-image batch must still emit the
+        # (string, int64 ×4) schema — an empty PANDAS frame would convert
+        # its object columns to Arrow `null` and break the block union
+        return pa.table(
+            {
+                "media_ref": pa.array(
+                    [r["media_ref"] for r in rows], pa.string()
+                ),
+                "out_h": pa.array([r["out_h"] for r in rows], pa.int64()),
+                "out_w": pa.array([r["out_w"] for r in rows], pa.int64()),
+                "applied_mask": pa.array(
+                    [r["applied_mask"] for r in rows], pa.int64()
+                ),
+                "mean_e4": pa.array([r["mean_e4"] for r in rows], pa.int64()),
+            }
         )
 
 
@@ -284,7 +300,9 @@ def augment_frames(
     pixel mean — auditable, order-invariant evidence of the draw."""
     import ray.data
 
-    return ray.data.read_parquet(media_path).map_batches(
+    return ray.data.read_parquet(
+        media_path, columns=["media_ref", "payload", "kind"]
+    ).map_batches(
         FrameAugmenter(size, seed),
         batch_format="pandas",
         batch_size=64,
@@ -349,13 +367,15 @@ class AudioWindowFeatures:
             nsamp.extend(counts.tolist())
             rms.extend(np.floor(r * 1e4 + 0.5).astype(np.int64).tolist())
             peak.extend(np.floor(p * 1e4 + 0.5).astype(np.int64).tolist())
-        return pd.DataFrame(
+        # typed Arrow output: a batch with only empty payloads must
+        # still emit (string, int64 ×4), not object→null columns
+        return pa.table(
             {
-                "media_ref": pd.Series(refs, dtype=object),
-                "window_idx": pd.Series(widx, dtype=np.int64),
-                "n_samples": pd.Series(nsamp, dtype=np.int64),
-                "rms_e4": pd.Series(rms, dtype=np.int64),
-                "peak_e4": pd.Series(peak, dtype=np.int64),
+                "media_ref": pa.array(refs, pa.string()),
+                "window_idx": pa.array(widx, pa.int64()),
+                "n_samples": pa.array(nsamp, pa.int64()),
+                "rms_e4": pa.array(rms, pa.int64()),
+                "peak_e4": pa.array(peak, pa.int64()),
             }
         )
 
@@ -434,12 +454,14 @@ class PhashStage:
                 refs.append(ref)
                 frames_i.append(i)
                 hashes.append(phash64(simg.render_frame(f)))
-        return pd.DataFrame(
+        # typed Arrow output: an all-non-image batch must still emit
+        # (string, int64, uint64), not object→null columns
+        return pa.table(
             {
-                "media_ref": np.array(refs, object),
-                "frame": np.array(frames_i, np.int64),
+                "media_ref": pa.array(refs, pa.string()),
+                "frame": pa.array(frames_i, pa.int64()),
                 # hashes use the full 64-bit range — keep uint64 end to end
-                "phash": np.array(hashes, np.uint64),
+                "phash": pa.array(hashes, pa.uint64()),
             }
         )
 

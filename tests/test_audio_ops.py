@@ -24,7 +24,7 @@ def test_window_features_golden():
     batch = pd.DataFrame(
         {"media_ref": ["a"], "payload": [_pcm(s)], "kind": ["audio"]}
     )
-    out = AudioWindowFeatures(window=4)(batch)
+    out = AudioWindowFeatures(window=4)(batch).to_pandas()
     assert out["window_idx"].tolist() == [0, 1]
     assert out["n_samples"].tolist() == [4, 2]
     x = s.astype(np.float64) / 32768.0
@@ -47,7 +47,7 @@ def test_window_features_edge_payloads():
             "kind": ["audio"] * 3,
         }
     )
-    out = AudioWindowFeatures(window=8)(batch)
+    out = AudioWindowFeatures(window=8)(batch).to_pandas()
     assert out["media_ref"].tolist() == ["one", "odd"]
     assert out["n_samples"].tolist() == [1, 1]
     # both decode to the single sample 0x4000 = 16384 -> 0.5 full scale
@@ -82,7 +82,7 @@ def test_audio_op_over_media_table(ray_session, tmp_path):
         pd.DataFrame(
             {"media_ref": refs, "payload": payloads, "kind": ["audio"] * 20}
         )
-    )
+    ).to_pandas()
     a = out.sort_values(["media_ref", "window_idx"], ignore_index=True)
     b = local.sort_values(["media_ref", "window_idx"], ignore_index=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
