@@ -23,7 +23,12 @@ Scale shape:
   (the repo's promo_revenue sorted-int-map pattern); each iteration is
   then ONE streaming pass over the static materialized edge table —
   searchsorted score lookup, per-batch dst-sum combiner — into one
-  ``groupby(dst)`` sum. ``max_nodes`` guards the broadcast loudly (the
+  ``groupby(dst)`` sum. When ``num_blocks · n_nodes · 8`` fits under
+  ``DENSE_REDUCE_MAX_BYTES`` the groupby sort-shuffle is replaced by a
+  dense per-block int64 vector reduce on the driver (the kmeans_lloyd
+  shape; order-invariant integer adds ⇒ bit-identical either way,
+  pinned by the forced-fallback tests). ``max_nodes`` guards the
+  broadcast loudly (the
   no-silent-caps rule); an edge-shuffle formulation would lift the
   bound at ~10× the per-iteration cost (measured 34 s vs ~2 s per
   iteration at sf0.1) and is the documented fallback if the node set
@@ -48,6 +53,13 @@ import pyarrow as pa
 
 SCALE = 1_000_000_000_000  # 1e12 fixed point
 SUPPLIER_OFFSET = 1 << 32  # supplier node id = s_suppkey + OFFSET
+
+# dense per-block reduce cap: the driver sums ONE n_nodes int64 vector
+# per edge block, so total bytes pulled = num_blocks * n_nodes * 8.
+# Under this cap the per-iteration groupby sort-shuffle is replaced by
+# a plain vector add (order-invariant, bit-identical); above it the
+# node-keyed groupby path keeps driver memory bounded by the node set.
+DENSE_REDUCE_MAX_BYTES = 128 * 2**20
 
 
 def _bucket_union(parts, key_col: str, num_buckets: int):
@@ -191,6 +203,7 @@ def pagerank(
     num_buckets: int = 64,
     damping_pct: int = 85,
     max_nodes: int = 50_000_000,
+    dense_reduce_max_bytes: int = DENSE_REDUCE_MAX_BYTES,
 ):
     """Integer fixed-point PageRank over the trade graph. Returns one
     row per node: (kind, key, score_fp) with ``score_fp`` the final
@@ -246,8 +259,46 @@ def pagerank(
 
     from ray.data.aggregate import Sum as _Sum
 
+    # adaptive reduce (the auto_join plan-time switch, kmeans_lloyd's
+    # dense shape): when every block can ship ONE dense n_nodes int64
+    # vector to the driver without the total exceeding the cap, skip
+    # the per-iteration groupby sort-shuffle entirely — integer vector
+    # adds are order-invariant, so results stay bit-identical either
+    # way. Large graphs keep the node-keyed groupby (node-bounded).
+    use_dense = (
+        edges.num_blocks() * n_nodes * 8 <= dense_reduce_max_bytes
+    )
+
     for _ in range(n_iter):
         state_ref = ray.put((nodes_arr, w_arr, score_arr))
+
+        if use_dense:
+
+            def contrib_dense(batch: pa.Table, _ref=state_ref) -> pa.Table:
+                nodes_b, W_b, score_b = ray.get(_ref)
+                src = batch["src"].to_numpy(zero_copy_only=False)
+                dst = batch["dst"].to_numpy(zero_copy_only=False)
+                w = batch["w"].to_numpy(zero_copy_only=False)
+                si = np.searchsorted(nodes_b, src)
+                c = score_b[si] * w // W_b[si]
+                v = np.zeros(len(nodes_b), np.int64)
+                np.add.at(v, np.searchsorted(nodes_b, dst), c)
+                return pa.table(
+                    {
+                        "v": pa.ListArray.from_arrays(
+                            pa.array([0, len(v)], pa.int32()), pa.array(v)
+                        )
+                    }
+                )
+
+            vrows = edges.map_batches(
+                contrib_dense, batch_format="pyarrow", batch_size=None
+            ).take_all()  # one dense row per block (cap checked above)
+            insum = np.zeros(n_nodes, np.int64)
+            for r in vrows:
+                insum += np.asarray(r["v"], np.int64)
+            score_arr = base + damping_pct * insum // 100
+            continue
 
         def contrib_partial(batch: pa.Table, _ref=state_ref) -> pa.Table:
             nodes_b, W_b, score_b = ray.get(_ref)  # zero-copy, per-task
@@ -691,6 +742,7 @@ def hits(
     n_iter: int = 6,
     num_buckets: int = 64,
     max_nodes: int = 50_000_000,
+    dense_reduce_max_bytes: int = DENSE_REDUCE_MAX_BYTES,
 ):
     """HITS hubs-and-authorities over the bipartite customer→supplier
     trade graph (customers are hubs, suppliers authorities; edge weight
@@ -781,8 +833,59 @@ def hits(
     h = np.full(len(hubs), SCALE, np.int64)
     a = np.full(len(auths), SCALE, np.int64)
 
+    # same adaptive reduce as pagerank: under the cap each block ships
+    # ONE dense [auth_raw ++ hub_raw] int64 vector and the driver adds
+    # them (order-invariant), skipping the per-iteration sort-shuffle
+    n_all = len(hubs) + len(auths)
+    use_dense = edges.num_blocks() * n_all * 8 <= dense_reduce_max_bytes
+
     for _ in range(n_iter):
         state = ray.put((hubs, h, auths, a))
+
+        if use_dense:
+
+            def contrib_dense(batch: pa.Table, _ref=state) -> pa.Table:
+                hubs_b, h_b, auths_b, a_b = ray.get(_ref)
+                s = batch["src"].to_numpy(zero_copy_only=False)
+                d = batch["dst"].to_numpy(zero_copy_only=False)
+                w = batch["w"].to_numpy(zero_copy_only=False)
+                v = np.zeros(len(auths_b) + len(hubs_b), np.int64)
+                np.add.at(
+                    v[: len(auths_b)],
+                    np.searchsorted(auths_b, d),
+                    h_b[np.searchsorted(hubs_b, s)] * w,
+                )
+                np.add.at(
+                    v[len(auths_b) :],
+                    np.searchsorted(hubs_b, s),
+                    a_b[np.searchsorted(auths_b, d)] * w,
+                )
+                return pa.table(
+                    {
+                        "v": pa.ListArray.from_arrays(
+                            pa.array([0, len(v)], pa.int32()), pa.array(v)
+                        )
+                    }
+                )
+
+            vrows = edges.map_batches(
+                contrib_dense, batch_format="pyarrow", batch_size=None
+            ).take_all()  # one dense row per block (cap checked above)
+            acc = np.zeros(n_all, np.int64)
+            for r in vrows:
+                acc += np.asarray(r["v"], np.int64)
+
+            def norm_max(raw: np.ndarray) -> np.ndarray:
+                mx = int(raw.max(initial=0))
+                if mx == 0:
+                    return raw
+                return np.array(
+                    [int(v) * SCALE // mx for v in raw], np.int64
+                )
+
+            a = norm_max(acc[: len(auths)])
+            h = norm_max(acc[len(auths) :])
+            continue
 
         def contrib(batch: pa.Table, _ref=state) -> pa.Table:
             hubs_b, h_b, auths_b, a_b = ray.get(_ref)

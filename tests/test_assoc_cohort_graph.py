@@ -139,3 +139,10 @@ def test_hits_matches_sequential_bit_exact(ray_session):
     pd.testing.assert_frame_equal(got, ref, check_dtype=False, check_exact=True)
     # max normalization: the best hub and best authority sit at SCALE
     assert (got.groupby("kind")["score_fp"].max() == SCALE).all()
+    # forcing the node-keyed groupby fallback (dense cap 0) must agree
+    sparse = hits(sf, dense_reduce_max_bytes=0).sort_values(
+        ["kind", "key"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(
+        sparse, ref, check_dtype=False, check_exact=True
+    )

@@ -70,6 +70,18 @@ def test_pagerank_matches_sequential_reference(ray_session):
     assert top >= SUPPLIER_OFFSET
 
 
+def test_pagerank_dense_and_sparse_paths_bit_identical(ray_session):
+    """The adaptive dense per-block reduce (under DENSE_REDUCE_MAX_BYTES)
+    and the node-keyed groupby fallback are exact int64 formulations of
+    the same sum — forcing the fallback must reproduce every score."""
+    dense = pagerank(SF, n_iter=3).to_pandas()
+    sparse = pagerank(SF, n_iter=3, dense_reduce_max_bytes=0).to_pandas()
+    key = lambda df: sorted(
+        (k, s, f) for k, s, f in zip(df["kind"], df["key"], df["score_fp"])
+    )
+    assert key(dense) == key(sparse)
+
+
 def test_pagerank_partitioning_invariance(ray_session, tmp_path):
     """Tiny row groups + reversed row order: identical scores."""
     for t in ("orders", "lineitem"):
