@@ -540,6 +540,7 @@ def phash_dups(
     n_bands: int = 4,
     max_group_rows: int = 20_000,
     tile: int = 4096,
+    max_dup_hashes: int = 5_000_000,
 ):
     """Image near-duplicate pairs by perceptual hash + banded LSH — the
     multimodal member of the dedup family (crop/re-encode duplicates
@@ -551,9 +552,17 @@ def phash_dups(
     (blank/near-constant frames) — are collapsed FIRST by one
     ``groupby(phash)`` that elects a representative per distinct hash
     and emits the group as distance-0 star pairs (rep, member): m−1
-    rows instead of C(m,2), no pairwise verify at all. Only DISTINCT
+    rows instead of C(m,2), no pairwise verify at all. A combiner-count
+    census first finds the hashes with multiplicity ≥ 2 (broadcast via
+    ``ray.put``, capped loudly by ``max_dup_hashes`` with the full
+    collapse groupby as the documented fallback) so SINGLETON hashes —
+    the bulk of any real corpus — bypass the collapse shuffle entirely
+    via a map-side searchsorted filter. Only DISTINCT
     hashes enter banding: each 64-bit pHash splits into ``n_bands``
-    16-bit bands; one ``groupby`` on (band, band bits) co-locates
+    16-bit bands; a second census over the band keys — bounded by
+    ``n_bands · 2^16`` rows BY CONSTRUCTION, so the broadcast is always
+    driver-safe — drops singleton buckets map-side before one
+    ``groupby`` on (band, band bits) co-locates the surviving
     candidates (two hashes within Hamming ``max_dist`` < 16 collide on
     ≥1 band whenever the flipped bits avoid one band — the standard
     LSH recall trade, pinned by the planted-duplicate test). In-bucket
@@ -562,10 +571,13 @@ def phash_dups(
     sub-band re-bucketing + strip verify (the ``_banded_cos_pairs``
     pattern — near-linear, exact distances, approximate only in
     recall, and exact for max_dist < 8). Pair dedup across bands is
-    one last groupby over candidate pairs, bounded by the number of
-    near-dup DISTINCT-hash pairs, not frames; star pairs bypass it
-    (disjoint by construction). Connected components over the output
-    equal those of the full pairwise-emission semantics.
+    one last ``Min`` aggregate over candidate pairs (every emission of
+    a pair carries the same exact distance, so Min is a pure dedup),
+    bounded by the number of near-dup DISTINCT-hash pairs, not frames;
+    star pairs bypass it (disjoint by construction). Connected
+    components over the output equal those of the full
+    pairwise-emission semantics; the census and fallback paths are
+    pinned equal in tests/test_phash_dups.py.
 
     Not SQL-expressible over the parquet views (payload decode) →
     rows-only driver check; recall/precision + hot-bucket boundedness
@@ -614,29 +626,135 @@ def phash_dups(
             }
         )
 
-    collapsed = (
-        hashes.map_batches(to_keyed, batch_format="pandas")
-        .materialize()  # partials: the sort shuffle re-executes lazy inputs
-        .groupby("hkey")
-        .map_groups(collapse_hash, batch_format="pandas")
-        .materialize()  # consumed twice (stars + reps): pin the shuffle
-    )
-    def stars_only(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.invert(b["is_rep"]))
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    keyed = hashes.map_batches(to_keyed, batch_format="pandas").materialize()
+
+    # --- duplicated-hash census (singleton bypass) --------------------
+    # Singleton hashes are their own representative and emit no star
+    # pairs, so only hashes with multiplicity ≥ 2 need the collapse
+    # groupby at all. One combiner-count aggregate finds them; the dup
+    # set rides a ray.put broadcast (capped loudly) and routing is a
+    # map-side searchsorted filter — the per-group map_groups Python
+    # cost then scales with ACTUAL duplicate classes, not all frames.
+    def count_partial(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby("hkey", as_index=False).size()
         return pa.table(
             {
-                "a_ref": b["a_ref"],
-                "a_frame": b["a_frame"],
-                "b_ref": b["b_ref"],
-                "b_frame": b["b_frame"],
-                "hamming": pa.array(np.zeros(len(b), np.int64)),
+                "hkey": pa.array(g["hkey"].to_numpy(np.int64)),
+                "m": pa.array(g["size"].to_numpy(np.int64)),
             }
         )
 
-    star_pairs = collapsed.map_batches(stars_only, batch_format="pyarrow")
-    reps = collapsed.map_batches(
-        lambda b: b.filter(b["is_rep"]), batch_format="pyarrow"
+    dup_rows = (
+        keyed.map_batches(count_partial, batch_format="pandas")
+        .materialize()  # partials: the sort shuffle re-executes lazy inputs
+        .groupby("hkey")
+        .aggregate(Sum("m", alias_name="m"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["m"], 1)),
+            batch_format="pyarrow",
+        )
+        .take_all()  # bounded by DUPLICATED distinct hashes (cap below)
     )
+
+    def stars_from(collapsed) -> "ray.data.Dataset":
+        def stars_only(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.invert(b["is_rep"]))
+            return pa.table(
+                {
+                    "a_ref": b["a_ref"],
+                    "a_frame": b["a_frame"],
+                    "b_ref": b["b_ref"],
+                    "b_frame": b["b_frame"],
+                    "hamming": pa.array(np.zeros(len(b), np.int64)),
+                }
+            )
+
+        return collapsed.map_batches(stars_only, batch_format="pyarrow")
+
+    def reps_view(b: pa.Table) -> pa.Table:
+        # unified rep schema for the banding stage
+        return pa.table(
+            {"b_ref": b["b_ref"], "b_frame": b["b_frame"], "hkey": b["hkey"]}
+        )
+
+    if len(dup_rows) == 0:
+        # no duplicated hash anywhere: every row is its own rep,
+        # no stars, no collapse shuffle at all
+        star_pairs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "a_ref": pa.array([], pa.string()),
+                    "a_frame": pa.array([], pa.int64()),
+                    "b_ref": pa.array([], pa.string()),
+                    "b_frame": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        )
+        reps = keyed.map_batches(
+            lambda b: pa.table(
+                {
+                    "b_ref": b["media_ref"],
+                    "b_frame": pc.cast(b["frame"], pa.int64()),
+                    "hkey": b["hkey"],
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()  # consumed twice (band census + band rows)
+    elif len(dup_rows) <= max_dup_hashes:
+        dup_ref = ray.put(
+            np.sort(np.array([r["hkey"] for r in dup_rows], np.int64))
+        )
+
+        def dup_mask(b: pa.Table, _r=dup_ref) -> np.ndarray:
+            d = ray.get(_r)
+            k = b["hkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(d, k)
+            return (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == k)
+
+        collapsed = (
+            keyed.map_batches(
+                lambda b: b.filter(pa.array(dup_mask(b))),
+                batch_format="pyarrow",
+            )
+            .materialize()  # partials: the sort shuffle re-executes lazy inputs
+            .groupby("hkey")
+            .map_groups(collapse_hash, batch_format="pandas")
+            .materialize()  # consumed twice (stars + dup reps)
+        )
+        star_pairs = stars_from(collapsed)
+        dup_reps = collapsed.map_batches(
+            lambda b: reps_view(b.filter(b["is_rep"])),
+            batch_format="pyarrow",
+        )
+        single_reps = keyed.map_batches(
+            lambda b: pa.table(
+                {
+                    "b_ref": b["media_ref"],
+                    "b_frame": pc.cast(b["frame"], pa.int64()),
+                    "hkey": b["hkey"],
+                }
+            ).filter(pa.array(~dup_mask(b))),
+            batch_format="pyarrow",
+        )
+        reps = single_reps.union(dup_reps).materialize()
+    else:
+        # dup set outgrew the broadcast cap: fall back to the full
+        # collapse groupby over every frame (the pre-census plan) —
+        # node-bounded, one sort shuffle over all (hkey, id) rows
+        collapsed = (
+            keyed.groupby("hkey")
+            .map_groups(collapse_hash, batch_format="pandas")
+            .materialize()  # consumed twice (stars + reps)
+        )
+        star_pairs = stars_from(collapsed)
+        reps = collapsed.map_batches(
+            lambda b: reps_view(b.filter(b["is_rep"])),
+            batch_format="pyarrow",
+        ).materialize()
 
     def band_rows(batch: pa.Table) -> pd.DataFrame:
         h = batch["hkey"].to_numpy(zero_copy_only=False).view(np.uint64)
@@ -689,17 +807,66 @@ def phash_dups(
             }
         )
 
-    def first_row(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    # --- hot-bucket census (singleton-bucket bypass) -------------------
+    # The band-bucket key space is ≤ n_bands · 2^16 rows by construction,
+    # so the multi-member bucket set ALWAYS fits on the driver — no cap
+    # needed. Buckets with one member cannot emit a pair; filtering them
+    # map-side means the per-bucket map_groups Python cost scales with
+    # COLLIDING buckets, not with every distinct hash × n_bands.
+    def band_count_partial(b: pa.Table) -> pa.Table:
+        h = b["hkey"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ks, cs = [], []
+        for band in range(n_bands):
+            bits = (h >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            bk = ((np.uint64(band) << np.uint64(16)) | bits).view(np.int64)
+            u, c = np.unique(bk, return_counts=True)
+            ks.append(u)
+            cs.append(c.astype(np.int64))
+        return pa.table(
+            {
+                "bk": pa.array(np.concatenate(ks) if ks else []),
+                "c": pa.array(np.concatenate(cs) if cs else []),
+            }
+        )
+
+    hot_rows = (
+        reps.map_batches(band_count_partial, batch_format="pyarrow")
+        .materialize()  # partials: the sort shuffle re-executes lazy inputs
+        .groupby("bk")
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["c"], 1)),
+            batch_format="pyarrow",
+        )
+        .take_all()  # ≤ n_bands · 65536 rows by construction
+    )
+
+    if len(hot_rows) == 0:
+        return star_pairs  # no band collision anywhere: stars are it
+
+    hot_ref = ray.put(
+        np.sort(np.array([r["bk"] for r in hot_rows], np.int64))
+    )
+
+    def hot_band_rows(batch: pa.Table, _r=hot_ref) -> pd.DataFrame:
+        out = band_rows(batch)
+        hot = ray.get(_r)
+        bk = out["bk"].to_numpy(np.int64)
+        pos = np.searchsorted(hot, bk)
+        keep = (pos < len(hot)) & (hot[np.minimum(pos, len(hot) - 1)] == bk)
+        return out[keep].reset_index(drop=True)
 
     rep_pairs = (
-        reps.map_batches(band_rows, batch_format="pyarrow")
+        reps.map_batches(hot_band_rows, batch_format="pyarrow")
         .materialize()  # partials: the sort shuffle re-executes lazy inputs
         .groupby("bk")
         .map_groups(bucket_pairs, batch_format="pandas")
         .materialize()  # pin before the pair-dedup shuffle
+        # cross-band dedup: every emission of a pair carries the SAME
+        # exact distance, so Min is a pure dedup (arrow-native, no
+        # per-group pandas calls)
         .groupby(["a_ref", "a_frame", "b_ref", "b_frame"])
-        .map_groups(first_row, batch_format="pandas")
+        .aggregate(Min("hamming", alias_name="hamming"))
     )
     # star pairs are disjoint from rep-rep pairs (a star's b side is a
     # non-representative) — union after the dedup, no extra shuffle

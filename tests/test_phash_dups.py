@@ -111,6 +111,26 @@ def test_phash_dups_deterministic(ray_session, tmp_path):
         assert comp[f"m{i:02d}"] == comp[f"m{i % 3:02d}"]
 
 
+def test_phash_dups_census_and_fallback_paths_agree(ray_session, tmp_path):
+    """The duplicated-hash census broadcast (singleton bypass) and the
+    full-collapse fallback (forced with max_dup_hashes=0) are the same
+    semantics — identical pair sets on the planted corpus."""
+    rows = [_img(f"m{i:02d}", 64, i % 3) for i in range(12)] + [
+        _img("crop", 66, 0),
+        _img("lone", 64, 999),
+    ]
+    p = _write(tmp_path, rows)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns), ignore_index=True)
+
+    fast = canon(phash_dups(p).to_pandas())
+    slow = canon(phash_dups(p, max_dup_hashes=0).to_pandas())
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+    assert len(fast) >= 9  # 3 classes × 3 star pairs + any crop edge
+
+
 def test_phash_dups_hot_bucket_bounded(ray_session, tmp_path):
     """The planted hot bucket: many identical frames (one pHash). The
     collapse emits exactly m−1 star pairs — linear, no pairwise verify
