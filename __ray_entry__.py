@@ -494,6 +494,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: pixel warps aren't SQL-expressible). Appended last —
         # the r05 window above is frozen.
         "augment_frames": _augment_frames,
+        # SQL-oracled graph closures (appended after the frozen window):
+        # min-label components + hop-capped BFS, both reproducible by
+        # DuckDB recursive CTEs over the same md5-sampled edge set
+        "connected_components": graph.connected_components,
+        "bfs_hops": graph.bfs_hops,
     }
 
     # Round-5 window rotation (VERDICT r4 task #1): the driver records only
@@ -520,8 +525,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # final round's window)
         "extract_parity_all_valid", "extract_parity_random",
         # stalest oracled evidence (last green r02)
-        "customers_without_events", "flatten_props", "hfds_docs",
-        "orders_by_segment",
+        "customers_without_events", "flatten_props",
+        # round-5 additions: recursive-CTE-oracled graph closures —
+        # in-window so they get a driver row in their first round
+        # (displacing two r02-green stale refreshes, which keep their
+        # sweep + pytest evidence)
+        "connected_components", "bfs_hops",
     ]
     ordered = {k: base[k] for k in _R5_WINDOW}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -2131,6 +2140,74 @@ def oracle_sql() -> dict[str, str]:
                          JOIN e e2 ON e1.v = e2.u
                          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
                         AS BIGINT) AS n_triangles
+        """,
+        # min-label connected components over the same md5-sampled edge
+        # set: the recursive closure propagates every label along edges
+        # and MIN(lab) per node is exactly the min-node-id fixpoint the
+        # Ray union-find / min-label propagation converges to
+        "connected_components": """
+            WITH RECURSIVE os AS (
+                SELECT DISTINCT l_orderkey o, l_suppkey s FROM lineitem
+            ),
+            e0 AS (
+                SELECT DISTINCT a.s u, b.s v
+                FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+            ),
+            e AS (
+                SELECT u, v FROM e0
+                WHERE substr(md5(u || '-' || v), 1, 2) < '20'
+            ),
+            sym AS (
+                SELECT u AS node, v AS nbr FROM e
+                UNION ALL
+                SELECT v, u FROM e
+            ),
+            reach(node, lab) AS (
+                SELECT node, node FROM (SELECT DISTINCT node FROM sym)
+                UNION
+                SELECT s.nbr, r.lab
+                FROM reach r JOIN sym s ON s.node = r.node
+            ),
+            comp AS (
+                SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+            )
+            SELECT CAST(c.node AS BIGINT) AS supp,
+                   CAST(c.component AS BIGINT) AS component,
+                   CAST(z.sz AS BIGINT) AS comp_size
+            FROM comp c
+            JOIN (SELECT component, count(*) AS sz
+                  FROM comp GROUP BY component) z USING (component)
+        """,
+        # hop-capped BFS walk from the smallest node id in the sampled
+        # edge set; MIN(d) per node = exact hop distance (cap mirrors
+        # the Ray side's max_hops=64 eccentricity bound)
+        "bfs_hops": """
+            WITH RECURSIVE os AS (
+                SELECT DISTINCT l_orderkey o, l_suppkey s FROM lineitem
+            ),
+            e0 AS (
+                SELECT DISTINCT a.s u, b.s v
+                FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+            ),
+            e AS (
+                SELECT u, v FROM e0
+                WHERE substr(md5(u || '-' || v), 1, 2) < '20'
+            ),
+            sym AS (
+                SELECT u AS node, v AS nbr FROM e
+                UNION ALL
+                SELECT v, u FROM e
+            ),
+            walk(node, d) AS (
+                SELECT MIN(LEAST(u, v)), 0 FROM e HAVING COUNT(*) > 0
+                UNION
+                SELECT s.nbr, w.d + 1
+                FROM walk w JOIN sym s ON s.node = w.node
+                WHERE w.d < 64
+            )
+            SELECT CAST(node AS BIGINT) AS supp,
+                   CAST(MIN(d) AS BIGINT) AS hops
+            FROM walk GROUP BY node
         """,
         "part_pair_support": """
             WITH op AS (

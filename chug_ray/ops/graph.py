@@ -958,3 +958,246 @@ def hits(
             "score_fp": np.concatenate([h, a]).astype(np.int64),
         }
     )
+
+
+def _edge_nodes(edges, max_nodes: int):
+    """Sorted unique node ids of a (u, v) edge Dataset — per-block
+    unique partials into ONE node-bounded groupby distinct, pulled to
+    the driver under the family's loud ``max_nodes`` guard."""
+    from ray.data.aggregate import Count
+
+    def part(batch: pa.Table) -> pa.Table:
+        both = np.unique(
+            np.concatenate(
+                [
+                    batch["u"].to_numpy(zero_copy_only=False),
+                    batch["v"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"n": pa.array(both.astype(np.int64))})
+
+    rows = (
+        edges.map_batches(part, batch_format="pyarrow")
+        .materialize()  # partials: the sort shuffle re-executes lazy inputs
+        .groupby("n")
+        .aggregate(Count(on="n", alias_name="c"))
+        .take_all()  # bounded by the supplier dimension (guarded below)
+    )
+    assert len(rows) <= max_nodes, (
+        f"graph node set {len(rows)} exceeds max_nodes={max_nodes}"
+    )
+    return np.array(sorted(r["n"] for r in rows), np.int64)
+
+
+def connected_components(
+    sf_dir: str,
+    sample_cut: int = 32,
+    num_buckets: int = 64,
+    max_nodes: int = 50_000_000,
+):
+    """Connected components of the DOULION-sampled co-supplier graph:
+    one row per node appearing in at least one sampled edge, with
+    ``component`` = the MINIMUM supplier id in its component (the
+    min-label fixpoint, so a DuckDB recursive CTE reproduces it
+    exactly) and ``comp_size`` = the component's node count.
+
+    Scale shape: reuses the session-cached edge build shared with
+    triangle_count/kcore (:func:`cosupplier_edges`) and the
+    size-adaptive CC engine from the dedup family
+    (``dedup._cc_labels``: exact driver union-find under its
+    ``max_driver_edges`` threshold, iterative two-shuffle min-label
+    propagation above — both paths produce identical labels). The
+    label set is bounded by the NODE dimension, so sizes are one
+    numpy pass over the guarded ``take_all`` (the pagerank
+    broadcast-vector pattern). Deterministic under any partitioning.
+
+    Reference anchor: no chug counterpart (chug has no graph ops);
+    SQL-oracled via WITH RECURSIVE min-label closure."""
+    import ray.data as rd
+
+    from chug_ray.ops.dedup import _cc_labels, _symmetric_edges
+
+    edges = cosupplier_edges(sf_dir, sample_cut, num_buckets)
+
+    # (u, v) → both-direction (node, val) rows for the CC engine;
+    # reuse the dedup helper by aliasing the column names it expects
+    sym = edges.map_batches(
+        lambda b: pa.table({"doc_a": b["u"], "doc_b": b["v"]}),
+        batch_format="pyarrow",
+    )
+    labels = _cc_labels(_symmetric_edges(sym), num_buckets)
+
+    empty = pa.table(
+        {
+            "supp": pa.array([], pa.int64()),
+            "component": pa.array([], pa.int64()),
+            "comp_size": pa.array([], pa.int64()),
+        }
+    )
+    if labels is None:  # no sampled edges at this scale
+        return rd.from_arrow(empty)
+
+    rows = labels.take_all()  # bounded by the supplier dimension
+    assert len(rows) <= max_nodes, (
+        f"connected_components: {len(rows)} nodes exceed "
+        f"max_nodes={max_nodes}"
+    )
+    node = np.array([r["node"] for r in rows], np.int64)
+    lab = np.array([r["val"] for r in rows], np.int64)
+    order = np.argsort(node, kind="stable")
+    node, lab = node[order], lab[order]
+    uniq, inv, cnt = np.unique(lab, return_inverse=True, return_counts=True)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "supp": pa.array(node),
+                "component": pa.array(lab),
+                "comp_size": pa.array(cnt[inv].astype(np.int64)),
+            }
+        )
+    )
+
+
+def bfs_hops(
+    sf_dir: str,
+    sample_cut: int = 32,
+    num_buckets: int = 64,
+    max_hops: int = 64,
+    max_nodes: int = 50_000_000,
+    dense_reduce_max_bytes: int = DENSE_REDUCE_MAX_BYTES,
+):
+    """Minimum hop count from the smallest supplier id in the sampled
+    co-supplier graph to every node it can reach (the single-source
+    BFS / unweighted shortest-path member of the graph family).
+    Returns (supp, hops) for REACHED nodes only; hops are exact, so
+    the result is deterministic under any partitioning and a DuckDB
+    recursive CTE (hop-capped walk + MIN) is the driver oracle.
+
+    Scale shape (the pagerank adaptive-reduce pattern): the distance
+    vector is bounded by the NODE dimension (loud ``max_nodes``
+    guard) and rides a ``ray.put`` broadcast; each round is ONE
+    streaming min-plus relaxation pass over the static materialized
+    edge table. When ``num_blocks · n · 8`` fits under
+    ``dense_reduce_max_bytes`` every block ships one dense candidate
+    vector and the driver element-wise mins them (order-invariant);
+    above the cap each batch emits (node, cand) partials into a
+    node-bounded ``groupby().min()``. Rounds stop at the fixpoint
+    (≤ graph eccentricity) with ``max_hops`` as the loud upper bound.
+
+    Reference anchor: no chug counterpart (chug has no graph ops)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    edges = cosupplier_edges(sf_dir, sample_cut, num_buckets)
+    empty = pa.table(
+        {
+            "supp": pa.array([], pa.int64()),
+            "hops": pa.array([], pa.int64()),
+        }
+    )
+    nodes_arr = _edge_nodes(edges, max_nodes)
+    n = len(nodes_arr)
+    if n == 0:
+        return rd.from_arrow(empty)
+
+    SENT = np.int64(max_hops + 1)  # small sentinel: +1 can never overflow
+    dist = np.full(n, SENT, np.int64)
+    dist[0] = 0  # source = smallest node id (nodes_arr is sorted)
+
+    use_dense = edges.num_blocks() * n * 8 <= dense_reduce_max_bytes
+
+    for _ in range(max_hops):
+        state_ref = ray.put((nodes_arr, dist))
+
+        if use_dense:
+
+            def relax_dense(batch: pa.Table, _ref=state_ref) -> pa.Table:
+                nodes_b, dist_b = ray.get(_ref)
+                ui = np.searchsorted(
+                    nodes_b, batch["u"].to_numpy(zero_copy_only=False)
+                )
+                vi = np.searchsorted(
+                    nodes_b, batch["v"].to_numpy(zero_copy_only=False)
+                )
+                cand = np.full(len(nodes_b), SENT, np.int64)
+                np.minimum.at(cand, vi, dist_b[ui] + 1)
+                np.minimum.at(cand, ui, dist_b[vi] + 1)
+                return pa.table(
+                    {
+                        "v": pa.ListArray.from_arrays(
+                            pa.array([0, len(cand)], pa.int32()),
+                            pa.array(cand),
+                        )
+                    }
+                )
+
+            vrows = edges.map_batches(
+                relax_dense, batch_format="pyarrow", batch_size=None
+            ).take_all()  # one dense row per block (cap checked above)
+            cand = np.full(n, SENT, np.int64)
+            for r in vrows:
+                cand = np.minimum(cand, np.asarray(r["v"], np.int64))
+        else:
+
+            def relax_partial(batch: pa.Table, _ref=state_ref) -> pa.Table:
+                nodes_b, dist_b = ray.get(_ref)
+                u = batch["u"].to_numpy(zero_copy_only=False)
+                v = batch["v"].to_numpy(zero_copy_only=False)
+                ui = np.searchsorted(nodes_b, u)
+                vi = np.searchsorted(nodes_b, v)
+                g = (
+                    pd.DataFrame(
+                        {
+                            "node": np.concatenate([v, u]),
+                            "c": np.concatenate(
+                                [dist_b[ui] + 1, dist_b[vi] + 1]
+                            ),
+                        }
+                    )
+                    .groupby("node", as_index=False)["c"]
+                    .min()
+                )
+                return pa.table(
+                    {
+                        "node": pa.array(g["node"].to_numpy(np.int64)),
+                        "c": pa.array(g["c"].to_numpy(np.int64)),
+                    }
+                )
+
+            rows = (
+                edges.map_batches(
+                    relax_partial, batch_format="pyarrow", batch_size=131072
+                )
+                .materialize()  # partials before the sort shuffle
+                .groupby("node")
+                .aggregate(Min("c", alias_name="c"))
+                .take_all()  # bounded by the node set (guarded above)
+            )
+            cand = np.full(n, SENT, np.int64)
+            ni = np.searchsorted(
+                nodes_arr, np.array([r["node"] for r in rows], np.int64)
+            )
+            cand[ni] = np.minimum(
+                cand[ni], np.array([r["c"] for r in rows], np.int64)
+            )
+
+        new = np.minimum(dist, cand)
+        if np.array_equal(new, dist):
+            break  # fixpoint: frontier exhausted
+        dist = new
+    else:
+        raise RuntimeError(
+            f"bfs_hops: no fixpoint within max_hops={max_hops} rounds"
+        )
+
+    reached = dist <= max_hops
+    return rd.from_arrow(
+        pa.table(
+            {
+                "supp": pa.array(nodes_arr[reached]),
+                "hops": pa.array(dist[reached]),
+            }
+        )
+    )
