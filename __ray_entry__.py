@@ -254,6 +254,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from chug_ray.ops import (
+        curation,
         dedup,
         graph,
         knn,
@@ -499,6 +500,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DuckDB recursive CTEs over the same md5-sampled edge set
         "connected_components": graph.connected_components,
         "bfs_hops": graph.bfs_hops,
+        # composed end-to-end curation recipe (filter→dedup→sample→
+        # select), one lazy plan, one SQL oracle for the whole chain
+        "curation_pipeline": curation.curation_pipeline,
     }
 
     # Round-5 window rotation (VERDICT r4 task #1): the driver records only
@@ -1103,6 +1107,62 @@ def oracle_sql() -> dict[str, str]:
                    keep_words * keep_mean_wl * keep_symbol * keep_bullet
                      * keep_ellipsis * keep_alpha * keep_stop AS keep
             FROM k
+        """,
+        # composed curation chain: gopher keep → min-doc_id-per-md5(text)
+        # survivors → md5(doc_id) subsample gate → per-lang top-20 by
+        # (n_words DESC, doc_id ASC) — one expression chain verifying the
+        # whole recipe end-to-end (same rule battery as gopher_filter)
+        "curation_pipeline": f"""
+            WITH s AS (
+                SELECT doc_id, lang, text,
+                       CAST(len({_TOK}) AS BIGINT) AS n_words,
+                       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]'))
+                            AS BIGINT) AS word_chars,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '[a-z0-9]*[a-z][a-z0-9]*')) AS BIGINT)
+                            AS n_alpha_words,
+                       CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                            AS BIGINT) AS n_symbols,
+                       CAST(len(regexp_extract_all(text, '\\n')) + 1
+                            AS BIGINT) AS n_lines,
+                       CAST(len(regexp_extract_all(text, '(?m)^[ \\t]*[-*]'))
+                            AS BIGINT) AS n_bullet_lines,
+                       CAST(len(regexp_extract_all(text, '(?m)\\.\\.\\.$'))
+                            AS BIGINT) AS n_ellipsis_lines,
+                       {_gopher_stop_sql()} AS n_stop_distinct
+                FROM documents
+            ),
+            g AS (
+                -- the six structural Gopher rules; the stopword rule is
+                -- parameter-gated off (synthetic vocabulary has none)
+                SELECT doc_id, lang, text, n_words FROM s
+                WHERE n_words >= 50 AND n_words <= 100000
+                  AND word_chars >= 3 * n_words
+                  AND word_chars <= 10 * n_words
+                  AND 10 * n_symbols <= n_words
+                  AND 10 * n_bullet_lines <= 9 * n_lines
+                  AND 10 * n_ellipsis_lines <= 3 * n_lines
+                  AND 5 * n_alpha_words >= 4 * n_words
+            ),
+            surv AS (
+                SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)
+            ),
+            samp AS (
+                SELECT g.lang, g.doc_id, g.n_words
+                FROM g JOIN surv USING (doc_id)
+                WHERE substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 2) < 'c0'
+            ),
+            r AS (
+                SELECT lang, doc_id, n_words,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_words DESC, doc_id
+                       ) AS rank_in_lang
+                FROM samp
+            )
+            SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, n_words,
+                   CAST(rank_in_lang AS BIGINT) AS rank_in_lang
+            FROM r WHERE rank_in_lang <= 20
         """,
         "rollup_revenue": """
             SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,

@@ -1087,6 +1087,86 @@ def c4_filter(sf_dir: str, num_buckets: int = 64):
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def gopher_signal_table(batch: pa.Table) -> pa.Table:
+    """The Gopher rule battery as a reusable per-batch kernel:
+    (doc_id, raw signals, one keep flag per rule, conjunction `keep`).
+    Shared by :func:`gopher_filter` and the composed
+    ``curation.curation_pipeline`` recipe so both stay semantically
+    identical to the single DuckDB expression set."""
+    import numpy as np
+
+    low = pc.utf8_lower(batch["text"])
+    n_words = _count_re(low, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.int64)
+    word_chars = _count_re(low, "[a-z0-9]").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_alpha = (
+        _count_re(low, "[a-z0-9]*[a-z][a-z0-9]*")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_sym = (
+        _count_re(batch["text"], r"#|\.\.\.")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_nl = _count_re(batch["text"], "\n").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_lines = n_nl + 1
+    n_bullet = (
+        _count_re(batch["text"], r"(?m)^[ \t]*[-*]")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_ellip = (
+        _count_re(batch["text"], r"(?m)\.\.\.$")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_stop = np.zeros(len(batch), np.int64)
+    for w in GOPHER_STOPWORDS:
+        n_stop += (
+            _count_re(low, rf"\b{w}\b").to_numpy(zero_copy_only=False) > 0
+        ).astype(np.int64)
+
+    keep_words = ((n_words >= 50) & (n_words <= 100_000)).astype(np.int64)
+    keep_mean_wl = (
+        (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
+    ).astype(np.int64)
+    keep_symbol = (10 * n_sym <= n_words).astype(np.int64)
+    keep_bullet = (10 * n_bullet <= 9 * n_lines).astype(np.int64)
+    keep_ellipsis = (10 * n_ellip <= 3 * n_lines).astype(np.int64)
+    keep_alpha = (5 * n_alpha >= 4 * n_words).astype(np.int64)
+    keep_stop = (n_stop >= 2).astype(np.int64)
+    keep = (
+        keep_words
+        * keep_mean_wl
+        * keep_symbol
+        * keep_bullet
+        * keep_ellipsis
+        * keep_alpha
+        * keep_stop
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words),
+            "word_chars": pa.array(word_chars),
+            "n_alpha_words": pa.array(n_alpha),
+            "n_symbols": pa.array(n_sym),
+            "n_lines": pa.array(n_lines),
+            "n_bullet_lines": pa.array(n_bullet),
+            "n_ellipsis_lines": pa.array(n_ellip),
+            "n_stop_distinct": pa.array(n_stop),
+            "keep_words": pa.array(keep_words),
+            "keep_mean_wl": pa.array(keep_mean_wl),
+            "keep_symbol": pa.array(keep_symbol),
+            "keep_bullet": pa.array(keep_bullet),
+            "keep_ellipsis": pa.array(keep_ellipsis),
+            "keep_alpha": pa.array(keep_alpha),
+            "keep_stop": pa.array(keep_stop),
+            "keep": pa.array(keep),
+        }
+    )
+
+
 def gopher_filter(sf_dir: str):
     """Gopher-rules corpus quality filter — the published heuristic
     battery (word count bounds, mean word length, symbol-to-word ratio,
@@ -1103,82 +1183,9 @@ def gopher_filter(sf_dir: str):
     no state, streams at any scale. The same RE2 patterns run verbatim in
     the DuckDB oracle, so match semantics are engine-identical.
     """
-
-    def fn(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        low = pc.utf8_lower(batch["text"])
-        n_words = _count_re(low, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.int64)
-        word_chars = _count_re(low, "[a-z0-9]").to_numpy(zero_copy_only=False).astype(np.int64)
-        n_alpha = (
-            _count_re(low, "[a-z0-9]*[a-z][a-z0-9]*")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        n_sym = (
-            _count_re(batch["text"], r"#|\.\.\.")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        n_nl = _count_re(batch["text"], "\n").to_numpy(zero_copy_only=False).astype(np.int64)
-        n_lines = n_nl + 1
-        n_bullet = (
-            _count_re(batch["text"], r"(?m)^[ \t]*[-*]")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        n_ellip = (
-            _count_re(batch["text"], r"(?m)\.\.\.$")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        n_stop = np.zeros(len(batch), np.int64)
-        for w in GOPHER_STOPWORDS:
-            n_stop += (
-                _count_re(low, rf"\b{w}\b").to_numpy(zero_copy_only=False) > 0
-            ).astype(np.int64)
-
-        keep_words = ((n_words >= 50) & (n_words <= 100_000)).astype(np.int64)
-        keep_mean_wl = (
-            (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
-        ).astype(np.int64)
-        keep_symbol = (10 * n_sym <= n_words).astype(np.int64)
-        keep_bullet = (10 * n_bullet <= 9 * n_lines).astype(np.int64)
-        keep_ellipsis = (10 * n_ellip <= 3 * n_lines).astype(np.int64)
-        keep_alpha = (5 * n_alpha >= 4 * n_words).astype(np.int64)
-        keep_stop = (n_stop >= 2).astype(np.int64)
-        keep = (
-            keep_words
-            * keep_mean_wl
-            * keep_symbol
-            * keep_bullet
-            * keep_ellipsis
-            * keep_alpha
-            * keep_stop
-        )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_words": pa.array(n_words),
-                "word_chars": pa.array(word_chars),
-                "n_alpha_words": pa.array(n_alpha),
-                "n_symbols": pa.array(n_sym),
-                "n_lines": pa.array(n_lines),
-                "n_bullet_lines": pa.array(n_bullet),
-                "n_ellipsis_lines": pa.array(n_ellip),
-                "n_stop_distinct": pa.array(n_stop),
-                "keep_words": pa.array(keep_words),
-                "keep_mean_wl": pa.array(keep_mean_wl),
-                "keep_symbol": pa.array(keep_symbol),
-                "keep_bullet": pa.array(keep_bullet),
-                "keep_ellipsis": pa.array(keep_ellipsis),
-                "keep_alpha": pa.array(keep_alpha),
-                "keep_stop": pa.array(keep_stop),
-                "keep": pa.array(keep),
-            }
-        )
-
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir).map_batches(
+        gopher_signal_table, batch_format="pyarrow"
+    )
 
 
 # BM25 retrieval (Robertson/Okapi, k1=1.2, b=0.75) over the documents
