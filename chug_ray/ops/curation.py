@@ -65,12 +65,26 @@ def curation_pipeline(
 
     from chug_ray.ops.textstats import gopher_signal_table
 
+    # md5 hexdigest chars are lowercase; an uppercase or odd-length gate
+    # would silently compare against a different byte threshold
+    sample_hex = sample_hex.lower()
+    if len(sample_hex) != 2 or any(
+        c not in "0123456789abcdef" for c in sample_hex
+    ):
+        raise ValueError(
+            f"sample_hex must be two lowercase hex chars, got {sample_hex!r}"
+        )
+
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
     )
 
     def keep_and_fingerprint(batch: pa.Table) -> pa.Table:
-        sig = gopher_signal_table(batch)
+        # the stopword scans (8 full-text regex passes) are skipped
+        # when the rule is gated off — the battery's hottest part
+        sig = gopher_signal_table(
+            batch, compute_stopwords=use_stopword_rule
+        )
         keep = np.ones(len(batch), np.int64)
         rules = [
             "keep_words",

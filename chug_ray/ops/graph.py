@@ -995,6 +995,8 @@ def connected_components(
     sample_cut: int = 32,
     num_buckets: int = 64,
     max_nodes: int = 50_000_000,
+    max_rounds: int = 16,
+    max_driver_edges: int = 4_000_000,
 ):
     """Connected components of the DOULION-sampled co-supplier graph:
     one row per node appearing in at least one sampled edge, with
@@ -1005,9 +1007,12 @@ def connected_components(
     Scale shape: reuses the session-cached edge build shared with
     triangle_count/kcore (:func:`cosupplier_edges`) and the
     size-adaptive CC engine from the dedup family
-    (``dedup._cc_labels``: exact driver union-find under its
-    ``max_driver_edges`` threshold, iterative two-shuffle min-label
-    propagation above — both paths produce identical labels). The
+    (``dedup._cc_labels``: exact driver union-find under
+    ``max_driver_edges`` symmetric rows, iterative two-shuffle
+    min-label propagation above — both paths produce identical labels
+    when the propagation converges; ``max_rounds`` bounds it at the
+    graph diameter and raises LOUDLY past it rather than emitting
+    unconverged labels — raise it for deep chain-like graphs). The
     label set is bounded by the NODE dimension, so sizes are one
     numpy pass over the guarded ``take_all`` (the pagerank
     broadcast-vector pattern). Deterministic under any partitioning.
@@ -1026,7 +1031,12 @@ def connected_components(
         lambda b: pa.table({"doc_a": b["u"], "doc_b": b["v"]}),
         batch_format="pyarrow",
     )
-    labels = _cc_labels(_symmetric_edges(sym), num_buckets)
+    labels = _cc_labels(
+        _symmetric_edges(sym),
+        num_buckets,
+        max_rounds=max_rounds,
+        max_driver_edges=max_driver_edges,
+    )
 
     empty = pa.table(
         {
@@ -1083,7 +1093,12 @@ def bfs_hops(
     vector and the driver element-wise mins them (order-invariant);
     above the cap each batch emits (node, cand) partials into a
     node-bounded ``groupby().min()``. Rounds stop at the fixpoint
-    (≤ graph eccentricity) with ``max_hops`` as the loud upper bound.
+    (≤ graph eccentricity + 1); when the eccentricity exceeds
+    ``max_hops`` the result is the exact HOP-CAPPED distance set —
+    after round k every node within k hops carries its final
+    distance, so filtering to ``hops <= max_hops`` matches the SQL
+    oracle's ``d < max_hops`` walk cap exactly (no raise: the cap is
+    part of the op's contract, mirrored in the oracle).
 
     Reference anchor: no chug counterpart (chug has no graph ops)."""
     import ray
@@ -1108,13 +1123,22 @@ def bfs_hops(
 
     use_dense = edges.num_blocks() * n * 8 <= dense_reduce_max_bytes
 
-    for _ in range(max_hops):
-        state_ref = ray.put((nodes_arr, dist))
+    # the node-id vector is static: broadcast it ONCE; only the
+    # distance vector rides a fresh put per round
+    nodes_ref = ray.put(nodes_arr)
+
+    # max_hops + 1 rounds: round k finalizes the k-hop layer, so the
+    # layer at exactly max_hops needs round max_hops plus one more
+    # chance to detect the fixpoint (or be cut by the cap filter below)
+    for _ in range(max_hops + 1):
+        dist_ref = ray.put(dist)
 
         if use_dense:
 
-            def relax_dense(batch: pa.Table, _ref=state_ref) -> pa.Table:
-                nodes_b, dist_b = ray.get(_ref)
+            def relax_dense(
+                batch: pa.Table, _nref=nodes_ref, _dref=dist_ref
+            ) -> pa.Table:
+                nodes_b, dist_b = ray.get(_nref), ray.get(_dref)
                 ui = np.searchsorted(
                     nodes_b, batch["u"].to_numpy(zero_copy_only=False)
                 )
@@ -1141,8 +1165,10 @@ def bfs_hops(
                 cand = np.minimum(cand, np.asarray(r["v"], np.int64))
         else:
 
-            def relax_partial(batch: pa.Table, _ref=state_ref) -> pa.Table:
-                nodes_b, dist_b = ray.get(_ref)
+            def relax_partial(
+                batch: pa.Table, _nref=nodes_ref, _dref=dist_ref
+            ) -> pa.Table:
+                nodes_b, dist_b = ray.get(_nref), ray.get(_dref)
                 u = batch["u"].to_numpy(zero_copy_only=False)
                 v = batch["v"].to_numpy(zero_copy_only=False)
                 ui = np.searchsorted(nodes_b, u)
@@ -1187,10 +1213,9 @@ def bfs_hops(
         if np.array_equal(new, dist):
             break  # fixpoint: frontier exhausted
         dist = new
-    else:
-        raise RuntimeError(
-            f"bfs_hops: no fixpoint within max_hops={max_hops} rounds"
-        )
+    # no fixpoint within max_hops + 1 rounds ⇒ eccentricity > max_hops;
+    # dist is still EXACT for every node within max_hops (BFS layer k is
+    # final after round k), and the cap filter below matches the oracle
 
     reached = dist <= max_hops
     return rd.from_arrow(

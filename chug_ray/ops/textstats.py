@@ -1087,12 +1087,20 @@ def c4_filter(sf_dir: str, num_buckets: int = 64):
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_signal_table(batch: pa.Table) -> pa.Table:
+def gopher_signal_table(
+    batch: pa.Table, compute_stopwords: bool = True
+) -> pa.Table:
     """The Gopher rule battery as a reusable per-batch kernel:
     (doc_id, raw signals, one keep flag per rule, conjunction `keep`).
     Shared by :func:`gopher_filter` and the composed
     ``curation.curation_pipeline`` recipe so both stay semantically
-    identical to the single DuckDB expression set."""
+    identical to the single DuckDB expression set.
+
+    ``compute_stopwords=False`` skips the ``GOPHER_STOPWORDS`` regex
+    loop — 8 extra full-text scans, the battery's hottest part — for
+    callers that gate the stopword rule off; ``n_stop_distinct``,
+    ``keep_stop`` and the conjunction ``keep`` then read as if no stop
+    word matched (0 / 0 / 0) and MUST NOT be consumed."""
     import numpy as np
 
     low = pc.utf8_lower(batch["text"])
@@ -1121,10 +1129,12 @@ def gopher_signal_table(batch: pa.Table) -> pa.Table:
         .astype(np.int64)
     )
     n_stop = np.zeros(len(batch), np.int64)
-    for w in GOPHER_STOPWORDS:
-        n_stop += (
-            _count_re(low, rf"\b{w}\b").to_numpy(zero_copy_only=False) > 0
-        ).astype(np.int64)
+    if compute_stopwords:
+        for w in GOPHER_STOPWORDS:
+            n_stop += (
+                _count_re(low, rf"\b{w}\b").to_numpy(zero_copy_only=False)
+                > 0
+            ).astype(np.int64)
 
     keep_words = ((n_words >= 50) & (n_words <= 100_000)).astype(np.int64)
     keep_mean_wl = (

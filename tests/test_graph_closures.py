@@ -53,6 +53,17 @@ def test_bfs_dense_equals_sparse_reduce(ray_session):
     pd.testing.assert_frame_equal(dense, sparse)
 
 
+def test_bfs_hop_cap_returns_exact_prefix(ray_session):
+    # eccentricity at sf0.01 is 2 (test above); a max_hops=1 cap must
+    # return exactly the <=1-hop prefix of the uncapped result, not raise
+    full = graph.bfs_hops(SF01).to_pandas()
+    capped = graph.bfs_hops(SF01, max_hops=1).to_pandas()
+    expect = full[full["hops"] <= 1]
+    pd.testing.assert_frame_equal(
+        _canon(capped), _canon(expect.reset_index(drop=True))
+    )
+
+
 def test_bfs_reaches_only_source_component(ray_session):
     cc = graph.connected_components(SF).to_pandas()
     bfs = graph.bfs_hops(SF).to_pandas()
