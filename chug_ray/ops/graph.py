@@ -92,6 +92,15 @@ def _session_cache_key(tag: str) -> tuple:
     return (ray.get_runtime_context().get_job_id(), tag)
 
 
+def _cache_insert(key: tuple, ds) -> None:
+    """Insert with dead-session eviction: entries keyed by a previous
+    job id hold unusable object-store refs and would accumulate forever
+    in a long-lived driver process."""
+    for k in [k for k in _DATASET_CACHE if k[0] != key[0]]:
+        del _DATASET_CACHE[k]
+    _DATASET_CACHE[key] = ds
+
+
 def build_trade_edges(sf_dir: str, num_buckets: int = 64):
     """Undirected (doubled) customer↔supplier edge list with weights:
     one row per (src, dst) with w = order-line count between the pair.
@@ -193,7 +202,7 @@ def build_trade_edges(sf_dir: str, num_buckets: int = 64):
         .map_batches(double, batch_format="pyarrow")
         .materialize()
     )
-    _DATASET_CACHE[key] = out
+    _cache_insert(key, out)
     return out
 
 
@@ -457,7 +466,7 @@ def cosupplier_edges(
         .map_groups(edge_distinct, batch_format="pandas")
         .materialize()
     )
-    _DATASET_CACHE[key] = out
+    _cache_insert(key, out)
     return out
 
 

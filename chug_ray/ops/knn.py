@@ -56,6 +56,11 @@ def _read_embeddings(sf_dir: str):
     ds = ray.data.read_parquet(
         path, columns=["vec_id", "embedding"]
     ).materialize()
+    # evict entries from dead sessions / rewritten files: their
+    # materialized refs are unusable and would otherwise accumulate
+    # forever in a long-lived driver process
+    for k in [k for k in _EMB_DS_CACHE if k[0] != key[0]]:
+        del _EMB_DS_CACHE[k]
     _EMB_DS_CACHE[key] = ds
     return ds
 
@@ -543,6 +548,19 @@ def kmeans_lloyd(sf_dir: str, k: int = 8, iters: int = 4):
 
         def partial(batch: pd.DataFrame) -> pa.Table:
             c = ray.get(cent_ref)
+            if len(batch) == 0:
+                # batch_size=None passes blocks whole, including empty
+                # ones — emit a zero partial (integer adds unaffected)
+                return pa.table(
+                    {
+                        "s": pa.array(
+                            [[0] * (len(c) * c.shape[1])],
+                            pa.list_(pa.int64()),
+                        ),
+                        "cnt": pa.array([[0] * len(c)], pa.list_(pa.int64())),
+                        "inertia_e4": pa.array([0], pa.int64()),
+                    }
+                )
             mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
             d2 = (
                 (mat * mat).sum(axis=1)[:, None]

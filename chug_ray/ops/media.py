@@ -106,7 +106,7 @@ class FrameSampler:
         self.n = n_frames
         self.seed = seed
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
         from chug_ray.util import rng_for
 
         out = []
@@ -132,8 +132,18 @@ class FrameSampler:
                         "height": frames[i].height,
                     }
                 )
-        return pd.DataFrame(
-            out, columns=["media_ref", "frame", "width", "height"]
+        # typed Arrow output: an all-non-image batch must still emit the
+        # (string, int64 ×3) schema — an empty PANDAS frame would convert
+        # its object columns to Arrow `null` and break the block union
+        return pa.table(
+            {
+                "media_ref": pa.array(
+                    [r["media_ref"] for r in out], pa.string()
+                ),
+                "frame": pa.array([r["frame"] for r in out], pa.int64()),
+                "width": pa.array([r["width"] for r in out], pa.int64()),
+                "height": pa.array([r["height"] for r in out], pa.int64()),
+            }
         )
 
 
@@ -172,7 +182,7 @@ class ImagespecDecoder:
         # dilation/align_long_axis/crop_margin), compiled once per actor
         self.transform = build_doc_transform(transforms)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
         from chug_ray.kernels.imagespec import coerce_image, crop_margin
 
         rows = []
@@ -204,12 +214,25 @@ class ImagespecDecoder:
                     "mean_e4": int(np.floor(float(np.mean(out)) * 1e4 + 0.5)),
                 }
             )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "media_ref", "out_h", "out_w", "out_c", "out_dtype",
-                "crop_h", "crop_w", "mean_e4",
-            ],
+        # typed Arrow output (same rationale as FrameSampler: an empty
+        # pandas frame would emit Arrow `null` columns)
+        return pa.table(
+            {
+                "media_ref": pa.array(
+                    [r["media_ref"] for r in rows], pa.string()
+                ),
+                "out_h": pa.array([r["out_h"] for r in rows], pa.int64()),
+                "out_w": pa.array([r["out_w"] for r in rows], pa.int64()),
+                "out_c": pa.array([r["out_c"] for r in rows], pa.int64()),
+                "out_dtype": pa.array(
+                    [r["out_dtype"] for r in rows], pa.string()
+                ),
+                "crop_h": pa.array([r["crop_h"] for r in rows], pa.int64()),
+                "crop_w": pa.array([r["crop_w"] for r in rows], pa.int64()),
+                "mean_e4": pa.array(
+                    [r["mean_e4"] for r in rows], pa.int64()
+                ),
+            }
         )
 
 
@@ -249,7 +272,7 @@ class FrameAugmenter:
 
         self.aug = DocAugment(size, seed)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
         rows = []
         for ref, payload, kind in zip(
             batch["media_ref"], batch["payload"], batch["kind"]
@@ -339,7 +362,7 @@ class AudioWindowFeatures:
         # once per actor
         self.window = window
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
         w = self.window
         refs, widx, nsamp, rms, peak = [], [], [], [], []
         for ref, payload in zip(batch["media_ref"], batch["payload"]):
@@ -439,7 +462,7 @@ class PhashStage:
     perceptual hash per frame. Real deployments load the codec in
     ``__init__``; here decode is the deterministic SIMG stand-in."""
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
         refs, frames_i, hashes = [], [], []
         for ref, payload, kind in zip(
             batch["media_ref"], batch["payload"], batch["kind"]
@@ -647,6 +670,9 @@ def phash_dups(
             }
         )
 
+    # bounded pull: take(cap + 1) decides the branch BEFORE any full
+    # driver materialization — at most cap+1 rows ever reach the
+    # driver, and when ≤ cap come back they ARE the whole dup set
     dup_rows = (
         keyed.map_batches(count_partial, batch_format="pandas")
         .materialize()  # partials: the sort shuffle re-executes lazy inputs
@@ -656,8 +682,17 @@ def phash_dups(
             lambda b: b.filter(pc.greater(b["m"], 1)),
             batch_format="pyarrow",
         )
-        .take_all()  # bounded by DUPLICATED distinct hashes (cap below)
+        .take(max_dup_hashes + 1)  # driver pull bounded by the cap
     )
+    if len(dup_rows) > max_dup_hashes:
+        import logging
+
+        logging.getLogger("chug_ray").warning(
+            "phash_dups: duplicated-hash census exceeds "
+            "max_dup_hashes=%d; falling back to the full collapse "
+            "groupby (no broadcast singleton bypass)",
+            max_dup_hashes,
+        )
 
     def stars_from(collapsed) -> "ray.data.Dataset":
         def stars_only(b: pa.Table) -> pa.Table:
