@@ -56,14 +56,39 @@ def collate_arrow_batch(batch: pa.Table) -> dict[str, Any]:
             pa.types.is_integer(typ.value_type)
             or pa.types.is_floating(typ.value_type)
         ):
-            rows = col.to_pylist()
-            lens = {len(r) for r in rows if r is not None}
-            if None not in rows and len(lens) == 1:
-                out[name] = np.stack(
-                    [np.asarray(r) for r in rows]
-                )  # uniform → (batch, n) tensor shape
+            # vectorized uniform check on the Arrow offsets — the hot
+            # path (every batch of every epoch) must not allocate one
+            # Python list + ndarray per row
+            if isinstance(col, pa.ChunkedArray):
+                arr = (
+                    col.chunk(0)
+                    if col.num_chunks == 1
+                    else pa.concat_arrays(
+                        col.chunks or [pa.array([], typ)]
+                    )
+                )
             else:
-                out[name] = rows  # ragged: leave per-row
+                arr = col
+            if pa.types.is_fixed_size_list(typ):
+                uniform = arr.null_count == 0
+                width = typ.list_size
+            else:
+                offs = np.asarray(arr.offsets)
+                lens = np.diff(offs)
+                uniform = (
+                    arr.null_count == 0
+                    and len(lens) > 0
+                    and bool((lens == lens[0]).all())
+                )
+                width = int(lens[0]) if len(lens) else 0
+            if uniform and arr.values.null_count == 0:
+                flat = arr.values.to_numpy(zero_copy_only=False)
+                if not pa.types.is_fixed_size_list(typ):
+                    # a sliced array's values may extend past the view
+                    flat = flat[offs[0] : offs[-1]]
+                out[name] = flat.reshape(len(arr), width)
+            else:
+                out[name] = col.to_pylist()  # ragged/null: per-row
         else:
             out[name] = col.to_pylist()
     return out

@@ -489,9 +489,12 @@ class PhashStage:
         )
 
 
+# uint8 LUT: the popcount strip _POP8[x] then matches x's byte budget
+# instead of amplifying it 8× to int64 (the strip-tiling contract);
+# per-row sums (≤ 64) promote to the platform int at the .sum()
 _POP8 = np.unpackbits(
     np.arange(256, dtype=np.uint8)[:, None], axis=1
-).sum(1).astype(np.int64)
+).sum(1).astype(np.uint8)
 
 
 def _hamming_strip_pairs(
@@ -508,7 +511,7 @@ def _hamming_strip_pairs(
     for i0 in range(0, n, tile):
         hi = h[i0 : i0 + tile]
         x = (hi[:, None] ^ h[None, :]).view(np.uint8)
-        dist = _POP8[x].reshape(len(hi), n, 8).sum(-1)
+        dist = _POP8[x].reshape(len(hi), n, 8).sum(-1, dtype=np.int64)
         ii, jj = np.nonzero(dist <= max_dist)
         keep = jj > ii + i0  # strictly upper in GLOBAL indices
         ia.append(ii[keep] + i0)

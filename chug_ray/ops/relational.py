@@ -3731,6 +3731,9 @@ def pair_lift(sf_dir: str, min_support: int = 2, num_buckets: int = 64):
     return pairs.map_batches(score, batch_format="pyarrow")
 
 
+_CUBE_NULL = "\x00"  # in-flight sentinel for null CUBE keys (see below)
+
+
 def cube_revenue(sf_dir: str):
     """Revenue + line counts by CUBE(l_returnflag, l_linestatus) — all
     four grouping sets, with 'ALL' as the rolled-up marker (no literal
@@ -3754,16 +3757,20 @@ def cube_revenue(sf_dir: str):
             ),
             pa.int64(),
         ).to_numpy(zero_copy_only=False)
-        # fill nulls with the rolled-up marker up front: pandas groupby
-        # drops null keys by default, and the oracle COALESCEs nulls into
-        # 'ALL' — same treatment here so null flag/status rows survive
+        # a null DATA value is its own detail group under CUBE — it must
+        # NOT merge with the grouping rollup rows that share the 'ALL'
+        # display label. Nulls ride through both groupbys as a NUL-char
+        # sentinel (pandas drops null keys; no real flag/status value
+        # contains NUL) and are relabeled 'ALL' only at display time
+        # below, exactly like the oracle's CUBE + COALESCE — which emits
+        # duplicate ('ALL', ...) display rows with distinct aggregates.
         df = pd.DataFrame(
             {
                 "flag": pc.coalesce(
-                    batch["l_returnflag"], pa.scalar("ALL")
+                    batch["l_returnflag"], pa.scalar(_CUBE_NULL)
                 ).to_pylist(),
                 "status": pc.coalesce(
-                    batch["l_linestatus"], pa.scalar("ALL")
+                    batch["l_linestatus"], pa.scalar(_CUBE_NULL)
                 ).to_pylist(),
                 "cents": cents,
             }
@@ -3795,6 +3802,23 @@ def cube_revenue(sf_dir: str):
             }
         )
 
+    def relabel(batch: pa.Table) -> pa.Table:
+        # display-time: the null-sentinel detail groups take the 'ALL'
+        # label (possibly duplicating a rollup row's display key, with
+        # distinct aggregates — the oracle's CUBE + COALESCE shape)
+        return pa.table(
+            {
+                "l_returnflag": pc.replace_substring(
+                    batch["l_returnflag"], _CUBE_NULL, "ALL"
+                ),
+                "l_linestatus": pc.replace_substring(
+                    batch["l_linestatus"], _CUBE_NULL, "ALL"
+                ),
+                "revenue_cents": batch["revenue_cents"],
+                "n_lines": batch["n_lines"],
+            }
+        )
+
     return (
         _read(
             sf_dir,
@@ -3808,6 +3832,7 @@ def cube_revenue(sf_dir: str):
             Sum("revenue_cents", alias_name="revenue_cents"),
             Sum("n_lines", alias_name="n_lines"),
         )
+        .map_batches(relabel, batch_format="pyarrow")
     )
 
 
@@ -3873,6 +3898,10 @@ def auto_join(
             c: dim_tbl[c].to_numpy(zero_copy_only=False)[order]
             for c in dim_cols
         }
+        # explicit arrow types: inference over a numpy OBJECT slice
+        # (string dims, or any all-miss/empty selection) would yield a
+        # null-typed column and diverge block schemas within one dataset
+        dim_types = {c: dim_tbl.schema.field(c).type for c in dim_cols}
         state = ray.put((keys[order], payload))
 
         def probe(batch: pa.Table) -> pa.Table:
@@ -3882,7 +3911,7 @@ def auto_join(
                 # before skeys[pos_c] indexes into an empty array
                 out = {c: batch[c].slice(0, 0) for c in [fact_key, *fact_cols]}
                 for c in dim_cols:
-                    out[c] = pa.array(pay[c][:0])
+                    out[c] = pa.array(pay[c][:0], type=dim_types[c])
                 return pa.table(out)
             fk = batch[fact_key].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(skeys, fk)
@@ -3891,7 +3920,7 @@ def auto_join(
             batch = batch.filter(pa.array(hit))
             cols = {c: batch[c] for c in [fact_key, *fact_cols]}
             for c in dim_cols:
-                cols[c] = pa.array(pay[c][pos_c[hit]])
+                cols[c] = pa.array(pay[c][pos_c[hit]], type=dim_types[c])
             return pa.table(cols)
 
         return fact.map_batches(probe, batch_format="pyarrow")

@@ -1659,6 +1659,16 @@ def first_last_touch(sf_dir: str):
     import pyarrow as pa
 
     def partial(batch: pd.DataFrame) -> pa.Table:
+        # the (ts, event_id) total-order contract requires both columns
+        # non-null (the events schema guarantees it): a null ts would
+        # order differently at the batch level (pandas NaT-last) vs the
+        # resolve level (int64-min-first) — batching-dependent output —
+        # and a null event_id breaks the int64 cast. Fail loudly instead.
+        if batch["ts"].isna().any() or batch["event_id"].isna().any():
+            raise ValueError(
+                "first_last_touch: null ts/event_id breaks the "
+                "(ts, event_id) total order; clean or filter them first"
+            )
         batch = batch.sort_values(["ts", "event_id"], kind="stable")
         g = batch.groupby("user_id", as_index=False)
         # nth() is positional: the whole first/last ROW in (ts, event_id)

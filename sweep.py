@@ -117,7 +117,10 @@ def main() -> None:
                 )
                 row["oracle_rows"] = len(duck_df)
             else:
-                row["ok"] = ray_df is not None and len(ray_df) >= 0
+                # rows-only: a well-formed result must still carry its
+                # declared schema — a zero-COLUMN frame (e.g. an untyped
+                # empty-batch degradation) is a failure even at 0 rows
+                row["ok"] = ray_df is not None and len(ray_df.columns) > 0
             row["ray_rows"] = len(ray_df)
         except Exception:
             row["ok"] = False

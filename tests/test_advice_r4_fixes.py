@@ -112,8 +112,11 @@ def test_first_last_touch_null_rows_positional(ray_session, tmp_path):
 
 
 def test_cube_revenue_null_keys_roll_into_all(ray_session, tmp_path):
-    """ADVICE #5: null flag/status rows are retained and COALESCE into
-    the 'ALL' marker — matched against DuckDB CUBE+COALESCE."""
+    """ADVICE #5 + r5 review: null flag/status rows are retained AND
+    stay distinct detail groups under CUBE — the engine must reproduce
+    DuckDB's CUBE+COALESCE output EXACTLY, including the duplicate
+    ('ALL', ...) display rows a null data value produces (one detail
+    group, one rollup group, different aggregates)."""
     from chug_ray.ops.relational import cube_revenue
 
     sf = str(tmp_path)
@@ -143,12 +146,8 @@ def test_cube_revenue_null_keys_roll_into_all(ray_session, tmp_path):
         )
         .df()
     )
-    # data-nulls merge into 'ALL' on both sides; aggregate the oracle's
-    # merged duplicates the same way the engine's groupby does
-    want = (
-        want.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-        .agg(revenue_cents=("revenue_cents", "sum"), n_lines=("n_lines", "sum"))
-    )
+    # NO re-aggregation: the driver's oracle compare is row-exact, so
+    # the engine must emit the oracle's duplicate display rows as-is
     want = want[sorted(want.columns)].sort_values(
         list(sorted(want.columns)), ignore_index=True
     )
