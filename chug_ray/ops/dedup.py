@@ -29,7 +29,6 @@ _TOKEN_RE = re.compile(TOKEN_RE)
 N_PERM = 64
 N_BANDS = 8
 ROWS_PER_BAND = N_PERM // N_BANDS
-_MERSENNE = (1 << 61) - 1
 
 
 def _docs(sf_dir: str, columns):
@@ -173,13 +172,6 @@ def dedup_survivors_join(sf_dir: str, num_partitions: int = 32):
     return joined.map_batches(finalize, batch_format="pyarrow")
 
 
-def _shingles(text: str, k: int = 3) -> list[str]:
-    toks = _TOKEN_RE.findall(text.lower())
-    if len(toks) < k:
-        return [" ".join(toks)] if toks else []
-    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-
-
 def _perm_params() -> tuple[np.ndarray, np.ndarray]:
     """Multiply-shift hash family over uint64 with natural wraparound
     (a odd): fully vectorizable, deterministic (fixed seed)."""
@@ -201,15 +193,6 @@ def _token_hash(tok: str) -> int:
     return int.from_bytes(
         hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
     )
-
-
-def _doc_shingle_hashes(text: str, cache: dict, k: int = 3) -> np.ndarray:
-    """uint64 hash per k-token shingle (rolling window, vectorized)."""
-    toks = _TOKEN_RE.findall(text.lower())
-    th = np.array(
-        [cache.setdefault(t, _token_hash(t)) for t in toks], dtype=np.uint64
-    )
-    return _shingle_hashes_from_tokens(th, k)
 
 
 def _shingle_hashes_from_tokens(th: np.ndarray, k: int = 3) -> np.ndarray:
@@ -257,11 +240,7 @@ class MinHasher:
         tok_arrays: list[np.ndarray] = []
         tok_sets: list[np.ndarray] = []
         for text in batch["text"].to_pylist():
-            toks = _TOKEN_RE.findall(text.lower())
-            th = np.array(
-                [_SKETCH_CACHE.setdefault(t, _token_hash(t)) for t in toks],
-                dtype=np.uint64,
-            )
+            th = _hashed_tokens(text)
             tok_arrays.append(th)
             # np.unique is sorted, so [:k] is exactly the bottom-k sketch
             tok_sets.append(np.unique(th)[: self.sketch_k])
@@ -281,6 +260,17 @@ class MinHasher:
             with np.errstate(over="ignore"):
                 prod = self.a[:, None] * flat[None, :] + self.b[:, None]
                 sigs[nz] = np.minimum.reduceat(prod, offsets, axis=1).T
+        # token-FREE docs all share the identical all-max signature: at
+        # web scale they would funnel into ONE band bucket and blow the
+        # quadratic self-merge — and every pair they form has union 0
+        # (jac 0, always discarded), so they emit no band rows at all
+        keep = np.array([t.size > 0 for t in tok_sets], bool)
+        if not keep.all():
+            idx = np.nonzero(keep)[0]
+            sigs = sigs[idx]
+            tok_sets = [tok_sets[i] for i in idx]
+            batch = batch.take(pa.array(idx))
+            n = len(idx)
         bandsig = sigs.reshape(n, N_BANDS, ROWS_PER_BAND)
         with np.errstate(over="ignore"):
             bh = np.zeros((n, N_BANDS), dtype=np.uint64)
@@ -365,12 +355,19 @@ def minhash_lsh_pairs(
         for ta, tb in zip(m["tok_hashes_a"], m["tok_hashes_b"]):
             ta = np.asarray(ta, dtype=np.uint64)
             tb = np.asarray(tb, dtype=np.uint64)
-            u = np.union1d(ta, tb)
-            if u.size > sketch_k:
-                # bottom-k estimator: every member of bottom_k(A∪B)
-                # that belongs to A is necessarily in bottom_k(A), so
-                # sketch membership is exact set membership here
-                u = u[:sketch_k]
+            # the estimator is for TRUNCATED sketches only: a sketch
+            # under the cap is the doc's complete token set, and two
+            # complete sets always admit exact Jaccard — regardless of
+            # their union size (a union > sketch_k of two complete
+            # sub-cap sets must NOT trigger estimation: measured 0.8594
+            # estimated vs 0.7857 exact on a 250∪250-token pair)
+            if ta.size >= sketch_k or tb.size >= sketch_k:
+                # bottom-k estimator over bottom_k(A∪B): the union of
+                # two bottom-k sketches contains bottom-k of the full
+                # union (mergeability), and membership of any
+                # bottom_k(A∪B) element in A is decidable from
+                # bottom_k(A) alone
+                u = np.union1d(ta, tb)[:sketch_k]
                 inter = (
                     np.isin(u, ta, assume_unique=True)
                     & np.isin(u, tb, assume_unique=True)
@@ -410,18 +407,25 @@ def minhash_lsh_pairs(
 _SKETCH_CACHE: dict[str, int] = {}
 
 
+def _hashed_tokens(text: str) -> np.ndarray:
+    """uint64 hash per token OCCURRENCE (order preserved); blake2b runs
+    once per unique token via the per-process ``_SKETCH_CACHE``. The
+    single tokenize+hash seam for every sketch/scan in this module —
+    one place to change the token universe or the cache policy."""
+    toks = _TOKEN_RE.findall(text.lower())
+    return np.array(
+        [_SKETCH_CACHE.setdefault(t, _token_hash(t)) for t in toks],
+        dtype=np.uint64,
+    )
+
+
 def _sketch_tokens(batch: pa.Table) -> pa.Table:
     """Reduce each doc to its sorted-unique uint64 token-hash set
     *before* the blocking shuffle, so the groups carry small sketches
     instead of texts."""
     sets = []
     for text in batch["text"].to_pylist():
-        toks = _TOKEN_RE.findall(text.lower())
-        th = np.array(
-            [_SKETCH_CACHE.setdefault(t, _token_hash(t)) for t in toks],
-            dtype=np.uint64,
-        )
-        sets.append(np.unique(th).tolist())
+        sets.append(np.unique(_hashed_tokens(text)).tolist())
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -468,14 +472,15 @@ def _banded_jaccard_pairs(
     instead of O(n²). Approximate only in recall (banding can miss pairs
     near the threshold); every emitted score is exact."""
     a_p, b_p = _perm_params()
-    empty_sig = np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
     buckets: dict[tuple, list[int]] = {}
     for i, s in enumerate(sets):
-        if s.size:
-            with np.errstate(over="ignore"):
-                sig = (a_p[:, None] * s[None, :] + b_p[:, None]).min(axis=1)
-        else:
-            sig = empty_sig
+        if not s.size:
+            # empty sets would ALL share one signature → one quadratic
+            # bucket, and every pair they form has union 0 (jac 0,
+            # always discarded) — skip them entirely
+            continue
+        with np.errstate(over="ignore"):
+            sig = (a_p[:, None] * s[None, :] + b_p[:, None]).min(axis=1)
         bandsig = sig.reshape(N_BANDS, ROWS_PER_BAND)
         for band in range(N_BANDS):
             buckets.setdefault((band, bandsig[band].tobytes()), []).append(i)
@@ -655,11 +660,11 @@ def embedding_near_dup(
             str(g["label"].iloc[0]) if len(g) else None,
             len(g),
         )
+        from chug_ray.ops.knn import _unit_rows
+
         ids = g["vec_id"].to_numpy()
         mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = mat / norms
+        unit = _unit_rows(mat)  # shared zero-norm convention with semdedup
         if len(ids) <= max_group_rows:
             va, vb, se4 = _cos_strip_pairs(ids, unit, threshold, tile)
         else:
@@ -1070,7 +1075,12 @@ def paragraph_dedup(sf_dir: str, num_buckets: int = 64):
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         paras, packed = [], []
         for d, text in zip(doc_ids, batch["text"].to_pylist()):
-            assert 0 <= d < (1 << 43), "doc_id overflows the packed key"
+            if not 0 <= d < (1 << 43):
+                # a raise, not an assert: the sibling pos guard below
+                # survives python -O and this one must too
+                raise ValueError(
+                    f"doc_id {d} overflows the packed (doc_id, pos) key"
+                )
             base = int(d) << _POS_BITS
             lines = text.split("\n")
             if len(lines) >= (1 << _POS_BITS):
@@ -1250,13 +1260,7 @@ def train_test_containment(
         maxc = np.zeros(n_ev, np.float64)
         hits = np.zeros(n_ev, np.int64)
         for text in batch["text"].to_pylist():
-            tt = _TOKEN_RE.findall(text.lower())
-            th = np.unique(
-                np.array(
-                    [_SKETCH_CACHE.setdefault(t, _token_hash(t)) for t in tt],
-                    dtype=np.uint64,
-                )
-            )
+            th = np.unique(_hashed_tokens(text))
             if not len(th) or not len(toks_u):
                 continue
             pos = np.searchsorted(toks_u, th)
@@ -1408,9 +1412,12 @@ def substring_dedup(sf_dir: str, k: int = 5, num_buckets: int = 64):
         lens = np.array(lens_l, np.int64)
         dids = np.array(dids_l, np.int64)
         if len(dids):
-            assert dids.min() >= 0 and dids.max() < (1 << 43), (
-                "doc_id overflows the packed key"
-            )
+            if dids.min() < 0 or dids.max() >= (1 << 43):
+                # a raise, not an assert: must survive python -O like
+                # the sibling pos guard below
+                raise ValueError(
+                    "doc_id overflows the packed (doc_id, pos) key"
+                )
             if int((lens - k + 1).max()) >= (1 << _POS_BITS):
                 bad = dids[np.argmax(lens)]
                 raise ValueError(
@@ -1669,7 +1676,9 @@ def semdedup(
     cent_ref = ray.put(cents)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(cent_ref)
+        from chug_ray.ops.relational import _bcast
+
+        c = _bcast(cent_ref)  # per-process cache, not a per-batch fetch
         mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         if c.shape[1] != mat.shape[1]:  # degenerate training: one cluster
             cluster = np.zeros(len(mat), np.int64)
