@@ -80,6 +80,13 @@ class CorpusConfig:
     # heavy-document profile (ms-scale per-doc decode, like real page
     # parses) so benchmarks measure compute, not per-row overhead
     span_scale: int = 1
+    # fraction of image frames replaced by "stock" frames drawn from a
+    # tiny pool of exact + near-variant frames: models the repeated
+    # logos/banners of real web corpora so image near-dup detection
+    # (phash_dups) has planted signal at every scale. Replacement uses
+    # a SEPARATE keyed rng, so 0.0 (the default) is bit-identical to
+    # corpora generated before the knob existed (pinned goldens hold).
+    dup_frame_rate: float = 0.0
 
     @property
     def big_pages(self) -> int:

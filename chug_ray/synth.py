@@ -91,8 +91,32 @@ def _html_source(rng) -> str:
     )
 
 
-def _simg_frames(rng, n_frames: int) -> list[simg.Frame]:
-    return [
+# "stock" frames for planted image duplicates (CorpusConfig.dup_frame_rate):
+# a tiny pool of canonical (w, h, pix_seed) bases, each with an exact
+# variant (no overlay) and near variants (one short overlay line —
+# a small localized pixel change, the re-encode/watermark analog).
+# Exact repeats exercise phash_dups' multiplicity-collapse star path;
+# near variants exercise banding + strip verify.
+_STOCK_BASES = (
+    (48, 32, 0xC0FFEE01),
+    (32, 48, 0xC0FFEE02),
+    (40, 40, 0xC0FFEE03),
+)
+_STOCK_LINES = ("", "sale", "news")
+
+
+def _stock_frame(stock_rng) -> simg.Frame:
+    w, h, seed = _STOCK_BASES[stock_rng.randrange(len(_STOCK_BASES))]
+    # half exact repeats (hot identical-hash case), half near variants
+    v = 0 if stock_rng.random() < 0.5 else stock_rng.randrange(1, 3)
+    lines = () if v == 0 else (_STOCK_LINES[v],)
+    return simg.Frame(width=w, height=h, pix_seed=seed, lines=lines)
+
+
+def _simg_frames(
+    rng, n_frames: int, stock_rng=None, stock_rate: float = 0.0
+) -> list[simg.Frame]:
+    frames = [
         simg.Frame(
             width=rng.randint(16, 64),
             height=rng.randint(16, 64),
@@ -103,6 +127,14 @@ def _simg_frames(rng, n_frames: int) -> list[simg.Frame]:
         )
         for _ in range(n_frames)
     ]
+    # replacement AFTER the full draw, from the separate stock rng: the
+    # main rng stream is consumed identically whether or not planting is
+    # on, so rate=0.0 corpora are bit-identical to the pre-knob fixtures
+    if stock_rng is not None and stock_rate > 0.0:
+        for i in range(n_frames):
+            if stock_rng.random() < stock_rate:
+                frames[i] = _stock_frame(stock_rng)
+    return frames
 
 
 def archetype_for(cfg: CorpusConfig, index: int) -> str:
@@ -133,6 +165,11 @@ def make_doc(cfg: CorpusConfig, index: int):
     arch = archetype_for(cfg, index)
     doc_id = f"{arch}-{index:08d}"
     rng = rng_for(cfg.seed, doc_id)
+    # planted-duplicate frames draw from their own keyed stream so the
+    # main stream (and every rate=0.0 corpus) is unchanged
+    stock_rng = (
+        rng_for(cfg.seed, "stock", doc_id) if cfg.dup_frame_rate > 0 else None
+    )
     spans: list[dict] = []
     span_pages: list[int] = []
     media: list[dict] = []
@@ -171,7 +208,9 @@ def make_doc(cfg: CorpusConfig, index: int):
         ref = add_media("pdf", spdf.encode(pages), len(pages))
         add("pdf", "", ref, n_pages=len(pages))
     elif arch == "tiff":
-        frames = _simg_frames(rng, rng.randint(2, 5))
+        frames = _simg_frames(
+            rng, rng.randint(2, 5), stock_rng, cfg.dup_frame_rate
+        )
         ref = add_media("image", simg.encode(frames), len(frames))
         add("image", "", ref, n_pages=len(frames))
     elif arch == "mixed":
@@ -187,7 +226,9 @@ def make_doc(cfg: CorpusConfig, index: int):
                     add_media("pdf", spdf.encode(pages), len(pages)),
                     n_pages=len(pages))
             else:
-                frames = _simg_frames(rng, rng.randint(1, 3))
+                frames = _simg_frames(
+                    rng, rng.randint(1, 3), stock_rng, cfg.dup_frame_rate
+                )
                 add("image", "",
                     add_media("image", simg.encode(frames), len(frames)),
                     n_pages=len(frames))
@@ -274,8 +315,16 @@ def corpus_for_sf_dir(sf_dir: str, cache_root: str = "/tmp/chug_ray_corpus"):
     # extraction, like real 150-DPI page parses) so the two-parallelism
     # probe measures compute scaling rather than per-row overhead
     span_scale = 16 if tag == "scaling" else 1
-    cfg = CorpusConfig(seed=42, n_docs=n_docs, skew=skew, span_scale=span_scale)
+    # planted duplicate/near-duplicate image frames (real web corpora
+    # repeat logos/banners constantly) so phash near-dup queries have
+    # deterministic signal at every sf
+    cfg = CorpusConfig(
+        seed=42, n_docs=n_docs, skew=skew, span_scale=span_scale,
+        dup_frame_rate=0.25,
+    )
     scale_sfx = f"_x{cfg.span_scale}" if cfg.span_scale != 1 else ""
+    if cfg.dup_frame_rate > 0:
+        scale_sfx += f"_d{int(cfg.dup_frame_rate * 100)}"
     out_dir = os.path.join(cache_root, f"{tag}_s{cfg.seed}_n{n_docs}_{skew}{scale_sfx}")
     marker = os.path.join(out_dir, "_complete")
     # big corpora generate distributed (generation is a pure function of

@@ -209,3 +209,28 @@ def test_subband_exact_below_eight_bits():
             if bin(int(h[i]) ^ int(h[j])).count("1") <= 7:
                 want.add((i, j))
     assert got == want
+
+
+def test_planted_stock_frames_give_dup_signal(ray_session, tmp_path):
+    """CorpusConfig.dup_frame_rate plants stock frames (the repeated
+    logos/banners of real web corpora): phash_dups over such a corpus
+    must find the planted identical-frame pairs, while the main rng
+    stream — and therefore every rate=0.0 corpus — is unchanged."""
+    from chug_ray.config import CorpusConfig
+    from chug_ray.synth import make_doc, write_corpus_inline
+
+    base = CorpusConfig(seed=42, n_docs=120, skew="test")
+    planted = CorpusConfig(
+        seed=42, n_docs=120, skew="test", dup_frame_rate=0.5
+    )
+    # the doc table (spans/offsets) is a function of the main stream
+    # only: planting swaps media payload bytes, never document structure
+    for i in range(0, 120, 17):
+        d0, _ = make_doc(base, i)
+        d1, _ = make_doc(planted, i)
+        assert d0 == d1
+    out = str(tmp_path / "planted")
+    write_corpus_inline(planted, out)
+    pairs = phash_dups(f"{out}/media.parquet").to_pandas()
+    assert len(pairs) > 0
+    assert (pairs["hamming"] == 0).all()  # stock repeats are exact
