@@ -528,13 +528,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction parity (r04-green; keep visible in the
         # final round's window)
         "extract_parity_all_valid", "extract_parity_random",
-        # stalest oracled evidence (last green r02)
-        "customers_without_events", "flatten_props",
-        # round-5 additions: recursive-CTE-oracled graph closures —
-        # in-window so they get a driver row in their first round
-        # (displacing two r02-green stale refreshes, which keep their
-        # sweep + pytest evidence)
+        # round-5 additions, never driver-checked — in-window so they
+        # get a driver row in their first round (displacing the two
+        # stalest r02-green refreshes, which keep sweep + pytest
+        # evidence): recursive-CTE-oracled graph closures, the
+        # chain-oracled end-to-end curation recipe, and the keyed-RNG
+        # augmentation stack (rows-only)
         "connected_components", "bfs_hops",
+        "curation_pipeline", "augment_frames",
     ]
     ordered = {k: base[k] for k in _R5_WINDOW}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
