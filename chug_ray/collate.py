@@ -83,8 +83,12 @@ def collate_arrow_batch(batch: pa.Table) -> dict[str, Any]:
                 width = int(lens[0]) if len(lens) else 0
             if uniform and arr.values.null_count == 0:
                 flat = arr.values.to_numpy(zero_copy_only=False)
-                if not pa.types.is_fixed_size_list(typ):
-                    # a sliced array's values may extend past the view
+                # a sliced array's .values returns the FULL unsliced
+                # child buffer (both list kinds) — trim to the view
+                if pa.types.is_fixed_size_list(typ):
+                    start = arr.offset * width
+                    flat = flat[start : start + len(arr) * width]
+                else:
                     flat = flat[offs[0] : offs[-1]]
                 out[name] = flat.reshape(len(arr), width)
             else:

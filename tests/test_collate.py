@@ -76,6 +76,22 @@ def test_iter_training_batches_streams(ray_session):
     assert [len(b["x"]) for b in full] == [4, 4]
 
 
+def test_collate_sliced_list_columns():
+    """A sliced array's .values spans the FULL unsliced child buffer for
+    both list kinds — collate must trim to the view (offset bug pin)."""
+    var = pa.array(
+        [[0.0, 1.0], [2.0, 3.0], [4.0, 5.0], [6.0, 7.0]],
+        pa.list_(pa.float64()),
+    )
+    fixed = var.cast(pa.list_(pa.float64(), 2))
+    tbl = pa.table({"var": var, "fixed": fixed}).slice(1, 2)
+    out = collate_arrow_batch(tbl)
+    expect = np.array([[2.0, 3.0], [4.0, 5.0]])
+    np.testing.assert_array_equal(out["var"], expect)
+    np.testing.assert_array_equal(out["fixed"], expect)
+    assert out["fixed"].shape == (2, 2)
+
+
 # --- property: collate over arbitrary mixed tables (pure function) ---
 
 from hypothesis import given, settings
