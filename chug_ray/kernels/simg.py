@@ -16,6 +16,7 @@ Layout (little-endian):
 
 from __future__ import annotations
 
+import re
 import struct
 from dataclasses import dataclass
 
@@ -80,11 +81,29 @@ def decode(data: bytes) -> list[Frame]:
     return frames
 
 
+# watermark line convention: a line of EXACTLY this form stamps pixels.
+# Natural OCR-like lines are space-joined vocab words and can never
+# match, so every pre-existing corpus renders bit-identically.
+_WM_RE = re.compile(r"^wm@(\d+),(\d+)$")
+_WM_BLOCK = 4  # px; small enough that pHash distance stays ≤ ~6
+
+
 def render_frame(frame: Frame) -> np.ndarray:
     """Deterministically expand a frame to an (h, w) uint8 grayscale raster.
 
     Stand-in for the rasterize step (reference renders via
     pypdfium2/PIL); deterministic so tests can golden-pin pixels.
+
+    Ordinary text lines do not affect pixels. The one exception is the
+    watermark convention ``wm@x,y`` — such a line inverts a 4×4 block at
+    (x, y), the re-encode/overlay analog that gives planted NEAR-duplicate
+    frames genuinely different rasters (small, localized pHash change).
     """
     rng = np.random.default_rng(frame.pix_seed)
-    return rng.integers(0, 256, size=(frame.height, frame.width), dtype=np.uint8)
+    img = rng.integers(0, 256, size=(frame.height, frame.width), dtype=np.uint8)
+    for line in frame.lines:
+        m = _WM_RE.match(line)
+        if m:
+            x, y = int(m.group(1)), int(m.group(2))
+            img[y : y + _WM_BLOCK, x : x + _WM_BLOCK] ^= 0xFF
+    return img

@@ -93,16 +93,17 @@ def _html_source(rng) -> str:
 
 # "stock" frames for planted image duplicates (CorpusConfig.dup_frame_rate):
 # a tiny pool of canonical (w, h, pix_seed) bases, each with an exact
-# variant (no overlay) and near variants (one short overlay line —
-# a small localized pixel change, the re-encode/watermark analog).
+# variant (no line) and near variants (a ``wm@x,y`` watermark line that
+# inverts a 4×4 pixel block — the re-encode/overlay analog, giving a
+# genuinely different raster at pHash distance 2–4 from the base).
 # Exact repeats exercise phash_dups' multiplicity-collapse star path;
-# near variants exercise banding + strip verify.
+# near variants exercise banding + strip verify with real >0 distances.
 _STOCK_BASES = (
     (48, 32, 0xC0FFEE01),
     (32, 48, 0xC0FFEE02),
     (40, 40, 0xC0FFEE03),
 )
-_STOCK_LINES = ("", "sale", "news")
+_STOCK_LINES = ("", "wm@4,4", "wm@12,8")
 
 
 def _stock_frame(stock_rng) -> simg.Frame:
@@ -324,7 +325,9 @@ def corpus_for_sf_dir(sf_dir: str, cache_root: str = "/tmp/chug_ray_corpus"):
     )
     scale_sfx = f"_x{cfg.span_scale}" if cfg.span_scale != 1 else ""
     if cfg.dup_frame_rate > 0:
-        scale_sfx += f"_d{int(cfg.dup_frame_rate * 100)}"
+        # "w" = watermarked near variants (stock-pool generation v2);
+        # distinct cache dir so pre-watermark corpora never get reused
+        scale_sfx += f"_d{int(cfg.dup_frame_rate * 100)}w"
     out_dir = os.path.join(cache_root, f"{tag}_s{cfg.seed}_n{n_docs}_{skew}{scale_sfx}")
     marker = os.path.join(out_dir, "_complete")
     # big corpora generate distributed (generation is a pure function of

@@ -63,11 +63,32 @@ def test_phash_identical_and_crop_variants():
     same = simg.render_frame(simg.Frame(64, 64, 7, ("y", "z")))
     crop = simg.render_frame(simg.Frame(64, 66, 7, ("x",)))
     other = simg.render_frame(simg.Frame(64, 64, 8, ("x",)))
-    assert phash64(base) == phash64(same)  # lines don't affect pixels
+    assert phash64(base) == phash64(same)  # plain lines don't affect pixels
     d_crop = bin(phash64(base) ^ phash64(crop)).count("1")
     d_other = bin(phash64(base) ^ phash64(other)).count("1")
     assert d_crop <= 10
     assert d_other > 10
+
+
+def test_watermark_line_stamps_pixels():
+    """``wm@x,y`` inverts a 4×4 block — a real, localized raster change
+    (small nonzero pHash distance); any other line stays pixel-neutral."""
+    base = simg.render_frame(simg.Frame(48, 32, 0xC0FFEE01, ()))
+    wm = simg.render_frame(simg.Frame(48, 32, 0xC0FFEE01, ("wm@4,4",)))
+    diff = base != wm
+    assert diff.sum() == 16  # exactly the 4×4 block
+    assert diff[4:8, 4:8].all()
+    np.testing.assert_array_equal(base[4:8, 4:8] ^ 0xFF, wm[4:8, 4:8])
+    d = bin(phash64(base) ^ phash64(wm)).count("1")
+    assert 0 < d <= 10  # near-dup range: found by banding, not identical
+    # near-miss line forms are NOT watermarks
+    for ln in ("wm@4", "wm@4,4 extra", "xwm@4,4", "wm@a,b"):
+        np.testing.assert_array_equal(
+            base, simg.render_frame(simg.Frame(48, 32, 0xC0FFEE01, (ln,)))
+        )
+    # out-of-bounds stamp clips instead of raising
+    edge = simg.render_frame(simg.Frame(8, 8, 3, ("wm@6,6",)))
+    assert (edge != simg.render_frame(simg.Frame(8, 8, 3, ()))).sum() == 4
 
 
 def test_phash_dups_finds_planted_pairs(ray_session, tmp_path):
@@ -233,4 +254,10 @@ def test_planted_stock_frames_give_dup_signal(ray_session, tmp_path):
     write_corpus_inline(planted, out)
     pairs = phash_dups(f"{out}/media.parquet").to_pandas()
     assert len(pairs) > 0
-    assert (pairs["hamming"] == 0).all()  # stock repeats are exact
+    # stock repeats give BOTH signals: exact (distance-0 star pairs
+    # through the multiplicity collapse) and watermarked near variants
+    # (0 < hamming ≤ max_dist, through banding + strip verify)
+    assert (pairs["hamming"] == 0).any()
+    near = pairs[pairs["hamming"] > 0]
+    assert len(near) > 0
+    assert (near["hamming"] <= 10).all()
