@@ -213,11 +213,21 @@ def pagerank(
     damping_pct: int = 85,
     max_nodes: int = 50_000_000,
     dense_reduce_max_bytes: int = DENSE_REDUCE_MAX_BYTES,
+    max_driver_edges: int = 4_000_000,
 ):
     """Integer fixed-point PageRank over the trade graph. Returns one
     row per node: (kind, key, score_fp) with ``score_fp`` the final
     int64 score at ``SCALE`` fixed point — bit-identical under any
-    partitioning or row order."""
+    partitioning or row order.
+
+    Size-adaptive like the CC engine (``dedup._cc_labels``): when the
+    aggregated edge table fits under ``max_driver_edges`` rows it is
+    pulled ONCE and all iterations run locally — the same exact int64
+    ``np.add.at`` contribution sum, so scores are bit-identical to the
+    distributed paths (pinned in tests/test_pagerank.py) while the
+    per-iteration Dataset-execution latency drops to zero. Larger
+    graphs keep the broadcast-score streaming iterations with the
+    adaptive dense/groupby reduce."""
     import ray
     import ray.data
     from ray.data.aggregate import Count, Max, Sum
@@ -267,6 +277,24 @@ def pagerank(
     score_arr = np.full(n_nodes, init, np.int64)
 
     from ray.data.aggregate import Sum as _Sum
+
+    # driver fast path: edge table under the cap → one pull, local
+    # iterations (identical exact-int arithmetic; see docstring)
+    if edges.count() <= max_driver_edges:
+        tabs = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            et = pa.concat_tables(tabs)
+            src = et["src"].to_numpy(zero_copy_only=False)
+            dst = et["dst"].to_numpy(zero_copy_only=False)
+            ew = et["w"].to_numpy(zero_copy_only=False)
+            si = np.searchsorted(nodes_arr, src)
+            di = np.searchsorted(nodes_arr, dst)
+            for _ in range(n_iter):
+                c = score_arr[si] * ew // w_arr[si]
+                insum = np.zeros(n_nodes, np.int64)
+                np.add.at(insum, di, c)
+                score_arr = base + damping_pct * insum // 100
+        return _pagerank_output(nodes_arr, score_arr)
 
     # adaptive reduce (the auto_join plan-time switch, kmeans_lloyd's
     # dense shape): when every block can ship ONE dense n_nodes int64
@@ -344,6 +372,14 @@ def pagerank(
         insum[di] = np.array([r["c"] for r in insum_rows], np.int64)
         score_arr = base + damping_pct * insum // 100
 
+    return _pagerank_output(nodes_arr, score_arr)
+
+
+def _pagerank_output(nodes_arr: np.ndarray, score_arr: np.ndarray):
+    """(kind, key, score_fp) Dataset from the node/score vectors —
+    shared by the driver fast path and the distributed iterations."""
+    import ray.data as rd
+
     is_sup = nodes_arr >= SUPPLIER_OFFSET
     out = pa.table(
         {
@@ -356,8 +392,6 @@ def pagerank(
             "score_fp": pa.array(score_arr),
         }
     )
-    import ray.data as rd
-
     return rd.from_arrow(out)
 
 
@@ -752,6 +786,7 @@ def hits(
     num_buckets: int = 64,
     max_nodes: int = 50_000_000,
     dense_reduce_max_bytes: int = DENSE_REDUCE_MAX_BYTES,
+    max_driver_edges: int = 4_000_000,
 ):
     """HITS hubs-and-authorities over the bipartite customer→supplier
     trade graph (customers are hubs, suppliers authorities; edge weight
@@ -842,6 +877,36 @@ def hits(
     h = np.full(len(hubs), SCALE, np.int64)
     a = np.full(len(auths), SCALE, np.int64)
 
+    def norm_max(raw: np.ndarray) -> np.ndarray:
+        mx = int(raw.max(initial=0))
+        if mx == 0:
+            return raw
+        # max normalization in exact ints (Python-int scaled divide)
+        return np.array([int(v) * SCALE // mx for v in raw], np.int64)
+
+    # driver fast path (pagerank's max_driver_edges shape): edge table
+    # under the cap → one pull, local Jacobi iterations — identical
+    # exact-int np.add.at sums and the same norm_max, so scores are
+    # bit-identical to the distributed paths (pinned in
+    # tests/test_assoc_cohort_graph.py)
+    if edges.count() <= max_driver_edges:
+        tabs = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            et = pa.concat_tables(tabs)
+            s = et["src"].to_numpy(zero_copy_only=False)
+            d = et["dst"].to_numpy(zero_copy_only=False)
+            ew = et["w"].to_numpy(zero_copy_only=False)
+            hi = np.searchsorted(hubs, s)
+            ai = np.searchsorted(auths, d)
+            for _ in range(n_iter):
+                raw_a = np.zeros(len(auths), np.int64)
+                np.add.at(raw_a, ai, h[hi] * ew)
+                raw_h = np.zeros(len(hubs), np.int64)
+                np.add.at(raw_h, hi, a[ai] * ew)
+                a = norm_max(raw_a)
+                h = norm_max(raw_h)
+        return _hits_output(hubs, auths, h, a)
+
     # same adaptive reduce as pagerank: under the cap each block ships
     # ONE dense [auth_raw ++ hub_raw] int64 vector and the driver adds
     # them (order-invariant), skipping the per-iteration sort-shuffle
@@ -883,14 +948,6 @@ def hits(
             acc = np.zeros(n_all, np.int64)
             for r in vrows:
                 acc += np.asarray(r["v"], np.int64)
-
-            def norm_max(raw: np.ndarray) -> np.ndarray:
-                mx = int(raw.max(initial=0))
-                if mx == 0:
-                    return raw
-                return np.array(
-                    [int(v) * SCALE // mx for v in raw], np.int64
-                )
 
             a = norm_max(acc[: len(auths)])
             h = norm_max(acc[len(auths) :])
@@ -958,6 +1015,14 @@ def hits(
         a = fold(0, auths)
         h = fold(1, hubs)
 
+    return _hits_output(hubs, auths, h, a)
+
+
+def _hits_output(
+    hubs: np.ndarray, auths: np.ndarray, h: np.ndarray, a: np.ndarray
+) -> pd.DataFrame:
+    """(kind, key, score_fp) frame from the hub/authority vectors —
+    shared by the driver fast path and the distributed iterations."""
     return pd.DataFrame(
         {
             "kind": ["customer"] * len(hubs) + ["supplier"] * len(auths),

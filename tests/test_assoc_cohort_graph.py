@@ -139,10 +139,17 @@ def test_hits_matches_sequential_bit_exact(ray_session):
     pd.testing.assert_frame_equal(got, ref, check_dtype=False, check_exact=True)
     # max normalization: the best hub and best authority sit at SCALE
     assert (got.groupby("kind")["score_fp"].max() == SCALE).all()
-    # forcing the node-keyed groupby fallback (dense cap 0) must agree
-    sparse = hits(sf, dense_reduce_max_bytes=0).sort_values(
+    # forcing the distributed dense reduce (driver cap 0) must agree
+    dense = hits(sf, max_driver_edges=0).sort_values(
         ["kind", "key"], ignore_index=True
     )
+    pd.testing.assert_frame_equal(
+        dense, ref, check_dtype=False, check_exact=True
+    )
+    # ... and the node-keyed groupby fallback (both caps 0) too
+    sparse = hits(
+        sf, max_driver_edges=0, dense_reduce_max_bytes=0
+    ).sort_values(["kind", "key"], ignore_index=True)
     pd.testing.assert_frame_equal(
         sparse, ref, check_dtype=False, check_exact=True
     )

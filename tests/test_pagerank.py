@@ -70,15 +70,20 @@ def test_pagerank_matches_sequential_reference(ray_session):
     assert top >= SUPPLIER_OFFSET
 
 
-def test_pagerank_dense_and_sparse_paths_bit_identical(ray_session):
-    """The adaptive dense per-block reduce (under DENSE_REDUCE_MAX_BYTES)
-    and the node-keyed groupby fallback are exact int64 formulations of
-    the same sum — forcing the fallback must reproduce every score."""
-    dense = pagerank(SF, n_iter=3).to_pandas()
-    sparse = pagerank(SF, n_iter=3, dense_reduce_max_bytes=0).to_pandas()
+def test_pagerank_driver_dense_sparse_paths_bit_identical(ray_session):
+    """The driver fast path (default under max_driver_edges), the
+    adaptive dense per-block reduce, and the node-keyed groupby
+    fallback are exact int64 formulations of the same sum — forcing
+    each distributed path must reproduce every score."""
+    driver = pagerank(SF, n_iter=3).to_pandas()
+    dense = pagerank(SF, n_iter=3, max_driver_edges=0).to_pandas()
+    sparse = pagerank(
+        SF, n_iter=3, max_driver_edges=0, dense_reduce_max_bytes=0
+    ).to_pandas()
     key = lambda df: sorted(
         (k, s, f) for k, s, f in zip(df["kind"], df["key"], df["score_fp"])
     )
+    assert key(driver) == key(dense)
     assert key(dense) == key(sparse)
 
 
