@@ -152,8 +152,15 @@ def curation_pipeline(
         df = df.sort_values(
             ["n_words", "doc_id"], ascending=[False, True], kind="stable"
         )
-        return pa.Table.from_pandas(
-            df.groupby("lang", sort=False).head(k), preserve_index=False
+        g = df.groupby("lang", sort=False).head(k)
+        # explicit types: an all-filtered (empty) block must not degrade
+        # lang — the downstream groupby KEY — to an arrow null column
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "lang": pa.array(g["lang"].to_numpy(object), pa.string()),
+                "n_words": pa.array(g["n_words"].to_numpy(np.int64)),
+            }
         )
 
     def topk_final(group: pd.DataFrame) -> pa.Table:

@@ -93,10 +93,17 @@ def _session_cache_key(tag: str) -> tuple:
 
 
 def _cache_insert(key: tuple, ds) -> None:
-    """Insert with dead-session eviction: entries keyed by a previous
-    job id hold unusable object-store refs and would accumulate forever
-    in a long-lived driver process."""
-    for k in [k for k in _DATASET_CACHE if k[0] != key[0]]:
+    """Insert with stale-entry eviction: entries keyed by a previous
+    job id hold unusable object-store refs, and same-session entries
+    for the same logical build (tag prefix up to the trailing
+    ``:{mtime}``) are stale after an input rewrite — both would
+    accumulate forever in a long-lived driver process."""
+    prefix = key[1].rsplit(":", 1)[0] + ":"
+    for k in [
+        k
+        for k in _DATASET_CACHE
+        if k[0] != key[0] or (k[1].startswith(prefix) and k != key)
+    ]:
         del _DATASET_CACHE[k]
     _DATASET_CACHE[key] = ds
 
@@ -255,9 +262,11 @@ def pagerank(
     wmax = int(edges.aggregate(Max("w"))["max(w)"])
     # score * w must stay inside int64 (Python-int compare — the
     # ADVICE-r3 overflow-guard lesson: never multiply in np.int64)
-    assert int(SCALE) * wmax < 2**63, (
-        f"edge weight {wmax} would overflow the fixed-point contribution"
-    )
+    if not int(SCALE) * wmax < 2**63:
+        raise ValueError(
+            f"edge weight {wmax} would overflow the fixed-point "
+            "contribution"
+        )
     base = (SCALE * (100 - damping_pct)) // (100 * n_nodes)
     init = SCALE // n_nodes
 
@@ -470,9 +479,10 @@ def cosupplier_edges(
         v = m["s_y"].to_numpy(np.int64)
         keep = _edge_keep_mask(u, v, sample_cut)
         u, v = u[keep], v[keep]
-        assert len(u) == 0 or int(v.max()) < 1 << 31, (
-            "cosupplier_edges: suppkey exceeds the 32-bit pack width"
-        )
+        if not (len(u) == 0 or int(v.max()) < 1 << 31):
+            raise ValueError(
+                "cosupplier_edges: suppkey exceeds the 32-bit pack width"
+            )
         key = u * (1 << 32) + v
         return pa.table(
             {
@@ -567,10 +577,12 @@ def triangle_count(
         .take_all()  # bounded by the supplier dimension (guarded below)
     )
     n_nodes = len(deg_rows)
-    assert n_nodes <= max_nodes, (
-        f"triangle_count: {n_nodes} nodes exceed max_nodes={max_nodes}; "
-        "switch the orientation rank to an edge-shuffle join"
-    )
+    if n_nodes > max_nodes:
+        raise ValueError(
+            f"triangle_count: {n_nodes} nodes exceed max_nodes="
+            f"{max_nodes}; switch the orientation rank to an "
+            "edge-shuffle join"
+        )
     zero = pd.DataFrame(
         {
             "n_edges": pd.Series([0], dtype=np.int64),
@@ -739,9 +751,10 @@ def kcore(
             .aggregate(Sum("d", alias_name="d"))
             .take_all()  # bounded by the supplier dimension
         )
-        assert len(rows) <= max_nodes, (
-            f"kcore: {len(rows)} nodes exceed max_nodes={max_nodes}"
-        )
+        if len(rows) > max_nodes:
+            raise ValueError(
+                f"kcore: {len(rows)} nodes exceed max_nodes={max_nodes}"
+            )
         return rows
 
     empty = pd.DataFrame(
@@ -854,9 +867,10 @@ def hits(
         .aggregate(Sum("W", alias_name="W"))
         .take_all()  # bounded by the two dimension tables (guarded below)
     )
-    assert len(rows) <= max_nodes, (
-        f"hits: {len(rows)} nodes exceed max_nodes={max_nodes}"
-    )
+    if len(rows) > max_nodes:
+        raise ValueError(
+            f"hits: {len(rows)} nodes exceed max_nodes={max_nodes}"
+        )
     hubs = np.array(sorted(r["n"] for r in rows if r["side"] == 0), np.int64)
     auths = np.array(sorted(r["n"] for r in rows if r["side"] == 1), np.int64)
     if len(hubs) == 0:
@@ -869,10 +883,11 @@ def hits(
         )
     wd_max = max(r["W"] for r in rows)
     # score·w sums are bounded by SCALE · (max weighted degree)
-    assert int(SCALE) * int(wd_max) < 2**63, (
-        f"hits: weighted degree {wd_max} would overflow the int64 "
-        "fixed-point accumulation; lower SCALE"
-    )
+    if not int(SCALE) * int(wd_max) < 2**63:
+        raise ValueError(
+            f"hits: weighted degree {wd_max} would overflow the int64 "
+            "fixed-point accumulation; lower SCALE"
+        )
 
     h = np.full(len(hubs), SCALE, np.int64)
     a = np.full(len(auths), SCALE, np.int64)
@@ -1058,9 +1073,10 @@ def _edge_nodes(edges, max_nodes: int):
         .aggregate(Count(on="n", alias_name="c"))
         .take_all()  # bounded by the supplier dimension (guarded below)
     )
-    assert len(rows) <= max_nodes, (
-        f"graph node set {len(rows)} exceeds max_nodes={max_nodes}"
-    )
+    if len(rows) > max_nodes:
+        raise ValueError(
+            f"graph node set {len(rows)} exceeds max_nodes={max_nodes}"
+        )
     return np.array(sorted(r["n"] for r in rows), np.int64)
 
 
@@ -1123,10 +1139,11 @@ def connected_components(
         return rd.from_arrow(empty)
 
     rows = labels.take_all()  # bounded by the supplier dimension
-    assert len(rows) <= max_nodes, (
-        f"connected_components: {len(rows)} nodes exceed "
-        f"max_nodes={max_nodes}"
-    )
+    if len(rows) > max_nodes:
+        raise ValueError(
+            f"connected_components: {len(rows)} nodes exceed "
+            f"max_nodes={max_nodes}"
+        )
     node = np.array([r["node"] for r in rows], np.int64)
     lab = np.array([r["val"] for r in rows], np.int64)
     order = np.argsort(node, kind="stable")

@@ -57,9 +57,14 @@ def _read_embeddings(sf_dir: str):
         path, columns=["vec_id", "embedding"]
     ).materialize()
     # evict entries from dead sessions / rewritten files: their
-    # materialized refs are unusable and would otherwise accumulate
+    # materialized refs are unusable (dead session) or stale (same
+    # session, same path, older mtime) and would otherwise accumulate
     # forever in a long-lived driver process
-    for k in [k for k in _EMB_DS_CACHE if k[0] != key[0]]:
+    for k in [
+        k
+        for k in _EMB_DS_CACHE
+        if k[0] != key[0] or (k[1] == path and k[2] != key[2])
+    ]:
         del _EMB_DS_CACHE[k]
     _EMB_DS_CACHE[key] = ds
     return ds
@@ -537,10 +542,12 @@ def kmeans_lloyd(sf_dir: str, k: int = 8, iters: int = 4):
     # num_blocks × (k*dim + k + 1) int64 — ~4 KiB/block at k=8,dim=64;
     # the guard below keeps the dense formulation honest if someone
     # cranks k*dim past what a one-row-per-block reduce should carry.
-    assert kk * dim <= 1 << 22, (
-        f"k*dim={kk * dim} too large for the dense per-block reduce; "
-        "switch back to the (cluster, d)-keyed groupby formulation"
-    )
+    if kk * dim > 1 << 22:
+        raise ValueError(
+            f"k*dim={kk * dim} too large for the dense per-block "
+            "reduce; switch back to the (cluster, d)-keyed groupby "
+            "formulation"
+        )
 
     trace = []
     for it in range(iters):
@@ -716,9 +723,10 @@ def embedding_covariance(sf_dir: str):
         mat = np.stack(batch["embedding"].to_numpy())
         x = _emb_e6(mat)
         mx = int(np.abs(x).max(initial=0))
-        assert len(x) * mx * mx < (1 << 63), (
-            "gram sum would overflow int64; shrink batch_size"
-        )
+        if not len(x) * mx * mx < (1 << 63):
+            raise ValueError(
+                "gram sum would overflow int64; shrink batch_size"
+            )
         d = x.shape[1]
         g = x.T @ x
         s = x.sum(axis=0)

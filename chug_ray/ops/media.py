@@ -886,13 +886,25 @@ def phash_dups(
         np.sort(np.array([r["bk"] for r in hot_rows], np.int64))
     )
 
-    def hot_band_rows(batch: pa.Table, _r=hot_ref) -> pd.DataFrame:
+    def hot_band_rows(batch: pa.Table, _r=hot_ref) -> pa.Table:
         out = band_rows(batch)
         hot = ray.get(_r)
         bk = out["bk"].to_numpy(np.int64)
         pos = np.searchsorted(hot, bk)
         keep = (pos < len(hot)) & (hot[np.minimum(pos, len(hot) - 1)] == bk)
-        return out[keep].reset_index(drop=True)
+        g = out[keep]
+        # explicit types: an all-filtered block must not degrade the
+        # object media_ref column to arrow null (breaks the block union)
+        return pa.table(
+            {
+                "bk": pa.array(g["bk"].to_numpy(np.int64), pa.int64()),
+                "media_ref": pa.array(
+                    g["media_ref"].to_numpy(object), pa.string()
+                ),
+                "frame": pa.array(g["frame"].to_numpy(np.int64), pa.int64()),
+                "hkey": pa.array(g["hkey"].to_numpy(np.int64), pa.int64()),
+            }
+        )
 
     rep_pairs = (
         reps.map_batches(hot_band_rows, batch_format="pyarrow")
