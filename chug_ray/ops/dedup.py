@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from chug_ray.util import from_pandas_typed
+
 from chug_ray.ops.textstats import TOKEN_RE
 from chug_ray.util import round_away
 
@@ -59,7 +61,7 @@ def exact_dedup(sf_dir: str):
         out = df.groupby("fp_md5", as_index=False).agg(
             doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_typed(out, ("fp_md5",))
 
     return (
         _docs(sf_dir, ["doc_id", "text"])
@@ -101,7 +103,7 @@ def dedup_survivors(sf_dir: str):
         # batch combiner: one candidate row per fingerprint per batch;
         # emitted as Arrow (pandas blocks cripple the downstream sort agg)
         out = df.groupby("fp_md5", as_index=False).agg(packed=("packed", "min"))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_typed(out, ("fp_md5",))
 
     def unpack(batch: pa.Table) -> pa.Table:
         parts = pc.split_pattern(batch["packed"], "\x00")
@@ -1020,7 +1022,9 @@ def novel_docs(sf_dir: str, ref_source: str = "src0", num_buckets: int = 64):
         bkt = np.array(
             [int(fp[:8], 16) % num_buckets for fp in out["fp_md5"]], np.int64
         )
-        return pa.Table.from_pandas(out.assign(bkt=bkt), preserve_index=False)
+        return from_pandas_typed(
+            out.assign(bkt=bkt), ("fp_md5", "lang", "source")
+        )
 
     def filter_bucket(group: pd.DataFrame) -> pd.DataFrame:
         from chug_ray.telemetry import record_group
@@ -1113,7 +1117,7 @@ def paragraph_dedup(sf_dir: str, num_buckets: int = 64):
             ],
             np.int64,
         )
-        return pa.Table.from_pandas(g.assign(bkt=bkt), preserve_index=False)
+        return from_pandas_typed(g.assign(bkt=bkt), ("para",))
 
     def elect(group: pd.DataFrame) -> pa.Table:
         from chug_ray.telemetry import record_group

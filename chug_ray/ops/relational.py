@@ -7,6 +7,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from chug_ray.util import from_pandas_typed
 import pyarrow.compute as pc
 
 
@@ -158,7 +160,7 @@ def orders_by_segment(sf_dir: str):
         part = df.groupby("c_mktsegment", as_index=False).agg(
             n_orders=("cents", "size"), total_price_cents=("cents", "sum")
         )
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return from_pandas_typed(part, ("c_mktsegment",))
 
     agg = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -713,7 +715,7 @@ def top_docs_per_group(sf_dir: str, k: int = 5):
             .groupby("lang", group_keys=False)
             .head(k)
         )
-        return pa.Table.from_pandas(top, preserve_index=False)
+        return from_pandas_typed(top, ("lang",))
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(

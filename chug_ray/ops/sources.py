@@ -26,6 +26,8 @@ from __future__ import annotations
 import json
 
 import pyarrow as pa
+
+from chug_ray.util import from_pandas_typed
 import pyarrow.compute as pc
 
 
@@ -534,16 +536,14 @@ def sample_per_group(sf_dir: str, k: int = 10):
         top = df.sort_values(["lang", "h"], kind="stable").groupby(
             "lang", as_index=False
         ).head(k)
-        return pa.Table.from_pandas(top, preserve_index=False)
+        return from_pandas_typed(top, ("lang",))
 
     def global_bottom_k(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         top = df.sort_values(["lang", "h"], kind="stable").groupby(
             "lang", as_index=False
         ).head(k)
-        return pa.Table.from_pandas(
-            top.drop(columns=["h"]), preserve_index=False
-        )
+        return from_pandas_typed(top.drop(columns=["h"]), ("lang",))
 
     return (
         _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])

@@ -13,6 +13,8 @@ from __future__ import annotations
 import hashlib
 
 import pyarrow as pa
+
+from chug_ray.util import from_pandas_typed
 import pyarrow.compute as pc
 
 TOKEN_RE = "[a-z0-9]+"
@@ -240,7 +242,7 @@ def chars_quantiles(sf_dir: str, ps=(25, 50, 75, 95, 99)):
         out = df.groupby(["lang", "n_chars"], as_index=False).agg(
             n=("n_chars", "size")
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_typed(out, ("lang",))
 
     counts = (
         _docs(sf_dir, ("lang", "n_chars"))
@@ -657,7 +659,7 @@ def percent_rank_in_lang(sf_dir: str):
         out = df.groupby(["lang", "n_chars"], as_index=False).agg(
             n=("n_chars", "size")
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_typed(out, ("lang",))
 
     agg = (
         _docs(sf_dir, ("lang", "n_chars"))
@@ -1002,7 +1004,7 @@ def c4_filter(sf_dir: str, num_buckets: int = 64):
             ],
             np.int64,
         )
-        return pa.Table.from_pandas(g.assign(bkt=bkt), preserve_index=False)
+        return from_pandas_typed(g.assign(bkt=bkt), ("fp",))
 
     def elect(group: pd.DataFrame) -> pa.Table:
         from chug_ray.telemetry import record_group
@@ -1383,7 +1385,7 @@ def mad_outliers(sf_dir: str):
         out = df.groupby(["lang", "n_chars"], as_index=False).agg(
             n=("n_chars", "size")
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_typed(out, ("lang",))
 
     counts_ds = (
         _docs(sf_dir, ("lang", "n_chars"))
@@ -1909,7 +1911,7 @@ def collocations(sf_dir: str, min_count: int = 5, k: int = 20):
             ["pmi_ratio_e6", "tok_a", "tok_b"],
             ascending=[False, True, True],
         ).head(k)  # per-batch partial top-k
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_typed(df, ("tok_a", "tok_b"))
 
     return (
         _docs(sf_dir, ("text",))
@@ -2263,7 +2265,7 @@ def winsorized_stats(sf_dir: str, lo_pct: int = 5, hi_pct: int = 95):
         out = df.groupby(["lang", "n_chars"], as_index=False).agg(
             n=("n_chars", "size")
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_typed(out, ("lang",))
 
     counts = (
         _docs(sf_dir, ("lang", "n_chars"))
@@ -2596,7 +2598,7 @@ def weighted_sample_per_lang(sf_dir: str, k: int = 5):
             .groupby("lang", group_keys=False)
             .head(k)
         )
-        return pa.Table.from_pandas(top, preserve_index=False)
+        return from_pandas_typed(top, ("lang",))
 
     def final_topk(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(

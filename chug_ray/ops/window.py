@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from chug_ray.util import round_away
+from chug_ray.util import from_pandas_typed, round_away
 
 
 def _events(sf_dir: str, columns):
@@ -61,7 +61,7 @@ def tumbling_window(sf_dir: str):
         out = batch.groupby(["ws", "event_type"], as_index=False).agg(
             n_events=("value_e4", "size"), sum_value_e4=("value_e4", "sum")
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_typed(out, ("event_type",))
 
     partials = _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
         partial, batch_format="pandas", batch_size=16384
@@ -123,7 +123,7 @@ def hopping_window(sf_dir: str, size_minutes: int = 60, hop_minutes: int = 30):
         out = out.groupby(["ws", "event_type"], as_index=False).agg(
             n_events=("value_e4", "size"), sum_value_e4=("value_e4", "sum")
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_typed(out, ("event_type",))
 
     agg = (
         _events(sf_dir, ["ts", "event_type", "value"])
@@ -845,7 +845,7 @@ def event_transitions(sf_dir: str, chunk_hours: int = 24, num_buckets: int = 64)
         out = g[["user_id", "chunk", "ts", "event_id", "event_type"]].assign(
             ubkt=(g["user_id"].to_numpy() % num_buckets).astype(np.int64)
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_typed(out, ("event_type",))
 
     def to_carries(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(["user_id", "chunk", "ts", "event_id"])
@@ -886,7 +886,7 @@ def event_transitions(sf_dir: str, chunk_hours: int = 24, num_buckets: int = 64)
         out = batch[
             ["bkt", "user_id", "chunk", "event_id", "ts", "event_type"]
         ].assign(is_carry=np.int8(0))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_typed(out, ("event_type",))
 
     def count_pairs(group: pd.DataFrame) -> pa.Table:
         from chug_ray.telemetry import record_group

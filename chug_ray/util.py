@@ -63,3 +63,27 @@ def ray_session_key() -> str:
     if not ray.is_initialized():
         return "uninitialized"
     return ray.get_runtime_context().namespace
+
+
+def from_pandas_typed(df, string_cols=()):
+    """``pa.Table.from_pandas`` with string columns pinned to arrow
+    ``string``.
+
+    pandas infers an EMPTY object column as arrow ``null``; a
+    ``map_batches`` partial whose block filters/groups down to zero rows
+    would then emit a block whose schema diverges from its non-empty
+    siblings, corrupting the downstream union/groupby schema (the
+    ``hot_band_rows`` / ``topk_partial`` latent class, fixed 48bfaa5).
+    ``astype("string")`` yields the identical arrow type for empty and
+    non-empty frames, so partials stay schema-stable on any block.
+    """
+    import pyarrow as pa
+
+    cols = [
+        c
+        for c in string_cols
+        if c in df.columns and df[c].dtype == object
+    ]
+    if cols:
+        df = df.astype({c: "string" for c in cols})
+    return pa.Table.from_pandas(df, preserve_index=False)

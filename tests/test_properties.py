@@ -231,3 +231,24 @@ def test_expand_braces_zero_padded_range(lo, hi, width):
     assert out == [
         "s-" + str(n).zfill(expect_w) for n in range(lo, hi + step, step)
     ]
+
+
+def test_from_pandas_typed_schema_stability():
+    """Empty partials keep arrow string for object columns (the
+    all-filtered-block schema-divergence class), and listed columns
+    that are NOT object dtype (e.g. an int label) are left untouched."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from chug_ray.util import from_pandas_typed
+
+    df = pd.DataFrame({"k": ["a", "b"], "n": [1, 2]})
+    full = from_pandas_typed(df, ("k",))
+    empty = from_pandas_typed(df.iloc[0:0], ("k",))
+    assert full.schema.field("k").type == pa.string()
+    assert empty.schema.field("k").type == pa.string()  # not null
+    assert empty.schema == full.schema
+
+    ints = pd.DataFrame({"label": [3, 4], "v": [0.5, 1.5]})
+    out = from_pandas_typed(ints, ("label",))
+    assert out.schema.field("label").type == pa.int64()  # never cast
