@@ -121,7 +121,15 @@ def knn_bruteforce(sf_dir: str, k: int = DEFAULT_K):
         qids_, qunit_ = ray.get(q_ref)
         cand_mask = batch["vec_id"].to_numpy() >= N_QUERIES
         if not cand_mask.any():
-            return pd.DataFrame(columns=["query_id", "vec_id", "cos_sim"])
+            # typed empty: an all-object empty frame degrades every
+            # column (incl. the downstream groupby key) to arrow null
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "cos_sim": pd.Series([], dtype=np.float64),
+                }
+            )
         ids = batch["vec_id"].to_numpy()[cand_mask]
         mat = np.stack(batch["embedding"].to_numpy()[cand_mask]).astype(np.float64)
         sims = _unit_rows(mat) @ qunit_.T  # (n_cand, n_query)
@@ -181,7 +189,15 @@ class _LshScorer:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         cand_mask = batch["vec_id"].to_numpy() >= N_QUERIES
         if not cand_mask.any():
-            return pd.DataFrame(columns=["query_id", "vec_id", "cos_sim"])
+            # typed empty: an all-object empty frame degrades every
+            # column (incl. the downstream groupby key) to arrow null
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "cos_sim": pd.Series([], dtype=np.float64),
+                }
+            )
         ids = batch["vec_id"].to_numpy()[cand_mask]
         mat = np.stack(batch["embedding"].to_numpy()[cand_mask]).astype(np.float64)
         unit = _unit_rows(mat)
@@ -201,7 +217,15 @@ class _LshScorer:
                 )
             )
         if not frames:
-            return pd.DataFrame(columns=["query_id", "vec_id", "cos_sim"])
+            # typed empty: an all-object empty frame degrades every
+            # column (incl. the downstream groupby key) to arrow null
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "cos_sim": pd.Series([], dtype=np.float64),
+                }
+            )
         return _topk_frame(pd.concat(frames, ignore_index=True), self.k)
 
     @staticmethod
@@ -324,7 +348,15 @@ class _IvfScorer:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         cand_mask = batch["vec_id"].to_numpy() >= N_QUERIES
         if not cand_mask.any():
-            return pd.DataFrame(columns=["query_id", "vec_id", "cos_sim"])
+            # typed empty: an all-object empty frame degrades every
+            # column (incl. the downstream groupby key) to arrow null
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "cos_sim": pd.Series([], dtype=np.float64),
+                }
+            )
         ids = batch["vec_id"].to_numpy()[cand_mask]
         mat = np.stack(batch["embedding"].to_numpy()[cand_mask]).astype(np.float64)
         unit = _unit_rows(mat)
@@ -341,7 +373,15 @@ class _IvfScorer:
                 )
             )
         if not frames:
-            return pd.DataFrame(columns=["query_id", "vec_id", "cos_sim"])
+            # typed empty: an all-object empty frame degrades every
+            # column (incl. the downstream groupby key) to arrow null
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "cos_sim": pd.Series([], dtype=np.float64),
+                }
+            )
         return _topk_frame(pd.concat(frames, ignore_index=True), self.k)
 
 
