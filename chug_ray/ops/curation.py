@@ -41,6 +41,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from chug_ray.util import from_pandas_typed
+
 
 def curation_pipeline(
     sf_dir: str,
@@ -153,15 +155,9 @@ def curation_pipeline(
             ["n_words", "doc_id"], ascending=[False, True], kind="stable"
         )
         g = df.groupby("lang", sort=False).head(k)
-        # explicit types: an all-filtered (empty) block must not degrade
-        # lang — the downstream groupby KEY — to an arrow null column
-        return pa.table(
-            {
-                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
-                "lang": pa.array(g["lang"].to_numpy(object), pa.string()),
-                "n_words": pa.array(g["n_words"].to_numpy(np.int64)),
-            }
-        )
+        # pin lang — the downstream groupby KEY — so an all-filtered
+        # (empty) block cannot degrade it to an arrow null column
+        return from_pandas_typed(g, ("lang",))
 
     def topk_final(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(

@@ -103,7 +103,7 @@ def dedup_survivors(sf_dir: str):
         # batch combiner: one candidate row per fingerprint per batch;
         # emitted as Arrow (pandas blocks cripple the downstream sort agg)
         out = df.groupby("fp_md5", as_index=False).agg(packed=("packed", "min"))
-        return from_pandas_typed(out, ("fp_md5",))
+        return from_pandas_typed(out, ("fp_md5", "packed"))
 
     def unpack(batch: pa.Table) -> pa.Table:
         parts = pc.split_pattern(batch["packed"], "\x00")

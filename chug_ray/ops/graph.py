@@ -1019,13 +1019,9 @@ def hits(
                     nodes, np.array([n for n, _ in sel], np.int64)
                 )
                 raw[idx] = np.array([c for _, c in sel], np.int64)
-            mx = int(raw.max(initial=0))
-            if mx == 0:
-                return raw
-            # max normalization in exact ints (Python-int scaled divide)
-            return np.array(
-                [int(v) * SCALE // mx for v in raw], np.int64
-            )
+            # one shared normalization: cross-path bit-equality depends
+            # on all three paths using the identical scaled divide
+            return norm_max(raw)
 
         a = fold(0, auths)
         h = fold(1, hubs)

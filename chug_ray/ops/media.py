@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 
 from chug_ray.kernels import simg, spdf
+from chug_ray.util import from_pandas_typed
 
 
 def decode_real_image(payload: bytes) -> "np.ndarray":
@@ -892,18 +893,10 @@ def phash_dups(
         bk = out["bk"].to_numpy(np.int64)
         pos = np.searchsorted(hot, bk)
         keep = (pos < len(hot)) & (hot[np.minimum(pos, len(hot) - 1)] == bk)
-        g = out[keep]
-        # explicit types: an all-filtered block must not degrade the
-        # object media_ref column to arrow null (breaks the block union)
-        return pa.table(
-            {
-                "bk": pa.array(g["bk"].to_numpy(np.int64), pa.int64()),
-                "media_ref": pa.array(
-                    g["media_ref"].to_numpy(object), pa.string()
-                ),
-                "frame": pa.array(g["frame"].to_numpy(np.int64), pa.int64()),
-                "hkey": pa.array(g["hkey"].to_numpy(np.int64), pa.int64()),
-            }
+        # pin media_ref so an all-filtered block cannot degrade it to
+        # arrow null (breaks the block union entering the groupby)
+        return from_pandas_typed(
+            out[keep].reset_index(drop=True), ("media_ref",)
         )
 
     rep_pairs = (
