@@ -50,9 +50,36 @@ def normalize_policy(name: str) -> str:
     return HANDLER_ALIASES[name][0]
 
 
+def plan_notice(policy_name: str) -> None:
+    """One plan-time emission of a named handler's log/warn channel.
+
+    The reference handlers log/warn once per failed sample; this engine
+    records every failure in the row's ``err`` struct and the partition
+    manifest counts instead (no row is silently lost), so the alias's
+    side effect is announced once per pipeline build — per-row noise
+    would add a driver round-trip per error for information the err
+    channel already carries."""
+    mode = HANDLER_ALIASES.get(policy_name, (None, None))[1]
+    if mode == "log":
+        _log.warning(
+            "error_policy %r: failed rows are skipped into the err "
+            "channel (see partition manifests for counts)",
+            policy_name,
+        )
+    elif mode == "warn":
+        warnings.warn(
+            f"error_policy {policy_name!r}: failed rows are skipped "
+            "into the err channel (see partition manifests for counts)",
+            stacklevel=3,
+        )
+
+
 def report(policy_name: str, exn: Exception) -> None:
-    """Emit the side-channel a named handler would (log/warn); the
-    row-level skip/raise decision itself is the caller's."""
+    """Emit the side-channel a named handler would (log/warn) for ONE
+    failed row; the row-level skip/raise decision itself is the
+    caller's. Used by embedding consumers that keep the alias name at
+    run time — the built-in pipeline resolves aliases at plan time and
+    announces via :func:`plan_notice` instead."""
     mode = HANDLER_ALIASES.get(policy_name, (None, None))[1]
     if mode == "log":
         _log.warning("skipping row after error: %r", exn)

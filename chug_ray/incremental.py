@@ -43,15 +43,32 @@ from chug_ray.run import _config_hash
 
 
 def _doc_fp_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, fp) rows: a content hash over the span sequence."""
+    """(doc_id, fp) rows: a content hash over the span sequence.
+
+    Length-prefixed field framing, NOT separator-joined f-strings: a
+    text containing the separator byte (or a None rendering as the
+    string 'None') could otherwise shift field boundaries and let two
+    different documents collide to one fingerprint — which would make
+    the incremental run copy stale prior output instead of
+    re-extracting. Both snapshots hash with the same function inside
+    one run, so the encoding needs no cross-version stability."""
     fps = []
+    none_marker = b"\xff\xff\xff\xffN"  # impossible as a length prefix
     for spans in batch["spans"].to_pylist():
         h = hashlib.blake2b(digest_size=12)
         for s in spans or []:
-            h.update(
-                f"{s['kind']}\x00{s['text']}\x00{s['media_ref']}"
-                f"\x00{s['offset']}\x01".encode()
-            )
+            for v in (s["kind"], s["text"], s["media_ref"], s["offset"]):
+                if v is None:
+                    h.update(none_marker)
+                else:
+                    b = (
+                        v.encode("utf-8")
+                        if isinstance(v, str)
+                        else str(v).encode()
+                    )
+                    h.update(len(b).to_bytes(4, "little"))
+                    h.update(b)
+            h.update(b"\x01")
         fps.append(h.hexdigest())
     return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fps)})
 
@@ -146,7 +163,12 @@ def _route(payload_ds, status_ds, keep_unchanged: bool, num_buckets: int):
     payload_types = dict(zip(payload_schema.names, payload_schema.types))
     # the union below relies on both sides emitting columns in the same
     # order; prep_status puts doc_id first, so the payload must too
-    assert payload_cols[0] == "doc_id", payload_cols
+    # (ValueError, not assert: must survive python -O)
+    if payload_cols[0] != "doc_id":
+        raise ValueError(
+            f"prior output's first column must be doc_id, got "
+            f"{payload_cols}"
+        )
 
     def add_flag(batch: pa.Table) -> pa.Table:
         return batch.append_column(

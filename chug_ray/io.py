@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
 import time
 from dataclasses import asdict, dataclass, field
 
@@ -145,6 +146,27 @@ class MediaStore:
             return None
         return self._payloads[i].as_py()
 
+def store_mtime(path: str) -> float:
+    """Cache-key mtime of a media store path.
+
+    A DIRECTORY's own mtime does not change when a contained file is
+    rewritten in place, so every (path, mtime)-keyed cache would serve
+    stale payloads after such a rewrite; use the max over the directory
+    and its entries instead. Plain files keep plain ``getmtime``."""
+    if os.path.isdir(path):
+        times = [os.path.getmtime(path)]
+        for name in os.listdir(path):
+            try:
+                times.append(os.path.getmtime(os.path.join(path, name)))
+            except OSError:  # pragma: no cover - racing delete
+                pass
+        return max(times)
+    return os.path.getmtime(path)
+
+
+_RANGED_PREP_LOCK = threading.Lock()
+
+
 def prepare_ranged_store(
     media_parquet: str,
     dst_dir: str | None = None,
@@ -157,26 +179,42 @@ def prepare_ranged_store(
     Distributed (``ray.data`` sort → parquet) when a Ray session exists —
     at scale this is the usual sort-partitioned ingest write; falls back
     to a driver-side pyarrow sort for tiny/offline use. Output cached by
-    (path, mtime, rows_per_group)."""
+    (path, mtime, rows_per_group).
+
+    Concurrency-safe: ``run_job`` overlaps partition threads, so a cold
+    cache sees concurrent calls for the same key — a process-wide lock
+    serializes sibling threads, the tmp dir is per-call unique, and the
+    publish step tolerates another PROCESS having won the
+    ``os.replace`` race (first writer wins, later writers discard
+    their tmp and reuse the published store)."""
     import pyarrow as pa
 
     from chug_ray.util import stable_hash_hex
 
-    mtime = os.path.getmtime(media_parquet)
+    mtime = store_mtime(media_parquet)
     if dst_dir is None:
         key = stable_hash_hex(media_parquet, mtime, rows_per_group)
         dst_dir = os.path.join("/tmp/chug_ray_ranged", key)
+    with _RANGED_PREP_LOCK:
+        return _prepare_ranged_locked(
+            media_parquet, dst_dir, rows_per_group
+        )
+
+
+def _prepare_ranged_locked(
+    media_parquet: str, dst_dir: str, rows_per_group: int
+) -> str:
+    import uuid as _uuid
+
+    import pyarrow as pa
+
     if os.path.isdir(dst_dir):
         if os.listdir(dst_dir):
             return dst_dir
         import shutil
 
         shutil.rmtree(dst_dir)  # empty stub: redo the prepare
-    tmp = dst_dir + ".tmp"
-    if os.path.isdir(tmp):
-        import shutil
-
-        shutil.rmtree(tmp)
+    tmp = f"{dst_dir}.tmp-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
     try:
         import ray
@@ -232,7 +270,16 @@ def prepare_ranged_store(
         pq.write_table(
             tbl, os.path.join(tmp, "part-0.parquet"), row_group_size=rows_per_group
         )
-    os.replace(tmp, dst_dir)
+    try:
+        os.replace(tmp, dst_dir)
+    except OSError:
+        # another PROCESS published dst_dir first: use theirs
+        if os.path.isdir(dst_dir) and os.listdir(dst_dir):
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
     return dst_dir
 
 

@@ -93,6 +93,10 @@ def _resolve_bcast(ref):
 
 
 _STORE_REF_CACHE: dict = {}
+# run_job overlaps partition threads; the driver caches below are
+# read-modify-write, so a cold cache would double-load and double-
+# ray.put the payload table without a lock (one plasma copy leaks)
+_DRIVER_CACHE_LOCK = __import__("threading").Lock()
 
 
 def _media_store_nbytes(path: str) -> int:
@@ -128,16 +132,21 @@ def _store_ref_for(path: str):
 
     from chug_ray.util import ray_session_key
 
+    from chug_ray.io import store_mtime
+
+    # store_mtime, not getmtime: a directory store rewritten in place
+    # keeps its dir mtime, which would serve stale payloads (io.py)
     key = (
         ray_session_key(),
         path,
-        os.path.getmtime(path) if os.path.exists(path) else 0,
+        store_mtime(path) if os.path.exists(path) else 0,
     )
-    ref = _STORE_REF_CACHE.get(key)
-    if ref is None:
-        ref = ray.put(MediaStore.load_arrow(path))
-        _STORE_REF_CACHE[key] = ref
-    return ref
+    with _DRIVER_CACHE_LOCK:
+        ref = _STORE_REF_CACHE.get(key)
+        if ref is None:
+            ref = ray.put(MediaStore.load_arrow(path))
+            _STORE_REF_CACHE[key] = ref
+        return ref
 
 
 def _build_store(cfg: ExtractConfig, data=None):
@@ -540,12 +549,13 @@ def build_extract_pipeline(docs, cfg: ExtractConfig, media_meta_ref=None):
     # accept the reference's named handlers as aliases (errors.py);
     # resolve to the base skip/raise policy at plan time so the actors
     # stay branch-simple, and emit the alias's log/warn side effect once.
-    from chug_ray.errors import normalize_policy
+    from chug_ray.errors import normalize_policy, plan_notice
 
     base_policy = normalize_policy(cfg.error_policy)
     if base_policy != cfg.error_policy:
         import dataclasses
 
+        plan_notice(cfg.error_policy)  # the alias's log/warn, once
         cfg = dataclasses.replace(cfg, error_policy=base_policy)
     if cfg.media_store_mode not in ("auto", "broadcast", "ranged"):
         raise ValueError(
@@ -556,18 +566,37 @@ def build_extract_pipeline(docs, cfg: ExtractConfig, media_meta_ref=None):
         # footer-stats plan-time switch (the auto_join pattern): the
         # parquet footer's uncompressed byte total approximates the
         # in-memory payload table the broadcast path would ray.put.
+        # Resolved once per (path, mtime, threshold) — run_job calls
+        # this per partition, and the footer scan over a large
+        # directory store is not free.
         import dataclasses
 
         picked = "broadcast"
         if cfg.media_store_path is not None:
-            nbytes = _media_store_nbytes(cfg.media_store_path)
-            if nbytes > cfg.media_broadcast_threshold_bytes:
-                picked = "ranged"
-            logging.getLogger(__name__).info(
-                "media_store_mode=auto picked %s (%d footer bytes, "
-                "threshold %d)",
-                picked, nbytes, cfg.media_broadcast_threshold_bytes,
+            from chug_ray.io import store_mtime
+
+            pick_key = (
+                cfg.media_store_path,
+                store_mtime(cfg.media_store_path),
+                cfg.media_broadcast_threshold_bytes,
             )
+            with _DRIVER_CACHE_LOCK:
+                picked = _AUTO_PICK_CACHE.get(pick_key)
+                if picked is None:
+                    nbytes = _media_store_nbytes(cfg.media_store_path)
+                    picked = (
+                        "ranged"
+                        if nbytes > cfg.media_broadcast_threshold_bytes
+                        else "broadcast"
+                    )
+                    logging.getLogger(__name__).info(
+                        "media_store_mode=auto picked %s (%d footer "
+                        "bytes, threshold %d)",
+                        picked,
+                        nbytes,
+                        cfg.media_broadcast_threshold_bytes,
+                    )
+                    _AUTO_PICK_CACHE[pick_key] = picked
         cfg = dataclasses.replace(cfg, media_store_mode=picked)
     if cfg.media_store_mode == "ranged" and cfg.media_store_path is not None:
         # prepare the ref-sorted ranged store once (cached by mtime);
@@ -677,6 +706,7 @@ def build_extract_pipeline(docs, cfg: ExtractConfig, media_meta_ref=None):
 # builds over the same corpus (bench samples, retries, resume) must not
 # re-derive or re-put the side data
 _MEDIA_META_CACHE: dict = {}
+_AUTO_PICK_CACHE: dict = {}  # (path, mtime, threshold) -> mode
 
 # above this many payload rows the meta is sorted distributed; below it
 # a pruned driver read + numpy sort is strictly faster (a distributed
@@ -707,48 +737,61 @@ def broadcast_media_meta(media_path: str | None):
 
     if media_path is None:
         return None
+    from chug_ray.io import store_mtime
+
     key = (
         ray_session_key(),
         media_path,
-        os.path.getmtime(media_path) if os.path.exists(media_path) else 0,
+        store_mtime(media_path) if os.path.exists(media_path) else 0,
     )
-    if key in _MEDIA_META_CACHE:
-        return _MEDIA_META_CACHE[key]
+    # one build under the shared driver-cache lock: overlapped
+    # partition threads must not each load + ray.put the meta arrays
+    with _DRIVER_CACHE_LOCK:
+        if key in _MEDIA_META_CACHE:
+            return _MEDIA_META_CACHE[key]
 
-    import pyarrow.dataset as pads
+        import pyarrow.dataset as pads
 
-    dataset = pads.dataset(media_path, format="parquet")
-    n_rows = sum(f.metadata.num_rows for f in dataset.get_fragments())
-    if n_rows > _MEDIA_META_DISTRIBUTED_ROWS:
-        import ray.data
+        dataset = pads.dataset(media_path, format="parquet")
+        n_rows = sum(f.metadata.num_rows for f in dataset.get_fragments())
+        if n_rows > _MEDIA_META_DISTRIBUTED_ROWS:
+            import ray.data
 
-        ds = ray.data.read_parquet(
-            media_path, columns=["media_ref", "n_pages"]
-        ).sort("media_ref")
-        refs_parts, pages_parts = [], []
-        for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-            refs_parts.append(
-                b["media_ref"].to_numpy(zero_copy_only=False).astype(str)
+            ds = ray.data.read_parquet(
+                media_path, columns=["media_ref", "n_pages"]
+            ).sort("media_ref")
+            refs_parts, pages_parts = [], []
+            for b in ds.iter_batches(
+                batch_format="pyarrow", batch_size=65536
+            ):
+                refs_parts.append(
+                    b["media_ref"].to_numpy(zero_copy_only=False).astype(str)
+                )
+                pages_parts.append(
+                    b["n_pages"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+            refs = (
+                np.concatenate(refs_parts)
+                if refs_parts
+                else np.array([], dtype=str)
             )
-            pages_parts.append(
-                b["n_pages"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pages = (
+                np.concatenate(pages_parts)
+                if pages_parts
+                else np.array([], dtype=np.int64)
             )
-        refs = (
-            np.concatenate(refs_parts)
-            if refs_parts
-            else np.array([], dtype=str)
-        )
-        pages = (
-            np.concatenate(pages_parts)
-            if pages_parts
-            else np.array([], dtype=np.int64)
-        )
-    else:
-        tbl = dataset.to_table(columns=["media_ref", "n_pages"])
-        refs = tbl["media_ref"].to_numpy(zero_copy_only=False).astype(str)
-        pages = tbl["n_pages"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(refs, kind="stable")
-        refs, pages = refs[order], pages[order]
-    ref = ray.put((refs, pages))
-    _MEDIA_META_CACHE[key] = ref
-    return ref
+        else:
+            tbl = dataset.to_table(columns=["media_ref", "n_pages"])
+            refs = tbl["media_ref"].to_numpy(zero_copy_only=False).astype(
+                str
+            )
+            pages = (
+                tbl["n_pages"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            order = np.argsort(refs, kind="stable")
+            refs, pages = refs[order], pages[order]
+        ref = ray.put((refs, pages))
+        _MEDIA_META_CACHE[key] = ref
+        return ref

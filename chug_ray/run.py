@@ -121,7 +121,13 @@ def run_job(
     # default path: the docs table carries span_pages, the classifier
     # reads cost from the batch, nothing O(n_media) sits on the driver.
     # Legacy tables (no column) fall back to the broadcast side data.
-    has_span_pages = table_has_column(groups[0][0], "span_pages")
+    # EVERY file must carry the column (footer-only probes): a corpus
+    # mixing new- and legacy-format shards would otherwise null-fill
+    # span_pages for the legacy rows and cost-classify them wrong —
+    # mixed corpora take the broadcast fallback for all files.
+    has_span_pages = all(
+        table_has_column(f, "span_pages") for g in groups for f in g
+    )
     meta_ref = (
         None if has_span_pages else broadcast_media_meta(cfg.media_store_path)
     )
@@ -244,9 +250,21 @@ def main(argv: list[str] | None = None) -> None:
             )
         if args.prev_docs and args.prev_out:
             from chug_ray.incremental import run_incremental
+            from chug_ray.urls import expand_urls, plan_files
+
+            def _expand(path: str):
+                # the full-run path expands url patterns in
+                # plan_partitions; the incremental path must accept the
+                # same --docs strings (::-joins, ${VAR}, {a..b} braces)
+                sources, _ = expand_urls(path)
+                files: list[str] = []
+                for src in sources:
+                    files.extend(plan_files(src))
+                return files if len(files) > 1 else (files or [path])[0]
 
             s = run_incremental(
-                args.docs, args.prev_docs, args.prev_out, args.out, cfg,
+                _expand(args.docs), _expand(args.prev_docs),
+                args.prev_out, args.out, cfg,
                 num_out_partitions=args.partitions or 4,
             )
             print(
