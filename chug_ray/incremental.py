@@ -31,7 +31,6 @@ import hashlib
 import json
 import os
 import time
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -74,9 +73,31 @@ def _doc_fp_batch(batch: pa.Table) -> pa.Table:
 
 
 def _bkt(ids, num_buckets: int) -> pa.Array:
-    return pa.array(
-        [zlib.crc32(str(d).encode()) % num_buckets for d in ids], pa.int64()
-    )
+    """Stable vectorized bucket of doc_id strings.
+
+    FNV-1a over unicode codepoints in WIDTH-bounded numpy passes (one
+    vector op per character column of the fixed-width view) instead of
+    a per-row Python hash call — doc_ids are short, so this is ~width
+    masked multiplies per batch. Pure arithmetic: deterministic across
+    processes, machines and library versions, like the repo's other
+    keyed hashes. Only shuffle/partition routing depends on it, so the
+    exact function choice never affects row values."""
+    strs = np.asarray([str(d) for d in ids], dtype=str)
+    n = len(strs)
+    if n == 0:
+        return pa.array([], pa.int64())
+    width = strs.dtype.itemsize // 4
+    codes = strs.view(np.uint32).reshape(n, width)
+    mask32 = np.uint64(0xFFFFFFFF)
+    prime = np.uint64(16777619)
+    h = np.full(n, 2166136261, np.uint64)
+    for j in range(width):
+        c = codes[:, j].astype(np.uint64)
+        live = c != 0  # U-dtype zero-pads past each string's end
+        if not live.any():
+            break
+        h = np.where(live, ((h ^ c) * prime) & mask32, h)
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int64), pa.int64())
 
 
 def _status_dataset(new_docs, prev_docs, num_buckets: int):
