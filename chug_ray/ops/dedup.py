@@ -379,8 +379,12 @@ def minhash_lsh_pairs(
                 inter = np.intersect1d(ta, tb, assume_unique=True).size
                 union = ta.size + tb.size - inter
                 jac.append(0.0 if union == 0 else inter / union)
-        m = m.assign(jaccard=round_away(jac, 4) if jac else [])
-        m = m[m["jaccard"] >= threshold]
+        # filter on the RAW score, round only at the output edge — the
+        # sibling exact/banded paths and the SQL oracles do the same, so
+        # a 0.79996 pair cannot round up past the threshold
+        m = m.assign(jaccard_raw=jac if jac else [])
+        m = m[m["jaccard_raw"] >= threshold]
+        m = m.assign(jaccard=round_away(m["jaccard_raw"].to_numpy(), 4))
         return pa.table(
             {
                 "doc_a": pa.array(m["doc_id_a"].to_numpy(np.int64)),
@@ -555,12 +559,9 @@ def ngram_jaccard_pairs(
     )
 
 
-def _sim_e4(sims: np.ndarray) -> np.ndarray:
-    """Similarities → integer 1e-4 units (round-half-away): float
-    round() ulps differ between engines, integers hash identically."""
-    return (np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5)).astype(
-        np.int64
-    )
+# the engine-parity rounding rule lives in ONE place (knn.py) so the
+# sign/floor convention cannot drift between the dedup and ANN families
+from chug_ray.ops.knn import _sim_e4  # noqa: E402
 
 
 def _cos_strip_pairs(
@@ -1032,8 +1033,13 @@ def novel_docs(sf_dir: str, ref_source: str = "src0", num_buckets: int = 64):
         record_group("novel_docs(bucket)", None, len(group))
         taken = group.loc[group["is_ref"], "fp_md5"]
         keep = group[~group["is_ref"] & ~group["fp_md5"].isin(set(taken))]
-        return keep[["doc_id", "lang", "source", "n_chars"]].astype(
-            {"doc_id": np.int64, "n_chars": np.int64}
+        # typed output: a fully-deduped bucket filters to zero rows, and
+        # untyped object lang/source would degrade to arrow null there
+        return from_pandas_typed(
+            keep[["doc_id", "lang", "source", "n_chars"]].astype(
+                {"doc_id": np.int64, "n_chars": np.int64}
+            ),
+            ("lang", "source"),
         )
 
     return (

@@ -14,7 +14,7 @@ import hashlib
 
 import pyarrow as pa
 
-from chug_ray.util import from_pandas_typed
+from chug_ray.util import from_pandas_typed, round_away
 import pyarrow.compute as pc
 
 TOKEN_RE = "[a-z0-9]+"
@@ -208,7 +208,6 @@ def simhash(sf_dir: str):
             )
             bits = (hashes[:, None] & bit_weights[None, :]) != 0
             votes = bits.sum(axis=0) * 2 - len(toks)
-            sig = np.uint64(0)
             sig = int((votes > 0) @ bit_weights.astype(object))
             out.append(f"{sig:016x}")
         return pa.table(
@@ -216,6 +215,37 @@ def simhash(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def _lang_char_counts(sf_dir: str):
+    """Aggregated (lang, n_chars, n) value counts as a Dataset — the
+    shared per-(lang, length) combiner behind chars_quantiles,
+    percent_rank_in_lang, mad_outliers and winsorized_stats: per-batch
+    pandas groupby partials (Arrow out, lang pinned) into ONE
+    (lang, n_chars) Sum. One implementation so a combiner fix cannot
+    silently skip a sibling op."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def value_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby(["lang", "n_chars"], as_index=False).agg(
+            n=("n_chars", "size")
+        )
+        return from_pandas_typed(out, ("lang",))
+
+    return (
+        _docs(sf_dir, ("lang", "n_chars"))
+        .map_batches(value_counts, batch_format="pyarrow")
+        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
 
 
 def chars_quantiles(sf_dir: str, ps=(25, 50, 75, 95, 99)):
@@ -232,25 +262,7 @@ def chars_quantiles(sf_dir: str, ps=(25, 50, 75, 95, 99)):
     import pandas as pd
     from ray.data.aggregate import Sum
 
-    def value_counts(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "lang": batch["lang"].to_pylist(),
-                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
-            }
-        )
-        out = df.groupby(["lang", "n_chars"], as_index=False).agg(
-            n=("n_chars", "size")
-        )
-        return from_pandas_typed(out, ("lang",))
-
-    counts = (
-        _docs(sf_dir, ("lang", "n_chars"))
-        .map_batches(value_counts, batch_format="pyarrow")
-        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
-        .groupby(["lang", "n_chars"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    counts = _lang_char_counts(sf_dir)
 
     def quantiles(group: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -421,11 +433,14 @@ def approx_distinct_tokens(sf_dir: str, p: int = 12):
             )
             idx = (h >> np.uint64(64 - p)).astype(np.int64)
             low = h & np.uint64((1 << (64 - p)) - 1)
-            rho = np.where(
-                low == 0,
-                64 - p + 1,
-                (64 - p) - np.floor(np.log2(np.maximum(low, 1).astype(np.float64))),
-            ).astype(np.uint8)
+            # bit length via frexp's exponent, NOT np.log2: low < 2^52
+            # is exactly representable in float64 and frexp is exact,
+            # while log2(2^b - 1) rounds UP to b within half an ulp of
+            # a power of two, understating rho by 1 for those hashes
+            _, exp = np.frexp(np.maximum(low, 1).astype(np.float64))
+            rho = np.where(low == 0, 64 - p + 1, (64 - p) - (exp - 1)).astype(
+                np.uint8
+            )
             reg = regs.setdefault(lang, np.zeros(m, np.uint8))
             np.maximum.at(reg, idx, rho)
         return pa.table(
@@ -496,7 +511,9 @@ def oov_rate(sf_dir: str, vocab_k: int = 1000):
         return int(np.floor(x * 1e4 + 0.5))
 
     def score(batch: pa.Table) -> pa.Table:
-        v = ray.get(vocab_ref)
+        # per-PROCESS cache: the vocab is an object array of Python
+        # strings that ray.get fully re-unpickles on every call
+        v = _bcast_uni(vocab_ref)
         n_tok = np.empty(batch.num_rows, np.int64)
         n_oov = np.empty(batch.num_rows, np.int64)
         rate = np.empty(batch.num_rows, np.int64)
@@ -647,26 +664,8 @@ def percent_rank_in_lang(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
-    def value_counts(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame(
-            {
-                "lang": batch["lang"].to_pylist(),
-                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
-            }
-        )
-        out = df.groupby(["lang", "n_chars"], as_index=False).agg(
-            n=("n_chars", "size")
-        )
-        return from_pandas_typed(out, ("lang",))
-
     agg = (
-        _docs(sf_dir, ("lang", "n_chars"))
-        .map_batches(value_counts, batch_format="pyarrow")
-        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs (see window.py NOTE)
-        .groupby(["lang", "n_chars"])
-        .aggregate(Sum("n", alias_name="n"))
+        _lang_char_counts(sf_dir)
         .materialize()
     )
     # guard the "domain is tiny" assumption BEFORE pulling it to the
@@ -901,7 +900,7 @@ def ngram_perplexity(sf_dir: str, m: int = 5000):
     table_ref = ray.put((bgs, log2s))
 
     def score(batch: pa.Table) -> pa.Table:
-        v, s = ray.get(table_ref)
+        v, s = _bcast_uni(table_ref)  # per-process cache (object strings)
         n_bg = np.empty(batch.num_rows, np.int64)
         n_hit = np.empty(batch.num_rows, np.int64)
         sc = np.empty(batch.num_rows, np.int64)
@@ -1338,7 +1337,7 @@ def bm25_search(sf_dir: str, k: int = 10):
                 ),
                 "doc_id": pa.array(d[order]),
                 "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-                "score": pa.array(np.round(s[order], 4)),
+                "score": pa.array(round_away(s[order], 4)),
             }
         )
 
@@ -1375,24 +1374,8 @@ def mad_outliers(sf_dir: str):
     import pandas as pd
     from ray.data.aggregate import Sum
 
-    def value_counts(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "lang": batch["lang"].to_pylist(),
-                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
-            }
-        )
-        out = df.groupby(["lang", "n_chars"], as_index=False).agg(
-            n=("n_chars", "size")
-        )
-        return from_pandas_typed(out, ("lang",))
-
     counts_ds = (
-        _docs(sf_dir, ("lang", "n_chars"))
-        .map_batches(value_counts, batch_format="pyarrow")
-        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs
-        .groupby(["lang", "n_chars"])
-        .aggregate(Sum("n", alias_name="n"))
+        _lang_char_counts(sf_dir)
         .materialize()  # guard BEFORE the driver pull
     )
     n_cells = counts_ds.count()
@@ -1508,7 +1491,7 @@ def weighted_sample_k(sf_dir: str, k: int = 20):
                 "n_chars": pa.array(
                     group["n_chars"].to_numpy(np.int64)[order]
                 ),
-                "sample_key": pa.array(np.round(s[order], 8)),
+                "sample_key": pa.array(round_away(s[order], 8)),
             }
         )
 
@@ -1608,7 +1591,7 @@ def dsir_select(
     table_ref = ray.put((words, wgt))
 
     def score_topk(batch: pa.Table) -> pa.Table:
-        v, s = ray.get(table_ref)
+        v, s = _bcast_uni(table_ref)  # per-process cache (object strings)
         n = batch.num_rows
         n_tok = np.empty(n, np.int64)
         sc = np.empty(n, np.int64)
@@ -1677,9 +1660,10 @@ def train_test_split(sf_dir: str, test_permille: int = 100):
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        assert (ids >= 0).all() and (ids < (1 << 32)).all(), (
-            "doc_id outside [0, 2^32): the uint64 product would wrap"
-        )
+        if not ((ids >= 0).all() and (ids < (1 << 32)).all()):
+            raise ValueError(
+                "doc_id outside [0, 2^32): the uint64 product would wrap"
+            )
         h = (ids.astype(np.uint64) * K) % M32
         bucket = (h % np.uint64(1000)).astype(np.int64)
         split = np.where(bucket < test_permille, "test", "train")
@@ -1929,18 +1913,9 @@ def collocations(sf_dir: str, min_count: int = 5, k: int = 20):
     )
 
 
-_UNI_CACHE: dict = {}
-
-
-def _bcast_uni(ref):
-    """Per-process cache of the broadcast unigram table (cf. _BCAST in
-    relational.py)."""
-    import ray
-
-    key = ref.hex()
-    if key not in _UNI_CACHE:
-        _UNI_CACHE[key] = ray.get(ref)
-    return _UNI_CACHE[key]
+# per-process broadcast cache: ONE implementation, shared with the
+# relational family so cache/session fixes reach every user
+from chug_ray.ops.relational import _bcast as _bcast_uni  # noqa: E402
 
 
 def collapse_runs(sf_dir: str):
@@ -2017,9 +1992,10 @@ def grouped_moments(sf_dir: str):
             np.int64,
         )
         mx, my = int(np.abs(x).max(initial=0)), int(np.abs(y).max(initial=0))
-        assert len(x) * max(mx, my) ** 2 < (1 << 63), (
-            "second-moment sum would overflow int64; shrink batch_size"
-        )
+        if not len(x) * max(mx, my) ** 2 < (1 << 63):
+            raise ValueError(
+                "second-moment sum would overflow int64; shrink batch_size"
+            )
         df = pd.DataFrame(
             {"lang": langs, "n": 1, "sx": x, "sy": y,
              "sxx": x * x, "syy": y * y, "sxy": x * y}
@@ -2255,24 +2231,8 @@ def winsorized_stats(sf_dir: str, lo_pct: int = 5, hi_pct: int = 95):
     import pandas as pd
     from ray.data.aggregate import Sum
 
-    def value_counts(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "lang": batch["lang"].to_pylist(),
-                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
-            }
-        )
-        out = df.groupby(["lang", "n_chars"], as_index=False).agg(
-            n=("n_chars", "size")
-        )
-        return from_pandas_typed(out, ("lang",))
-
     counts = (
-        _docs(sf_dir, ("lang", "n_chars"))
-        .map_batches(value_counts, batch_format="pyarrow")
-        .materialize()  # partials: Ray's sort shuffle re-executes lazy inputs
-        .groupby(["lang", "n_chars"])
-        .aggregate(Sum("n", alias_name="n"))
+        _lang_char_counts(sf_dir)
         .materialize()  # pinned before the per-lang map_groups shuffle
     )
 
@@ -2547,10 +2507,11 @@ def greedy_coverage(sf_dir: str, k: int = 10, max_vocab: int = 50_000_000):
         covered = np.union1d(
             covered, np.asarray(top["hashes"], np.int64)
         )
-        assert len(covered) <= max_vocab, (
-            f"greedy_coverage: covered vocabulary {len(covered)} exceeds "
-            f"max_vocab={max_vocab}"
-        )
+        if len(covered) > max_vocab:
+            raise ValueError(
+                f"greedy_coverage: covered vocabulary {len(covered)} "
+                f"exceeds max_vocab={max_vocab}"
+            )
         picks.append((rank, top["doc_id"], top["new"], len(covered)))
 
     return pd.DataFrame(
@@ -2612,7 +2573,9 @@ def weighted_sample_per_lang(sf_dir: str, k: int = 5):
                 ),
                 "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
                 "n_chars": pa.array(g["n_chars"].to_numpy(np.int64)),
-                "sample_key": pa.array(np.round(g["skey"].to_numpy(), 8)),
+                "sample_key": pa.array(
+                    round_away(g["skey"].to_numpy(), 8)
+                ),
             }
         )
 
@@ -2721,7 +2684,7 @@ def balanced_lang_sample(sf_dir: str, target_per_lang: int = 40):
     thr_ref = ray.put(thresholds)
 
     def keep(batch: pa.Table) -> pa.Table:
-        thr = ray.get(thr_ref)
+        thr = _bcast_uni(thr_ref)  # per-process cache (Python dict)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         langs = batch["lang"].to_pylist()
         mask = np.zeros(len(ids), bool)
