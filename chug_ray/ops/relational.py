@@ -146,7 +146,9 @@ def orders_by_segment(sf_dir: str):
     )
 
     def join_partial(batch: pa.Table) -> pa.Table:
-        keys_, segs_ = ray.get(seg_ref)
+        # per-process cache: segs_ is an object string array that
+        # ray.get would fully re-unpickle on every batch
+        keys_, segs_ = _bcast(seg_ref)
         cust_ids = batch["o_custkey"].to_numpy(zero_copy_only=False)
         price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
         cents = (np.sign(price) * np.floor(np.abs(price) * 100.0 + 0.5)).astype(
@@ -649,10 +651,11 @@ def events_after_order(sf_dir: str, days: int = 7, num_buckets: int = 64):
             span = np.int64(ev_ts.max() - t0 + window_us + 2)
             # guard in Python ints: the np.int64 product would itself
             # wrap negative at the very scale being guarded against
-            assert int(len(uniq)) * int(span) < np.iinfo(np.int64).max, (
-                "users-per-bucket x time-span overflows int64; raise "
-                "num_buckets or chunk the time axis"
-            )
+            if not int(len(uniq)) * int(span) < np.iinfo(np.int64).max:
+                raise ValueError(
+                    "users-per-bucket x time-span overflows int64; "
+                    "raise num_buckets or chunk the time axis"
+                )
             comp = ev_code * span + (ev_ts - t0)
             order = np.argsort(comp, kind="stable")
             comp = comp[order]
@@ -2101,9 +2104,10 @@ def supplier_count_by_class(sf_dir: str, num_buckets: int = 64):
             bpos = np.clip(np.searchsorted(blocked, supp), 0, len(blocked) - 1)
             m = blocked[bpos] != supp
             part, supp = part[m], supp[m]
-        assert (supp >= 0).all() and (supp < (1 << _SUPP_BITS)).all(), (
-            "suppkey overflows the packed (attr, supp) key"
-        )
+        if not ((supp >= 0).all() and (supp < (1 << _SUPP_BITS)).all()):
+            raise ValueError(
+                "suppkey overflows the packed (attr, supp) key"
+            )
         pos = np.searchsorted(keys, part)
         packed = np.unique((codes[pos] << _SUPP_BITS) | supp)  # combiner
         return pa.table(
@@ -3543,9 +3547,10 @@ def part_pair_support(
             )
         p1 = m["p_x"].to_numpy(np.int64)
         p2 = m["p_y"].to_numpy(np.int64)
-        assert int(p2.max()) < 1 << 31, (
-            "part_pair_support: partkey exceeds the 32-bit pack width"
-        )
+        if not int(p2.max()) < 1 << 31:
+            raise ValueError(
+                "part_pair_support: partkey exceeds the 32-bit pack width"
+            )
         key, c = np.unique(p1 * (1 << 32) + p2, return_counts=True)
         return pa.table(
             {
@@ -3624,9 +3629,10 @@ def pair_lift(sf_dir: str, min_support: int = 2, num_buckets: int = 64):
         if len(m):
             p1 = m["p_x"].to_numpy(np.int64)
             p2 = m["p_y"].to_numpy(np.int64)
-            assert int(p2.max()) < 1 << 31, (
-                "pair_lift: partkey exceeds the 32-bit pack width"
-            )
+            if not int(p2.max()) < 1 << 31:
+                raise ValueError(
+                    "pair_lift: partkey exceeds the 32-bit pack width"
+                )
             pkey, pc = np.unique(p1 * (1 << 32) + p2, return_counts=True)
         else:
             pkey = pc = np.array([], np.int64)
@@ -3907,7 +3913,7 @@ def auto_join(
         state = ray.put((keys[order], payload))
 
         def probe(batch: pa.Table) -> pa.Table:
-            skeys, pay = ray.get(state)
+            skeys, pay = _bcast(state)  # per-process cache (string dims)
             if len(skeys) == 0:
                 # empty dim table: inner join yields nothing; short-circuit
                 # before skeys[pos_c] indexes into an empty array

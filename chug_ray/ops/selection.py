@@ -28,8 +28,10 @@ def _composite_z(batch: pa.Table) -> tuple:
     One definition so the range guards hold on every code path."""
     nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
     d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    assert (nc >= 0).all() and (nc < (1 << 31)).all(), "n_chars range"
-    assert (d >= 0).all() and (d < (1 << 32)).all(), "doc_id range"
+    if not ((nc >= 0).all() and (nc < (1 << 31)).all()):
+        raise ValueError("n_chars outside [0, 2^31): key pack would wrap")
+    if not ((d >= 0).all() and (d < (1 << 32)).all()):
+        raise ValueError("doc_id outside [0, 2^32): key pack would wrap")
     return nc, d, (nc << 32) | d
 
 
@@ -681,7 +683,8 @@ def zorder_layout(sf_dir: str, n_files: int = 16):
     from ray.data.aggregate import Max, Min, Sum
 
     shift = 32 - int(np.log2(n_files))
-    assert 1 << (32 - shift) == n_files, "n_files must be a power of two"
+    if 1 << (32 - shift) != n_files:
+        raise ValueError("n_files must be a power of two")
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
