@@ -271,7 +271,13 @@ def export_range_partitioned(
         # out_dir holding unrelated data (refuse; deleting it silently
         # would destroy user files).
         entries = os.listdir(out_dir)
-        if entries and not all(e.startswith("tile=") for e in entries):
+        # export artifacts: tile=*/ dirs, the manifest, and a leftover
+        # .tmp from a crash between json.dump and os.replace — the
+        # exact case this branch exists to auto-recover
+        own = ("_MANIFEST.json", "_MANIFEST.json.tmp")
+        if entries and not all(
+            e.startswith("tile=") or e in own for e in entries
+        ):
             raise ValueError(
                 f"refusing to overwrite {out_dir}: it contains entries "
                 "that are not export artifacts (tile=*/ dirs or "
@@ -513,7 +519,9 @@ def systematic_sample(sf_dir: str, k: int = 10, num_buckets: int = 64):
             int(group["bucket"].iloc[0]),
             len(group),
         )
-        vals, offs = ray.get(state)
+        from chug_ray.ops.relational import _bcast
+
+        vals, offs = _bcast(state)  # per-process cache (repo convention)
         g = group.sort_values(["n_chars", "doc_id"], kind="stable")
         local = g.groupby("n_chars").cumcount().to_numpy(np.int64)
         v = g["n_chars"].to_numpy(np.int64)
@@ -615,7 +623,9 @@ def balanced_shards(sf_dir: str, n_shards: int = 16, num_buckets: int = 64):
             int(group["bucket"].iloc[0]),
             len(group),
         )
-        vals, offs = ray.get(state)
+        from chug_ray.ops.relational import _bcast
+
+        vals, offs = _bcast(state)  # per-process cache (repo convention)
         g = group.sort_values(
             ["n_chars", "doc_id"], ascending=[False, True], kind="stable"
         )

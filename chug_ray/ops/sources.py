@@ -86,11 +86,16 @@ def flatten_props(sf_dir: str):
                 obj = json.loads(raw) if raw else {}
             except json.JSONDecodeError:
                 obj = {}
+            if not isinstance(obj, dict):
+                obj = {}  # scalar/list JSON: same fallback as malformed
             val = next(
                 (obj[k] for k in FALLBACK_KEYS if k in obj and obj[k] is not None),
                 -1,
             )
-            ks.append(int(val))
+            try:
+                ks.append(int(val))
+            except (TypeError, ValueError):
+                ks.append(-1)  # non-int-coercible value: lenient like the rest
         return pa.table(
             {
                 "event_id": batch["event_id"],
@@ -290,7 +295,8 @@ def stratified_sample(sf_dir: str, rates: dict[str, int] | None = None):
     and needs no shuffle — each batch filters itself. The per-stratum
     keep-rate table is the tiny side: a plan-time constant here, a
     broadcast dict when strata are dynamic."""
-    rates = rates or {"en": 5, "fr": 3}  # deciles kept; others default 1
+    # `is None`, not falsy: an explicit empty dict means "no overrides"
+    rates = {"en": 5, "fr": 3} if rates is None else rates
 
     def fn(batch: pa.Table) -> pa.Table:
         import numpy as np

@@ -14,13 +14,38 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from chug_ray.util import from_pandas_typed, round_away
+from chug_ray.util import from_pandas_typed
 
 
 def _events(sf_dir: str, columns):
     import ray.data
 
     return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _user_chunk_bucket(uid, chunk, num_buckets: int) -> np.ndarray:
+    """THE (user, chunk) shuffle-bucket hash, in one place.
+
+    Events meet their per-chunk offsets/carries downstream only because
+    every stage hashes identically — running_user_totals,
+    rolling_user_sum and event_transitions each compute this in their
+    keyed() AND their to_offsets()/to_carries() sides. A drifted copy
+    would silently mis-join offsets to events, so the expression lives
+    here once."""
+    with np.errstate(over="ignore"):
+        b = (
+            np.asarray(uid).astype(np.uint64) * np.uint64(1000003)
+            ^ np.asarray(chunk).astype(np.uint64)
+        ) % num_buckets
+    return b.astype(np.int64)
+
+
+def _value_e4(values) -> np.ndarray:
+    """value → integer 1e-4 units (matches SQL ``round(value * 10000)``);
+    integer sums are exact and order-invariant under parallelism."""
+    v = np.asarray(values, dtype=np.float64)
+    return (np.sign(v) * np.floor(np.abs(v) * 1e4 + 0.5)).astype(np.int64)
+
 
 
 # NOTE (measured): Ray's sort-based Aggregate runs ~10× slower on
@@ -48,10 +73,7 @@ def tumbling_window(sf_dir: str):
     def partial(batch: pd.DataFrame) -> pa.Table:
         # value → integer 1e-4 units per row (matches SQL round(value*10000));
         # integer sums are exact and order-invariant under parallelism.
-        value_e4 = (
-            np.sign(batch["value"])
-            * np.floor(np.abs(batch["value"].to_numpy()) * 1e4 + 0.5)
-        ).astype(np.int64)
+        value_e4 = _value_e4(batch["value"].to_numpy())
         # shuffle key = epoch seconds (int64; cheaper sort key than a
         # timestamp column)
         ws = (
@@ -94,14 +116,18 @@ def hopping_window(sf_dir: str, size_minutes: int = 60, hop_minutes: int = 30):
     import pyarrow as pa
     from ray.data.aggregate import Sum
 
+    if hop_minutes <= 0 or size_minutes % hop_minutes != 0:
+        raise ValueError(
+            f"size_minutes={size_minutes} must be a positive multiple of "
+            f"hop_minutes={hop_minutes}: the explode emits size//hop "
+            "covering windows per event, so a non-multiple would "
+            "silently shrink every window's extent"
+        )
     copies = size_minutes // hop_minutes
     hop_s = hop_minutes * 60
 
     def partial(batch: pd.DataFrame) -> pa.Table:
-        value_e4 = (
-            np.sign(batch["value"])
-            * np.floor(np.abs(batch["value"].to_numpy()) * 1e4 + 0.5)
-        ).astype(np.int64)
+        value_e4 = _value_e4(batch["value"].to_numpy())
         base = (
             batch["ts"]
             .dt.floor(f"{hop_minutes}min")
@@ -186,11 +212,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30, chunk_hours: int = 24):
             .astype(np.int64)
         )
         uid = batch["user_id"].to_numpy()
-        with np.errstate(over="ignore"):
-            bucket = (
-                (uid.astype(np.uint64) * np.uint64(1000003))
-                ^ chunk.to_numpy().astype(np.uint64)
-            ) % num_buckets
+        bucket = _user_chunk_bucket(uid, chunk.to_numpy(), num_buckets)
         return pa.Table.from_pandas(
             batch.assign(chunk=chunk, bucket=bucket.astype(np.int64)),
             preserve_index=False,
@@ -306,10 +328,7 @@ def running_user_totals(
     import pyarrow as pa
 
     def keyed(batch: pd.DataFrame) -> pd.DataFrame:
-        value_e4 = (
-            np.sign(batch["value"])
-            * np.floor(np.abs(batch["value"].to_numpy()) * 1e4 + 0.5)
-        ).astype(np.int64)
+        value_e4 = _value_e4(batch["value"].to_numpy())
         chunk = (
             batch["ts"]
             .dt.floor(f"{chunk_hours}h")
@@ -317,11 +336,7 @@ def running_user_totals(
             .astype(np.int64)
         )
         uid = batch["user_id"].to_numpy()
-        with np.errstate(over="ignore"):
-            bkt = (
-                (uid.astype(np.uint64) * np.uint64(1000003))
-                ^ chunk.to_numpy().astype(np.uint64)
-            ) % num_buckets
+        bkt = _user_chunk_bucket(uid, chunk.to_numpy(), num_buckets)
         return batch.assign(
             value_e4=value_e4, chunk=chunk, bkt=bkt.astype(np.int64)
         )
@@ -352,11 +367,7 @@ def running_user_totals(
         offset = (csum - g["chunk_sum"]).astype(np.int64)
         uid = g["user_id"].to_numpy()
         chunk = g["chunk"].to_numpy()
-        with np.errstate(over="ignore"):
-            bkt = (
-                (uid.astype(np.uint64) * np.uint64(1000003))
-                ^ chunk.astype(np.uint64)
-            ) % num_buckets
+        bkt = _user_chunk_bucket(uid, chunk, num_buckets)
         return pa.table(
             {
                 "user_id": pa.array(uid, pa.int64()),
@@ -479,10 +490,7 @@ def rolling_user_sum(
     tail = k - 1
 
     def keyed(batch: pd.DataFrame) -> pd.DataFrame:
-        value_e4 = (
-            np.sign(batch["value"])
-            * np.floor(np.abs(batch["value"].to_numpy()) * 1e4 + 0.5)
-        ).astype(np.int64)
+        value_e4 = _value_e4(batch["value"].to_numpy())
         chunk = (
             batch["ts"]
             .dt.floor(f"{chunk_hours}h")
@@ -490,11 +498,7 @@ def rolling_user_sum(
             .astype(np.int64)
         )
         uid = batch["user_id"].to_numpy()
-        with np.errstate(over="ignore"):
-            bkt = (
-                (uid.astype(np.uint64) * np.uint64(1000003))
-                ^ chunk.to_numpy().astype(np.uint64)
-            ) % num_buckets
+        bkt = _user_chunk_bucket(uid, chunk.to_numpy(), num_buckets)
         return batch.assign(
             value_e4=value_e4, chunk=chunk, bkt=bkt.astype(np.int64)
         )
@@ -541,11 +545,7 @@ def rolling_user_sum(
                 carry_idx = (carry_idx + list(cur))[-tail:] if tail else []
         uid_arr = np.array(out_user, np.int64)
         chunk_arr = np.array(out_chunk, np.int64)
-        with np.errstate(over="ignore"):
-            bkt = (
-                (uid_arr.astype(np.uint64) * np.uint64(1000003))
-                ^ chunk_arr.astype(np.uint64)
-            ) % num_buckets
+        bkt = _user_chunk_bucket(uid_arr, chunk_arr, num_buckets)
         return pa.table(
             {
                 "bkt": pa.array(bkt.astype(np.int64)),
@@ -637,11 +637,7 @@ def hourly_active_users(sf_dir: str, num_buckets: int = 64):
         ).drop_duplicates()
         uid = df["user_id"].to_numpy()
         win = df["window"].to_numpy()
-        with np.errstate(over="ignore"):
-            bkt = (
-                (uid.astype(np.uint64) * np.uint64(1000003))
-                ^ win.astype(np.uint64)
-            ) % num_buckets
+        bkt = _user_chunk_bucket(uid, win, num_buckets)
         return pa.table(
             {
                 "bkt": pa.array(bkt.astype(np.int64)),
@@ -671,9 +667,7 @@ def hourly_active_users(sf_dir: str, num_buckets: int = 64):
 
         return pa.table(
             {
-                "window_start": pc.cast(
-                    batch["window"].cast(pa.timestamp("us")), pa.timestamp("us")
-                ),
+                "window_start": batch["window"].cast(pa.timestamp("us")),
                 "n_users": pc.cast(batch["n_users"], pa.int64()),
             }
         )
@@ -702,10 +696,7 @@ def user_event_pivot(sf_dir: str, num_buckets: int = 64):
     TYPES = ("click", "error", "purchase", "signup", "view")
 
     def partial(batch: pd.DataFrame) -> pa.Table:
-        value_e4 = (
-            np.sign(batch["value"])
-            * np.floor(np.abs(batch["value"].to_numpy()) * 1e4 + 0.5)
-        ).astype(np.int64)
+        value_e4 = _value_e4(batch["value"].to_numpy())
         df = pd.DataFrame(
             {
                 "user_id": batch["user_id"].to_numpy(),
@@ -823,11 +814,7 @@ def event_transitions(sf_dir: str, chunk_hours: int = 24, num_buckets: int = 64)
             .astype(np.int64)
         )
         uid = batch["user_id"].to_numpy()
-        with np.errstate(over="ignore"):
-            bkt = (
-                (uid.astype(np.uint64) * np.uint64(1000003))
-                ^ chunk.to_numpy().astype(np.uint64)
-            ) % num_buckets
+        bkt = _user_chunk_bucket(uid, chunk.to_numpy(), num_buckets)
         return batch.assign(chunk=chunk, bkt=bkt.astype(np.int64))
 
     events = (
@@ -855,11 +842,7 @@ def event_transitions(sf_dir: str, chunk_hours: int = 24, num_buckets: int = 64)
         keep = nxt.notna()
         out = g[keep].assign(chunk=nxt[keep].astype(np.int64))
         uid = out["user_id"].to_numpy()
-        with np.errstate(over="ignore"):
-            bkt = (
-                (uid.astype(np.uint64) * np.uint64(1000003))
-                ^ out["chunk"].to_numpy().astype(np.uint64)
-            ) % num_buckets
+        bkt = _user_chunk_bucket(uid, out["chunk"].to_numpy(), num_buckets)
         return pa.table(
             {
                 "bkt": pa.array(bkt.astype(np.int64)),
@@ -1300,7 +1283,9 @@ def sliding_distinct_users(
     hours_ref = ray.put(hours)
 
     def expand(batch: pa.Table) -> pa.Table:
-        hset = ray.get(hours_ref)
+        from chug_ray.ops.relational import _bcast
+
+        hset = _bcast(hours_ref)  # per-process cache (repo convention)
         h = batch["h"].to_numpy()
         u = batch["u"].to_numpy()
         outs_h, outs_u = [], []
@@ -1523,6 +1508,19 @@ def value_histogram(sf_dir: str, bins: int = 20):
 
     src = _events(sf_dir, ["value"])
     mm = src.aggregate(Min("value"), Max("value"))
+    if mm["min(value)"] is None:  # empty events table: typed empty result
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "bin": pa.array([], pa.int64()),
+                    "lo_edge": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
     lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
     nb = float(bins)
 
@@ -1952,7 +1950,12 @@ def hourly_anomalies(sf_dir: str, z_threshold_e6: int = 2_000_000):
             Sum("ss", alias_name="ss"),
         )
     )
-    k, s, ss = int(mom["k"]), int(mom["s"]), int(mom["ss"])
+    # empty events: the aggregate returns Nones — take the k==0 branch
+    # BEFORE int() so the typed-empty path is actually reachable
+    if mom["k"] is None:
+        k, s, ss = 0, 0, 0
+    else:
+        k, s, ss = int(mom["k"]), int(mom["s"]), int(mom["ss"])
     den = k * ss - s * s  # Python ints: no wraparound
     if k == 0 or den <= 0:
         return pd.DataFrame(
