@@ -47,7 +47,15 @@ def collate_arrow_batch(batch: pa.Table) -> dict[str, Any]:
             or pa.types.is_boolean(typ)
             or pa.types.is_temporal(typ)
         ):
-            out[name] = col.to_numpy(zero_copy_only=False)
+            if col.null_count and not pa.types.is_floating(typ):
+                # a null in an int/bool column would silently promote
+                # the whole batch to float64-with-NaN, flipping dtype
+                # between batches and feeding NaN into the loss; stay a
+                # Python list (torch's default_collate errors on None —
+                # the consumer decides, the seam never masks it)
+                out[name] = col.to_pylist()
+            else:
+                out[name] = col.to_numpy(zero_copy_only=False)
         elif (
             pa.types.is_list(typ)
             or pa.types.is_large_list(typ)

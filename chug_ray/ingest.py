@@ -25,18 +25,25 @@ import pyarrow as pa
 from chug_ray.schema import DOC_SCHEMA
 
 
-def ocr_page_lines(page: dict) -> list[str]:
+def ocr_page_lines(page) -> list[str]:
     """The text lines of one anno page, with the reference's preference
     order: ``lines`` level when present, else the flat ``text`` list,
     else the ``words`` level (our addition — the reference raises on a
     words-only page; at ingest salvaging word text is strictly better
-    than dropping the page, and the deviation is visible here)."""
-    if "lines" in page:
-        return list(page["lines"].get("text") or [])
+    than dropping the page, and the deviation is visible here).
+
+    Shape-lenient like the rest of ingest: a non-dict page (or non-dict
+    lines/words level) yields no lines rather than crashing the batch —
+    the no-row-thrown-away policy covers wrong-SHAPE JSON, not just
+    unparsable JSON."""
+    if not isinstance(page, dict):
+        return []
+    if isinstance(page.get("lines"), dict):
+        return [str(t) for t in page["lines"].get("text") or []]
     if "text" in page:
-        return list(page.get("text") or [])
-    if "words" in page:
-        return list(page["words"].get("text") or [])
+        return [str(t) for t in page.get("text") or []]
+    if isinstance(page.get("words"), dict):
+        return [str(t) for t in page["words"].get("text") or []]
     return []
 
 
@@ -68,6 +75,8 @@ def ingest_ocr_batch(batch: pa.Table, line_break: str = "\n") -> pa.Table:
             anno = json.loads(raw) if raw else {}
         except json.JSONDecodeError:
             anno = {}
+        if not isinstance(anno, dict):
+            anno = {}  # valid JSON, wrong shape (null/list/scalar)
         spans = ocr_anno_to_spans(anno, line_break)
         rows.append(
             {

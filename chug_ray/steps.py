@@ -38,6 +38,14 @@ class Step:
     def is_actor(self) -> bool:
         return inspect.isclass(self.fn)
 
+    def __post_init__(self):
+        if self.fn_constructor_args and not inspect.isclass(self.fn):
+            raise ValueError(
+                f"step {self.name!r}: fn_constructor_args only apply to "
+                "a callable CLASS (actor) step — a plain function would "
+                "silently ignore them; use functools.partial instead"
+            )
+
 
 def compile_pipeline(ds, steps: list[Step]):
     """Chain the steps onto a Dataset (lazy; streaming executor runs it)."""

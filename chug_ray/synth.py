@@ -164,7 +164,7 @@ def _corrupt(rng, data: bytes) -> bytes:
 def make_doc(cfg: CorpusConfig, index: int):
     """Build one document → (doc_row: dict, media_rows: list[dict])."""
     arch = archetype_for(cfg, index)
-    doc_id = f"{arch}-{index:08d}"
+    doc_id = doc_id_for(cfg, index)  # ONE id format definition
     rng = rng_for(cfg.seed, doc_id)
     # planted-duplicate frames draw from their own keyed stream so the
     # main stream (and every rate=0.0 corpus) is unchanged
@@ -340,6 +340,14 @@ def corpus_for_sf_dir(sf_dir: str, cache_root: str = "/tmp/chug_ray_corpus"):
         docs_path = os.path.join(out_dir, "documents.parquet")
         media_path = os.path.join(out_dir, "media.parquet")
     if not os.path.exists(marker):
+        if os.path.isdir(out_dir):
+            # no _complete marker but files exist: a crashed prior
+            # generation. The distributed writer appends uniquely-named
+            # parquet files, so regenerating over the residue would mix
+            # two runs' files into one oversized corpus — clean first.
+            import shutil
+
+            shutil.rmtree(out_dir)
         if use_ray:
             import ray
 

@@ -49,12 +49,22 @@ def _env_value(name: str) -> str:
 
 
 def envsubst(s: str, max_rounds: int = 10) -> str:
-    """Substitute every ``${VAR}`` (prefix lookup, iterated)."""
+    """Substitute every ``${VAR}`` (prefix lookup, iterated).
+
+    Raises when substitution stops making progress (circular env
+    values) or exceeds ``max_rounds`` while ``${...}`` remain — an
+    unresolved variable surfacing later as a FileNotFoundError on a
+    literal '${DATA}/...' path is much harder to diagnose."""
     for _ in range(max_rounds):
         out = _VAR_RE.sub(lambda m: _env_value(m.group(1)), s)
         if out == s:
             break
         s = out
+    if _VAR_RE.search(s):
+        raise ValueError(
+            f"unresolved ${{...}} after substitution: {s!r} — circular "
+            "or too-deeply-nested environment values"
+        )
     return s
 
 
@@ -151,6 +161,10 @@ def expand_urls(
             return url_list, None
         if isinstance(weights, (int, float)):
             return url_list, [float(weights)] * len(url_list)
+        if isinstance(weights, str):
+            # same '::'-split parse as the string-urls branch — a bare
+            # iteration would walk the string character by character
+            weights = [float(w) for w in weights.split("::")]
         if len(weights) != len(url_list):
             raise ValueError(
                 f"{len(url_list)} urls but {len(weights)} weights"
@@ -196,7 +210,7 @@ def split_sources(
     num_samples: int | str | list[int] | None = None,
 ) -> tuple[list[SourceSpec], int | None]:
     """``::``-joined source string → per-source specs (+ total samples)."""
-    parts = source.split("::") if "::" in source else [source]
+    parts = source.split("::")  # no '::' → [source] already
     n = len(parts)
 
     if sampling_weights is not None:
