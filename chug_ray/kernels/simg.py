@@ -66,6 +66,12 @@ def decode(data: bytes) -> list[Frame]:
         if pos + _FRM.size > len(data):
             raise SimgError("SIMG: truncated frame header")
         w, h, pix_seed, n_lines = _FRM.unpack_from(data, pos)
+        if w <= 0 or h <= 0:
+            # decode-time validation: a zero-area frame renders an
+            # empty raster whose np.mean is NaN, crashing every media
+            # stage OUTSIDE their SimgError corrupt-payload handling —
+            # reject it here so all stages inherit the err channel
+            raise SimgError(f"SIMG: non-positive frame dims {w}x{h}")
         pos += _FRM.size
         lines = []
         for _ in range(n_lines):

@@ -35,8 +35,8 @@ def decode_real_image(payload: bytes) -> "np.ndarray":
 class MediaFrameStats:
     """Actor: decode each media payload, emit per-payload frame features.
 
-    Output: (media_ref, kind, n_pages, n_frames_decoded, total_lines,
-    sum_width, sum_height, mean_pixel_e4).
+    Output: (media_ref, kind, n_frames_decoded, total_lines,
+    sum_width, sum_height, mean_pixel_e4, decode_ok).
     """
 
     def __init__(self):
@@ -421,20 +421,25 @@ def _area_resize(img: np.ndarray, out_h: int = 32, out_w: int = 32) -> np.ndarra
     """Exact area-average resize via integral image — deterministic,
     numpy-only (the container has no image library)."""
     h, w = img.shape
+    if h == 0 or w == 0:
+        return np.zeros((out_h, out_w), np.float64)
     ii = np.zeros((h + 1, w + 1), np.float64)
     ii[1:, 1:] = np.cumsum(np.cumsum(img.astype(np.float64), 0), 1)
     ys = np.round(np.linspace(0, h, out_h + 1)).astype(np.int64)
     xs = np.round(np.linspace(0, w, out_w + 1)).astype(np.int64)
-    # degenerate tiny inputs: force non-empty cells
-    ys = np.maximum.accumulate(np.maximum(ys, np.arange(out_h + 1) > 0))
-    xs = np.maximum.accumulate(np.maximum(xs, np.arange(out_w + 1) > 0))
-    yhi, ylo = ys[1:][:, None], ys[:-1][:, None]
-    xhi, xlo = xs[1:][None, :], xs[:-1][None, :]
+    # every cell samples ≥1 pixel: for sub-32px inputs adjacent rounded
+    # boundaries coincide, and a zero-area cell would read as 0.0 —
+    # an artificial lattice that dominates the DCT of small frames.
+    # Clamp lo into range and force hi ≥ lo+1 (nearest-pixel replicate);
+    # cells that were already non-empty keep their exact bounds, so
+    # every ≥32px hash is bit-identical to before.
+    ylo = np.minimum(ys[:-1], h - 1)[:, None]
+    yhi = np.maximum(ys[1:], np.minimum(ys[:-1], h - 1) + 1)[:, None]
+    xlo = np.minimum(xs[:-1], w - 1)[None, :]
+    xhi = np.maximum(xs[1:], np.minimum(xs[:-1], w - 1) + 1)[None, :]
     s = ii[yhi, xhi] - ii[ylo, xhi] - ii[yhi, xlo] + ii[ylo, xlo]
-    area = (
-        (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
-    ).astype(np.float64)
-    return s / np.maximum(area, 1.0)
+    area = ((yhi - ylo) * (xhi - xlo)).astype(np.float64)
+    return s / area
 
 
 _DCT32 = None
@@ -527,19 +532,26 @@ def _hamming_strip_pairs(
 
 
 def _subband_hamming_pairs(
-    h: np.ndarray, max_dist: int, tile: int
+    h: np.ndarray, max_dist: int, tile: int, skip_bytes: tuple = ()
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Oversize-bucket fallback (the ``_banded_cos_pairs`` pattern from
     :mod:`chug_ray.ops.dedup`): re-bucket the bucket's DISTINCT hashes
     by each of the 8 bytes of the full hash and strip-verify only
     within sub-buckets — O(n · 8 · sub-bucket) instead of O(n²).
     Every emitted distance is exact; approximate only in recall (a
-    pair whose ≤ max_dist flipped bits touch all 8 bytes collides in
-    no sub-table — impossible for max_dist < 8, so exact there)."""
+    pair whose ≤ max_dist flipped bits touch every USED byte collides
+    in no sub-table — impossible while max_dist < the used-byte count).
+
+    ``skip_bytes`` names the hash bytes that are CONSTANT within the
+    caller's bucket (the two bytes forming the band key): their
+    sub-tables would collapse the whole bucket into one sub-bucket and
+    re-run the full O(n²) verify the fallback exists to avoid."""
     seen: set[tuple[int, int]] = set()
     va, vb, dd = [], [], []
     bytes_ = h.view(np.uint8).reshape(len(h), 8)
     for b in range(8):
+        if b in skip_bytes:
+            continue
         codes = bytes_[:, b]
         order = np.argsort(codes, kind="stable")
         bounds = np.nonzero(np.diff(codes[order]))[0] + 1
@@ -674,21 +686,35 @@ def phash_dups(
             }
         )
 
-    # bounded pull: take(cap + 1) decides the branch BEFORE any full
+    # bounded pull: limit(cap + 1) decides the branch BEFORE any full
     # driver materialization — at most cap+1 rows ever reach the
-    # driver, and when ≤ cap come back they ARE the whole dup set
-    dup_rows = (
-        keyed.map_batches(count_partial, batch_format="pandas")
-        .materialize()  # partials: the sort shuffle re-executes lazy inputs
-        .groupby("hkey")
-        .aggregate(Sum("m", alias_name="m"))
-        .map_batches(
-            lambda b: b.filter(pc.greater(b["m"], 1)),
-            batch_format="pyarrow",
+    # driver, as ZERO-COPY int64 arrow blocks (a row-dict pull of a
+    # 5M-class census would build hundreds of MB of Python objects
+    # just to be reduced to a 40 MB array)
+    import ray as _ray
+
+    dup_tabs = [
+        t
+        for t in _ray.get(
+            keyed.map_batches(count_partial, batch_format="pandas")
+            .materialize()  # partials: the sort shuffle re-executes lazy inputs
+            .groupby("hkey")
+            .aggregate(Sum("m", alias_name="m"))
+            .map_batches(
+                lambda b: b.filter(pc.greater(b["m"], 1)).select(["hkey"]),
+                batch_format="pyarrow",
+            )
+            .limit(max_dup_hashes + 1)
+            .to_arrow_refs()
         )
-        .take(max_dup_hashes + 1)  # driver pull bounded by the cap
+        if t.num_rows
+    ]
+    dup_keys = (
+        pa.concat_tables(dup_tabs)["hkey"].to_numpy(zero_copy_only=False)
+        if dup_tabs
+        else np.array([], np.int64)
     )
-    if len(dup_rows) > max_dup_hashes:
+    if len(dup_keys) > max_dup_hashes:
         import logging
 
         logging.getLogger("chug_ray").warning(
@@ -719,7 +745,7 @@ def phash_dups(
             {"b_ref": b["b_ref"], "b_frame": b["b_frame"], "hkey": b["hkey"]}
         )
 
-    if len(dup_rows) == 0:
+    if len(dup_keys) == 0:
         # no duplicated hash anywhere: every row is its own rep,
         # no stars, no collapse shuffle at all
         star_pairs = ray.data.from_arrow(
@@ -743,10 +769,8 @@ def phash_dups(
             ),
             batch_format="pyarrow",
         ).materialize()  # consumed twice (band census + band rows)
-    elif len(dup_rows) <= max_dup_hashes:
-        dup_ref = ray.put(
-            np.sort(np.array([r["hkey"] for r in dup_rows], np.int64))
-        )
+    elif len(dup_keys) <= max_dup_hashes:
+        dup_ref = ray.put(np.sort(dup_keys.astype(np.int64)))
 
         def dup_mask(b: pa.Table, _r=dup_ref) -> np.ndarray:
             d = ray.get(_r)
@@ -824,12 +848,17 @@ def phash_dups(
         h = g["hkey"].to_numpy(np.int64).view(np.uint64)
         n = len(g)
         if n > 1:
-            verify = (
-                _hamming_strip_pairs
-                if n <= max_group_rows
-                else _subband_hamming_pairs
-            )
-            ia, ib, dist = verify(h, max_dist, tile)
+            if n <= max_group_rows:
+                ia, ib, dist = _hamming_strip_pairs(h, max_dist, tile)
+            else:
+                # the bucket's band bytes are constant within the group
+                # — their sub-tables would collapse to one full bucket;
+                # skip them so the fallback stays sub-quadratic
+                band = int(g["bk"].iat[0]) >> 16
+                ia, ib, dist = _subband_hamming_pairs(
+                    h, max_dist, tile,
+                    skip_bytes=(2 * band, 2 * band + 1),
+                )
         else:
             ia = ib = dist = np.array([], np.int64)
         refs = g["media_ref"].to_numpy(object) if n else np.zeros(0, object)

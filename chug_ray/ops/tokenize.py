@@ -59,7 +59,11 @@ def build_vocab_ref(sf_dir: str):
     from chug_ray.util import ray_session_key
 
     cache_key = (ray_session_key(), sf_dir)
-    if cache_key in _VOCAB_CACHE:
+    # an 'uninitialized' key must neither hit nor populate the cache:
+    # the dataset execution below auto-inits Ray, so a ref cached under
+    # 'uninitialized' would be served across a later shutdown+init as a
+    # dangling handle — exactly what session keying exists to prevent
+    if cache_key[0] != "uninitialized" and cache_key in _VOCAB_CACHE:
         return _VOCAB_CACHE[cache_key]
 
     compiled = re.compile(TOKEN_RE)
@@ -73,7 +77,9 @@ def build_vocab_ref(sf_dir: str):
     tokens = _docs(sf_dir).map_batches(local_unique, batch_format="pyarrow")
     vocab = {t: i + 1 for i, t in enumerate(sorted(tokens.unique("token")))}
     ref = ray.put(vocab)
-    _VOCAB_CACHE[cache_key] = ref
+    # re-key AFTER the build: the execution above may have auto-inited
+    # Ray, so the live session id is only known now
+    _VOCAB_CACHE[(ray_session_key(), sf_dir)] = ref
     return ref
 
 
@@ -152,14 +158,19 @@ class TokenizerActor:
     def vocab_arrs(self) -> tuple[np.ndarray, np.ndarray]:
         """(sorted token array, ids aligned to it) — honors the ids in
         the source mapping verbatim."""
-        key = (
-            self.vocab_src
-            if isinstance(self.vocab_src, str)
-            else self.vocab_src.hex()
-        )
+        if isinstance(self.vocab_src, tuple):  # (path, content ref)
+            key = self.vocab_src[0]
+        elif isinstance(self.vocab_src, str):
+            key = self.vocab_src
+        else:
+            key = self.vocab_src.hex()
         arrs = _RESOLVED_VOCABS.get(key)
         if arrs is None:
-            if isinstance(self.vocab_src, str):
+            if isinstance(self.vocab_src, tuple):
+                import ray
+
+                vocab = ray.get(self.vocab_src[1])
+            elif isinstance(self.vocab_src, str):
                 import json
 
                 with open(self.vocab_src) as f:
@@ -259,13 +270,31 @@ class TextTargets(TokenizerActor):
         )
 
 
+def _shippable_vocab_src(path: str):
+    """File seam, cluster-safe: the vocab JSON is read ONCE on the
+    driver and broadcast via ``ray.put`` as a ``(path, ref)`` pair, so
+    map_batches tasks on OTHER nodes never ``open()`` a driver-local
+    /tmp path (the file stays the artifact of record and the per-worker
+    resolved cache keys on it). A bare path still works for actors on
+    shared storage."""
+    import json
+
+    import ray
+
+    with open(path) as f:
+        vocab = json.load(f)
+    return (path, ray.put(vocab))
+
+
 def tokenize_ids(sf_dir: str, max_len: int = 32, vocab_path: str | None = None):
     """(doc_id, pos, token_id) — truncated tokenization to vocab ids.
 
     ``vocab_path`` points at a pre-built vocab JSON loaded per actor
     (the scale path); default builds the corpus-vocab artifact once
     (cached per corpus) and runs through the same file seam."""
-    src = vocab_path if vocab_path else ensure_vocab_file(sf_dir)
+    src = _shippable_vocab_src(
+        vocab_path if vocab_path else ensure_vocab_file(sf_dir)
+    )
     return _docs(sf_dir).map_batches(
         TokenizeIds(src, max_len), batch_format="pyarrow"
     )
@@ -274,7 +303,9 @@ def tokenize_ids(sf_dir: str, max_len: int = 32, vocab_path: str | None = None):
 def text_targets(sf_dir: str, max_len: int = 32, vocab_path: str | None = None):
     """Fixed-length (doc_id, pos, input_id, target_id) grid with pad +
     prompt-prefix target masking."""
-    src = vocab_path if vocab_path else ensure_vocab_file(sf_dir)
+    src = _shippable_vocab_src(
+        vocab_path if vocab_path else ensure_vocab_file(sf_dir)
+    )
     return _docs(sf_dir).map_batches(
         TextTargets(src, max_len), batch_format="pyarrow"
     )
